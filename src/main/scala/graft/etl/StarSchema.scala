@@ -1,0 +1,86 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic star-schema ELT building blocks.
+  *
+  * Re-expresses the dimensional-modelling surface of the reference
+  * (MatejMedvec/GlobalWeather-ETL, sql/ETL_GlobalWeather_DB.sql §3.3–3.6)
+  * as composable, Catalyst-friendly DataFrame transforms. Nothing here
+  * collects to the driver; every builder returns a lazy plan.
+  */
+object StarSchema {
+
+  /** SCD Type-0 date dimension with derived calendar attributes
+    * (ISO day-of-week and ISO week, like the reference's
+    * DAYOFWEEKISO/WEEKISO — ETL_GlobalWeather_DB.sql:47-49).
+    *
+    * Scale note: the DISTINCT is a shuffle over a tiny key space
+    * (one row per calendar day) — partial aggregation makes it a
+    * map-side dedup followed by a near-empty exchange.
+    */
+  def dimDate(src: DataFrame, dateCol: Column): DataFrame =
+    src.select(to_date(dateCol).as("date_key")).distinct().select(
+      col("date_key"),
+      col("date_key").as("full_date"),
+      year(col("date_key")).cast("long").as("year"),
+      month(col("date_key")).cast("long").as("month"),
+      dayofmonth(col("date_key")).cast("long").as("day"),
+      (weekday(col("date_key")) + lit(1)).cast("long").as("day_of_week"),
+      weekofyear(col("date_key")).cast("long").as("week_of_year"),
+      dayofyear(col("date_key")).cast("long").as("day_of_year"))
+
+  /** SCD Type-1 dimension: ROW_NUMBER surrogate key over the distinct
+    * natural key plus validity metadata (reference DIM_LOCATION,
+    * ETL_GlobalWeather_DB.sql:60-74). `validFrom` is a caller-supplied
+    * fixed date: the reference uses CURRENT_DATE(), which is not
+    * reproducible across runs.
+    *
+    * Scale note: the unpartitioned ROW_NUMBER window funnels the dim
+    * through one task. That is correct *for dimensions* — they are small
+    * by definition (the fact side never passes through this code path).
+    * For a billion-row entity table use `monotonically_increasing_id`
+    * or a hash surrogate instead.
+    */
+  def scd1(src: DataFrame, naturalKey: Seq[String], orderBy: Seq[String],
+           keyName: String, validFrom: String): DataFrame =
+    src.select(naturalKey.map(col): _*).distinct()
+      .withColumn(keyName,
+        row_number().over(Window.orderBy(orderBy.map(col): _*)).cast("long"))
+      .withColumn("valid_from", to_date(lit(validFrom)))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+      .select((keyName +: naturalKey) ++
+        Seq("valid_from", "valid_to", "is_current") map col: _*)
+
+  /** CASE banding of a continuous measure into labeled buckets
+    * (reference DIM_WEATHER_BAND, ETL_GlobalWeather_DB.sql:80-90).
+    * `bounds` are inclusive upper bounds for all labels but the last.
+    * Pure expression — codegen'd inline, never a join at fact scale.
+    */
+  def banded(measure: Column, bounds: Seq[Double], labels: Seq[String]): Column = {
+    require(labels.length == bounds.length + 1, "need one more label than bound")
+    val base: Column = lit(labels.last)
+    bounds.zip(labels).foldRight(base) { case ((b, l), rest) =>
+      when(measure <= b, l).otherwise(rest)
+    }
+  }
+
+  /** Day-over-day delta of `value` (reference TEMP_DAY_DELTA via LAG,
+    * ETL_GlobalWeather_DB.sql:120-124). The order columns must form a
+    * total order inside each partition or the result is nondeterministic.
+    */
+  def dayDelta(value: Column, partition: Seq[Column], order: Seq[Column]): Column =
+    round(value - lag(value, 1).over(Window.partitionBy(partition: _*).orderBy(order: _*)), 4)
+
+  /** N-row rolling sum (reference PRECIPITATION_7D_SUM,
+    * ETL_GlobalWeather_DB.sql:125-130). Shares partition+order with
+    * [[dayDelta]] so Catalyst evaluates both in a single Window node —
+    * one shuffle, one sort, two metrics.
+    */
+  def rollingSum(value: Column, n: Int, partition: Seq[Column], order: Seq[Column]): Column =
+    round(sum(value).over(
+      Window.partitionBy(partition: _*).orderBy(order: _*).rowsBetween(-(n - 1), 0)), 4)
+}

@@ -1,0 +1,155 @@
+package graft.etl
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference warehouse (GlobalWeather-ETL) re-expressed on the driver
+  * test tables. Role mapping (README.md §2, sql/ETL_GlobalWeather_DB.sql):
+  *
+  *   weather_day measurement  -> lineitem row
+  *   DATE_VALID_STD           -> l_shipdate (as DATE)
+  *   location (postal/city/country) -> supplier ⋈ nation ⋈ region
+  *   AVG_TEMPERATURE_AIR_2M_F -> l_extendedprice   ("avg_temp_f")
+  *   TOT_PRECIPITATION_IN     -> l_discount        ("precipitation_in")
+  *   TOT_SNOWFALL_IN          -> l_tax             ("snowfall_in")
+  *   band measure             -> l_quantity (integral, so the reference's
+  *                               inclusive BETWEEN banding stays gap-free)
+  *
+  * Star-join strategy at scale: every dimension is broadcast — the fact
+  * (lineitem) side never shuffles for the join. The only wide exchange in
+  * the whole mart build is the window partition by location_key, which both
+  * window metrics share.
+  */
+object WeatherMart {
+
+  val BandBounds: Seq[Double] = Seq(9, 20, 35, 45)
+  val BandLabels: Seq[String] = Seq("Freezing", "Cold", "Mild", "Warm", "Hot")
+  val SnowThreshold = 0.06
+  val RainThreshold = 0.05
+  val ValidFrom = "2026-01-01"
+
+  /** Extract/Load: staging projection of the measurement table
+    * (reference STG_FORECAST_DAY, ETL_GlobalWeather_DB.sql:24-27).
+    * Column pruning reaches the parquet scan: only 8 of 11 lineitem
+    * columns are read.
+    */
+  def staging(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem").select(
+      to_date(col("l_shipdate")).as("date_valid"),
+      col("l_suppkey").as("loc_ref"),
+      col("l_extendedprice").as("avg_temp_f"),
+      col("l_discount").as("precipitation_in"),
+      col("l_tax").as("snowfall_in"),
+      col("l_quantity").as("band_q"),
+      col("l_orderkey"),
+      col("l_linenumber").cast("long").as("l_linenumber"))
+
+  /** Reference DIM_WEATHER_BAND classification, computed inline. */
+  def weatherBand(c: Column): Column = StarSchema.banded(c, BandBounds, BandLabels)
+
+  /** Reference DIM_PRECIPITATION_TYPE classification
+    * (ETL_GlobalWeather_DB.sql:96-103): Snow beats Rain beats None.
+    */
+  def precipitationType(snow: Column, precip: Column): Column =
+    when(snow > SnowThreshold, "Snow")
+      .when(precip > RainThreshold, "Rain")
+      .otherwise("None")
+
+  def dimDate(spark: SparkSession, dir: String): DataFrame =
+    StarSchema.dimDate(staging(spark, dir), col("date_valid"))
+
+  /** Location dimension: supplier enriched with nation/region names
+    * (reference DIM_LOCATION postal/city/country). Nation and region are
+    * tiny → broadcast.
+    */
+  def dimLocation(spark: SparkSession, dir: String): DataFrame = {
+    val natural = Tables(spark, dir, "supplier")
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(spark, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("s_suppkey").as("postal_code"),
+        col("s_name").as("city_name"),
+        col("n_name").as("country"),
+        col("r_name").as("region_name"))
+    StarSchema.scd1(natural,
+      naturalKey = Seq("postal_code", "city_name", "country", "region_name"),
+      orderBy = Seq("postal_code"),
+      keyName = "location_key", validFrom = ValidFrom)
+  }
+
+  def dimBand(spark: SparkSession, dir: String): DataFrame =
+    staging(spark, dir)
+      .select(weatherBand(col("band_q")).as("weather_band"))
+      .distinct().orderBy("weather_band")
+
+  def dimPrecipType(spark: SparkSession, dir: String): DataFrame =
+    staging(spark, dir)
+      .select(precipitationType(col("snowfall_in"), col("precipitation_in"))
+        .as("precipitation_type"))
+      .distinct().orderBy("precipitation_type")
+
+  /** Static single-row source dimension (reference DIM_SOURCE,
+    * ETL_GlobalWeather_DB.sql:108-113).
+    */
+  def dimSource(spark: SparkSession): DataFrame =
+    spark.range(1).select(
+      lit(1L).as("source_key"),
+      lit("graft").as("provider"),
+      lit("testdata").as("dataset_name"),
+      lit("parquet").as("ingest_method"))
+
+  /** Normalized 3NF location table (reference NORMALIZED.LOCATION,
+    * ETL_GlobalWeather_DB.sql:150-152).
+    */
+  def normalizedLocation(spark: SparkSession, dir: String): DataFrame =
+    dimLocation(spark, dir)
+      .select("postal_code", "city_name", "country", "region_name")
+      .orderBy("postal_code")
+
+  /** Fact build (reference FACT_WEATHER_DAY, ETL_GlobalWeather_DB.sql
+    * §3.4): star join + LAG day-delta + 7-row rolling sum.
+    *
+    * Differences from the reference, by design:
+    *  - band/precip classifications are inlined CASE expressions
+    *    (codegen) rather than joins back to 5-row dimensions;
+    *  - window order is total (date, orderkey, linenumber) — the
+    *    reference orders by date alone, which is nondeterministic when a
+    *    location has several rows per day.
+    */
+  def fact(spark: SparkSession, dir: String): DataFrame = {
+    val stg = staging(spark, dir)
+    val dd = dimDate(spark, dir).select("date_key")
+    val dl = dimLocation(spark, dir)
+      .filter(col("is_current"))
+      .select("location_key", "postal_code")
+    val part = Seq(col("location_key"))
+    val order = Seq(col("date_key"), col("l_orderkey"), col("l_linenumber"))
+    stg
+      .join(broadcast(dd), stg("date_valid") === dd("date_key"))
+      .join(broadcast(dl), stg("loc_ref") === dl("postal_code"))
+      .crossJoin(broadcast(dimSource(spark).select("source_key")))
+      .select(
+        col("date_key"), col("location_key"),
+        weatherBand(col("band_q")).as("weather_band"),
+        precipitationType(col("snowfall_in"), col("precipitation_in"))
+          .as("precipitation_type"),
+        col("source_key"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("avg_temp_f"), col("precipitation_in"), col("snowfall_in"))
+      .withColumn("temp_day_delta",
+        StarSchema.dayDelta(col("avg_temp_f"), part, order))
+      .withColumn("precipitation_7d_sum",
+        StarSchema.rollingSum(col("precipitation_in"), 7, part, order))
+  }
+
+  /** Validation (reference §3.6): FK null count + measure range, one row. */
+  def validateFact(spark: SparkSession, dir: String): DataFrame =
+    fact(spark, dir).agg(
+      sum(when(col("location_key").isNull || col("date_key").isNull, 1L)
+        .otherwise(0L)).as("null_fk_count"),
+      round(min("avg_temp_f"), 4).as("min_temp"),
+      round(max("avg_temp_f"), 4).as("max_temp"))
+}
