@@ -1,6 +1,8 @@
 package graft
 
+import graft.core.Tables
 import graft.etl.{Dashboard, WeatherMart}
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -51,6 +53,22 @@ object SparkEntry {
     "q3_avg_by_class" -> ((s, d) => Dashboard.avgByClass(s, d)),
     "q4_band_counts" -> ((s, d) => Dashboard.bandCounts(s, d)),
     "q5_pct_positive" -> ((s, d) => Dashboard.pctPositiveByDate(s, d)),
+    // --- deduplication (SURVEY.md §2) ---
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables(s, d, "documents"))),
+    "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables(s, d, "documents"))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables(s, d, "documents"))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables(s, d, "documents"))),
+    "dedup_embedding" -> ((s, d) =>
+      Similarity.embeddingNearDup(Tables(s, d, "embeddings"))),
+    // --- similarity search (SURVEY.md §2) ---
+    "ann_bruteforce" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10))
+    }),
+    "ann_ivf" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10))
+    }),
   )
 
   // ---------------------------------------------------------------------
@@ -177,5 +195,29 @@ object SparkEntry {
         |  ROUND(100.0 * CAST(SUM(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END)
         |    AS DOUBLE) / COUNT(*), 4) AS pct_locations_with_rain
         |FROM lineitem GROUP BY 1 ORDER BY date_key""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
+        |  COUNT(*) AS n_dupes
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    // Mirrors Dedup.ngramJaccard (n=3, maxDf=100, minJaccard=0.6):
+    // DuckDB list slice w[i:i+2] is 1-based inclusive = Spark slice(w,i,3).
+    "ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |       FROM toks, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |rare AS (SELECT * FROM sh WHERE shingle IN
+        |         (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 100)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |          FROM rare a JOIN rare b
+        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

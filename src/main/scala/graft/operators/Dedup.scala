@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication for large text corpora.
+  *
+  * Four strategies, all shuffle-frugal by construction:
+  *  - exact:      one hash-groupBy (map-side combine does the heavy lifting)
+  *  - n-gram Jaccard: inverted-index join sharded by shingle (never n²)
+  *  - MinHash+LSH: banding → groupBy bucket → pairs only within buckets
+  *  - SimHash:    Hamming blocking (pigeonhole) → pairs only within blocks
+  *
+  * Expected input schema: (doc_id: long, text: string, ...).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash. Keeper = lowest doc_id per cluster.
+    * At 100 TB this is a single shuffle on a well-distributed key
+    * (md5), with partial aggregation collapsing each partition first.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_dupes"))
+      .orderBy("content_hash")
+
+  /** Exact n-gram Jaccard similar pairs via an inverted index.
+    *
+    * Joining on the shingle (token) shards the O(n²) problem by term —
+    * only documents sharing a shingle ever meet. `maxDf` drops
+    * high-document-frequency shingles (the classic stopword cut) which
+    * both bounds worst-case skew (a shingle in k docs creates k² join
+    * rows) and keeps bucket sizes executor-friendly at scale.
+    * Jaccard denominators still count ALL distinct shingles per doc.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.6,
+                   maxDf: Int = 100): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), n)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val rare = sh.join(
+      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("shingle"),
+      "shingle")
+    val inter = rare.as("a")
+      .join(rare.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("sz", "sz_a"),
+        col("doc_a") === sizes("doc_id")).drop("doc_id")
+      .join(sizes.withColumnRenamed("sz", "sz_b"),
+        col("doc_b") === sizes("doc_id")).drop("doc_id")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH near-duplicate pairs, Jaccard-verified.
+    *
+    * k-hash signature per doc, split into `bands`; docs colliding on any
+    * band's hash become candidates (groupBy-join on the band bucket, so
+    * work is proportional to collisions, not n²). Candidates are then
+    * verified with exact Jaccard on the shingle arrays, so precision is
+    * exact and only recall is probabilistic (≥ 1-(1-s^r)^b; at the
+    * default 8 bands × 4 rows and s=0.9 that is 1 - 4e-8).
+    */
+  def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+                 bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val withSig = docs
+      .select(col("doc_id"),
+        TextOps.shingles(TextOps.tokens(col("text")), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", TextOps.minhashSignature(col("sh"), numHashes))
+    val banded = withSig.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          hash(slice(col("sig"), b * lit(rows) + 1, lit(rows))).as("bucket"))))
+        .as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = withSig.select(col("doc_id"), col("sh"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-duplicate pairs at Hamming distance ≤ `maxHamming`.
+    *
+    * The 64-bit signature is cut into `maxHamming + 1` blocks; by
+    * pigeonhole two signatures within the radius collide on at least one
+    * block, so the block-equality join finds every qualifying pair while
+    * only materializing same-block candidates. `bit_count(a XOR b)`
+    * verifies exactly.
+    */
+  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val bits = 64 / blocks
+    val sigs = docs
+      .select(col("doc_id"), TextOps.simhash64(TextOps.tokens(col("text"))).as("sig"))
+    val blocked = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(blocks - 1)), b =>
+        struct(b.as("block"),
+          call_function("shiftright", col("sig"), (b * lit(bits)).cast("int"))
+            .bitwiseAND(lit((1L << bits) - 1)).as("key"))))
+        .as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.block"), col("bk.key"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.block") === col("b.block") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+}

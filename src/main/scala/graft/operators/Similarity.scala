@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Vector math is done with higher-order functions (`zip_with` +
+  * `aggregate`) in double precision — fully codegen'd, no UDF, no
+  * MLlib dependency.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: the exact baseline.
+    *
+    * The (small) probe set is broadcast against the full corpus — one
+    * scan, no shuffle until the final per-probe top-k, which exchanges
+    * only `numProbes × partitions × k` rows thanks to rank pushdown
+    * (WindowGroupLimit). Ties broken by vec_id for determinism.
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5): DataFrame = {
+    val scored = corpus.as("c")
+      .crossJoin(broadcast(probes.select(
+        col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))))
+      .filter(col("c.vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("c.vec_id").as("neighbor_id"),
+        cosine(col("probe_emb"), col("c.embedding")).as("cos_sim"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** IVF-style ANN: the scale path.
+    *
+    * Deterministic coarse centroids (every `centroidStride`-th vector —
+    * at real scale, k-means centroids slot in here), corpus assigned to
+    * its nearest cell once, probes search only their `nProbeCells`
+    * closest cells. Centroid table is broadcast in both phases; the
+    * corpus is scanned once and shuffled once on cell_id.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5,
+              centroidStride: Int = 50, nProbeCells: Int = 2): DataFrame = {
+    val centroids = broadcast(
+      corpus.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("centroid")))
+    def nearestCells(df: DataFrame, idCol: String, embCol: String, n: Int) =
+      df.crossJoin(centroids)
+        .select(col(idCol), col(embCol),
+          col("cell_id"), cosine(col(embCol), col("centroid")).as("cell_sim"))
+        .withColumn("cell_rank", row_number().over(
+          Window.partitionBy(idCol).orderBy(col("cell_sim").desc, col("cell_id"))))
+        .filter(col("cell_rank") <= n)
+        .drop("cell_sim", "cell_rank")
+    val assigned = nearestCells(corpus, "vec_id", "embedding", 1)
+    val probeCells = nearestCells(
+      probes.select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb")),
+      "probe_id", "probe_emb", nProbeCells)
+    probeCells.join(assigned, "cell_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("probe_emb"), col("embedding")).as("cos_sim"))
+      .groupBy("probe_id", "neighbor_id").agg(max("cos_sim").as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH,
+    * cosine-verified.
+    *
+    * Signatures: `bands` OR-ed bands of `rowsPerBand` sign-bits each;
+    * hyperplane components are derived from murmur3 of (plane, dim) so
+    * the sketch is deterministic with no stored model. Candidates =
+    * same-band-bucket pairs (groupBy-join, never n²); exact cosine then
+    * filters to `minCosine`, so precision is exact.
+    */
+  def embeddingNearDup(corpus: DataFrame, minCosine: Double = 0.35,
+                       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val dims = 64
+    def planeComponent(plane: Column, d: Column): Column =
+      (pmod(hash(plane, d), lit(10007)).cast("double") / 10007.0) - 0.5
+    val sigBit: (Column, Column) => Column = (emb, plane) => {
+      val proj = aggregate(
+        zip_with(emb, sequence(lit(0), lit(dims - 1)),
+          (x, d) => x.cast("double") * planeComponent(plane, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, 1).otherwise(0)
+    }
+    val banded = corpus.select(
+      col("vec_id"), col("embedding"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          hash(transform(sequence(lit(0), lit(rowsPerBand - 1)), r =>
+            sigBit(col("embedding"), b * lit(rowsPerBand) + r))).as("bucket"))))
+        .as("bb"))
+      .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bucket"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+      .distinct()
+      .filter(col("cos_sim") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+}
