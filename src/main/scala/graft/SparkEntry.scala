@@ -2,7 +2,8 @@ package graft
 
 import graft.core.Tables
 import graft.etl.{Dashboard, WeatherMart}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity, TextAnalysis}
+import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,10 +27,12 @@ object SparkEntry {
     * ISO strings sort identically to dates, so ordering is unaffected.
     */
   private def datesAsStrings(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DateType
-    df.schema.fields.filter(_.dataType == DateType).foldLeft(df) { (d, f) =>
-      d.withColumn(f.name, col(f.name).cast("string"))
-    }
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    df.schema.fields
+      .filter(f => f.dataType == DateType || f.dataType == TimestampType)
+      .foldLeft(df) { (d, f) =>
+        d.withColumn(f.name, col(f.name).cast("string"))
+      }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = raw.map {
@@ -69,6 +72,20 @@ object SparkEntry {
       val emb = Tables(s, d, "embeddings")
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10))
     }),
+    // --- text analysis (SURVEY.md §2) ---
+    "text_quality" -> ((s, d) => TextAnalysis.quality(Tables(s, d, "documents"))),
+    "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables(s, d, "documents"))),
+    "lang_id" -> ((s, d) => TextAnalysis.langId(Tables(s, d, "documents"))),
+    "doc_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables(s, d, "documents"))),
+    // --- events: batch + streaming-twin (SURVEY.md §2) ---
+    "events_sessionize" -> ((s, d) => Sessionize.sessions(Tables(s, d, "events"))),
+    "events_hourly" -> ((s, d) =>
+      EventStream.hourlyByType(Tables(s, d, "events"))
+        .orderBy("hour_ts", "event_type")),
+    "events_topk_users" -> ((s, d) => Sessionize.topUsers(Tables(s, d, "events"))),
+    // --- multimodal plumbing (SURVEY.md §2) ---
+    "multimodal_extract" -> ((s, d) => Multimodal.extract(s, Tables(s, d, "documents"))),
   )
 
   // ---------------------------------------------------------------------
@@ -219,5 +236,86 @@ object SparkEntry {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // Marker-count scoring via UNNEST+SUM (portable across DuckDB versions,
+    // no list lambdas). Mirrors TextAnalysis.Markers and the CASE priority.
+    "lang_id" ->
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN t IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS BIGINT) AS score_en,
+        |    CAST(SUM(CASE WHEN t IN ('el','la','de','que','los') THEN 1 ELSE 0 END) AS BIGINT) AS score_es,
+        |    CAST(SUM(CASE WHEN t IN ('le','les','des','une','est') THEN 1 ELSE 0 END) AS BIGINT) AS score_fr,
+        |    CAST(SUM(CASE WHEN t IN ('der','die','und','das','ist') THEN 1 ELSE 0 END) AS BIGINT) AS score_de
+        |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, score_en, score_es, score_fr, score_de,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_de AND score_en > 0 THEN 'en'
+        |       WHEN score_es >= score_fr AND score_es >= score_de AND score_es > 0 THEN 'es'
+        |       WHEN score_fr >= score_de AND score_fr > 0 THEN 'fr'
+        |       WHEN score_de > 0 THEN 'de' ELSE 'und' END AS predicted_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH stops AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN t IN ('the','a','of','and','to') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+        |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY doc_id),
+        |b AS (
+        |  SELECT d.doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    CAST(length(regexp_replace(text, '[a-z ]', '', 'g')) AS BIGINT) AS punct,
+        |    stop_hits
+        |  FROM documents d JOIN stops ON d.doc_id = stops.doc_id)
+        |SELECT doc_id, n_chars, n_tokens,
+        |  CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len,
+        |  CAST(punct AS DOUBLE) / n_chars AS punct_ratio,
+        |  CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+        |  least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+        |    + (1.0 - CAST(punct AS DOUBLE) / n_chars) * 0.3
+        |    + least(CAST(stop_hits AS DOUBLE) / n_tokens * 5.0, 1.0) * 0.3
+        |    AS quality_score
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        |  CAST(ceil(CAST(length(text)
+        |    - (length(text) - length(replace(text, ' ', '')) + 1) + 1 AS DOUBLE)
+        |    / 4.0) AS BIGINT) AS subword_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+        |      OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(us) AS start_us, MAX(us) AS end_us,
+        |  ROUND(SUM(value) * 100, 0) / 100.0 AS total_value,
+        |  MAX(us) - MIN(us) AS duration_us
+        |FROM sess GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts, event_type,
+        |  COUNT(*) AS n_events, ROUND(SUM(value) * 100, 0) / 100.0 AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    "events_topk_users" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  ROUND(SUM(value) * 100, 0) / 100.0 AS total_value
+        |FROM events GROUP BY 1
+        |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
+    "multimodal_extract" ->
+      """SELECT doc_id,
+        |  ['png','jpg','wav'][CAST(doc_id % 3 AS INT) + 1] AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  64 + CAST(octet_length(encode(text)) AS BIGINT) % 448 AS width,
+        |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 448 AS height,
+        |  1 + doc_id % 30 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

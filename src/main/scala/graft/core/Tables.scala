@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Single place that knows how driver test tables are stored.
   *
@@ -14,8 +16,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS), which Spark only reads as a raw
+    // nanos LONG (spark.sql.legacy.parquet.nanosAsLong=true — set by
+    // Verify/Bench/tests). Normalize to a proper microsecond TIMESTAMP;
+    // integer `div` keeps full precision (a double division would not,
+    // 2024 epoch-nanos exceed 2^53).
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None => df
+    }
+  }
 
   /** Register every table as a temp view (for spark.sql users). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Column-API and SQL-registration surface for graft's native expressions. */
+object GraftFunctions {
+
+  /** Column wrapper for [[RollingFingerprint]]. */
+  def rollingFingerprint(c: Column, window: Int = 64): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      RollingFingerprint(org.apache.spark.sql.graft.Bridge.expression(c), window))
+
+  private[functions] def builder(args: Seq[Expression]): Expression = args match {
+    case Seq(c) => RollingFingerprint(c, 64)
+    case Seq(c, Literal(w: Int, _)) => RollingFingerprint(c, w)
+    case _ => throw new IllegalArgumentException(
+      "rolling_fingerprint(text[, window_literal])")
+  }
+
+  private[functions] val ident = FunctionIdentifier("rolling_fingerprint")
+  private[functions] val info = new ExpressionInfo(
+    classOf[RollingFingerprint].getName, "rolling_fingerprint")
+
+  /** Register into an already-built session (idempotent), so
+    * `expr("rolling_fingerprint(text, 64)")` and spark.sql work.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("rolling_fingerprint", builder, "scala_udf")
+}
+
+/** SparkSessionExtensions hook: add
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * at session build to get graft's SQL functions in every new session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(
+      (GraftFunctions.ident, GraftFunctions.info, GraftFunctions.builder))
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat media as opaque `binary` payloads
+  * with typed metadata, decoded partition-by-partition.
+  *
+  * The Spark-side mechanics here are real and load-bearing at 100 TB:
+  *  - payloads travel as a `binary` column next to typed metadata;
+  *  - decode runs via `mapPartitions` so a real decoder would be
+  *    initialized once per partition (codec handles, GPU context) and fed
+  *    batches, exactly like a Pandas-UDF/mapInPandas pipeline;
+  *  - the decoder's output schema is explicit and stable.
+  *
+  * The decode itself is a STUB — this container has no image/audio
+  * codecs. `decodeStub` derives deterministic fake dimensions from the
+  * payload bytes; swap its body for the real codec call in production.
+  */
+object Multimodal {
+
+  val metaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("format", StringType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("width", LongType, nullable = false),
+    StructField("height", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false)))
+
+  /** Wrap documents as (doc_id, format, payload) — the shape a media
+    * table has: metadata columns + one opaque binary column.
+    */
+  def asPayloads(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("png"), lit("jpg"), lit("wav")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+  /** ===== STUB ===== deterministic fake "decode" of one payload.
+    * A real implementation calls the codec here (and only here).
+    */
+  private def decodeStub(docId: Long, format: String, payload: Array[Byte])
+      : (Long, Long, Long) = {
+    val len = payload.length.toLong
+    val width = 64L + len % 448L
+    val height = 64L + (len * 7L) % 448L
+    val frames = 1L + docId % 30L
+    (width, height, frames)
+  }
+
+  /** Decode payloads to typed metadata, one decoder per partition. */
+  def extract(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val payloads = asPayloads(docs)
+    val enc = RowEncoder.encoderFor(metaSchema)
+    payloads
+      .mapPartitions { rows =>
+        // real pipeline: initialize the codec ONCE here, then stream rows
+        rows.map { r =>
+          val docId = r.getLong(0)
+          val format = r.getString(1)
+          val payload = r.getAs[Array[Byte]](2)
+          val (w, h, f) = decodeStub(docId, format, payload)
+          Row(docId, format, payload.length.toLong, w, h, f)
+        }
+      }(enc)
+      .orderBy("doc_id")
+  }
+}

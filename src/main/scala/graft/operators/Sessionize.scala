@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream batch operators: gap sessionization, tumbling-window
+  * aggregation, leaderboards.
+  *
+  * Scale notes: sessionization shuffles once on user_id and evaluates
+  * both window passes (gap flag, running session index) over the same
+  * partition+sort; per-user data is small by construction so no key can
+  * hot-spot a 1000-executor cluster. The aggregations are partial-agg
+  * friendly.
+  */
+object Sessionize {
+
+  /** 30-minute-gap sessionization. A session starts where the gap to the
+    * previous event of the same user exceeds `gapMinutes` (or at the
+    * user's first event); running count of starts numbers the sessions.
+    * Timestamps are exposed as epoch micros so cross-engine comparison is
+    * integer-exact.
+    */
+  def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .withColumn("new_session",
+        when(lag("us", 1).over(w).isNull ||
+          col("us") - lag("us", 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("us").as("start_us"),
+        max("us").as("end_us"),
+        (round(sum("value") * 100, 0) / 100.0).as("total_value"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Top-N users by total event value (2-decimal-exact cents sum). */
+  def topUsers(events: DataFrame, n: Int = 10): DataFrame =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum("value") * 100, 0) / 100.0).as("total_value"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(n)
+}

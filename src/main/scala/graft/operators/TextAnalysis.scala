@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: quality scoring,
+  * token counting, language ID, fingerprinting. All pure per-row
+  * expressions (one parquet scan, zero shuffles until the final sort),
+  * which is exactly what you want when the corpus is 100 TB: these run at
+  * scan speed inside WholeStageCodegen.
+  */
+object TextAnalysis {
+
+  /** Stopword markers per language for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny — the operator contract is the scoring
+    * mechanism, not lexicon quality.
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "les", "des", "une", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  private def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*))).cast("long")
+
+  /** Language ID: count stopword markers per language, argmax with a
+    * fixed priority order (en > es > fr > de) on ties; no marker at all
+    * → "und" (undetermined).
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val scored = docs.select(
+      (col("doc_id") +: Markers.map { case (l, ws) =>
+        markerCount(toks, ws).as(s"score_$l") }): _*)
+    val Seq(en, es, fr, de) = Markers.map { case (l, _) => col(s"score_$l") }
+    scored.withColumn("predicted_lang",
+      when(en >= es && en >= fr && en >= de && en > 0, "en")
+        .when(es >= fr && es >= de && es > 0, "es")
+        .when(fr >= de && fr > 0, "fr")
+        .when(de > 0, "de")
+        .otherwise("und"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token count, average token length, punctuation
+    * ratio, stopword ratio, and a bounded composite score. Formulas are
+    * deliberately arithmetic-only so the DuckDB oracle reproduces them
+    * bit-for-bit (SURVEY.md §5).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val nChars = length(text).cast("long")
+    // single-space corpora: tokens = spaces + 1 (oracle-parity arithmetic)
+    val nTokens = (nChars - length(regexp_replace(text, " ", "")) + 1).cast("long")
+    val alphaSpace = length(regexp_replace(text, "[a-z ]", "")).cast("long")
+    val stopHits = markerCount(TextOps.tokens(text), Markers.head._2)
+    docs.select(col("doc_id"), nChars.as("n_chars"), nTokens.as("n_tokens"),
+        (alphaSpace.cast("double") / nChars).as("punct_ratio"),
+        (stopHits.cast("double") / nTokens).as("stopword_ratio"))
+      .withColumn("avg_token_len",
+        (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4
+          + (lit(1.0) - col("punct_ratio")) * 0.3
+          + least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3)
+      .orderBy("doc_id")
+  }
+
+  /** Token counting three ways: whitespace tokens, BPE-ish regex tokens
+    * (letter runs / digit runs / single other-punct), and the ~4-chars
+    * -per-token subword estimate used for LLM budgeting.
+    */
+  def tokenCount(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val nChars = length(text).cast("long")
+    val wsTokens = (nChars - length(regexp_replace(text, " ", "")) + 1).cast("long")
+    val bpeIsh = size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      .cast("long")
+    val subwordEst = ceil((nChars - wsTokens + 1).cast("double") / 4.0).cast("long")
+    docs.select(col("doc_id"), wsTokens.as("ws_tokens"), bpeIsh.as("bpe_tokens"),
+      subwordEst.as("subword_est"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing-style document fingerprint via the native
+    * [[graft.functions.RollingFingerprint]] codegen expression.
+    */
+  def fingerprint(docs: DataFrame, window: Int = 64): DataFrame =
+    docs.select(col("doc_id"),
+      GraftFunctions.rollingFingerprint(col("text"), window).as("fingerprint"))
+      .orderBy("doc_id")
+}

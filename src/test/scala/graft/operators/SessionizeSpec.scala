@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessions split on >30min gaps per user") {
+    // user 7: events at t=0m, 10m, 50m (gap 40m → new session), 60m
+    val base = 1700000000000000L // epoch micros
+    val m = 60L * 1000000L
+    val ev = Seq(
+      (1L, base, 7L, 1.0), (2L, base + 10 * m, 7L, 2.0),
+      (3L, base + 50 * m, 7L, 4.0), (4L, base + 60 * m, 7L, 8.0),
+      (5L, base, 9L, 1.5))
+      .toDF("event_id", "us", "user_id", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("value"))
+    val out = Sessionize.sessions(ev).collect()
+    val u7 = out.filter(_.getAs[Long]("user_id") == 7L)
+    assert(u7.map(r => (r.getAs[Long]("session_seq"),
+      r.getAs[Long]("n_events"))).toSeq == Seq((1L, 2L), (2L, 2L)))
+    assert(u7.head.getAs[Double]("total_value") == 3.0)
+    assert(u7.head.getAs[Long]("duration_us") == 10 * m)
+    assert(out.count(_.getAs[Long]("user_id") == 9L) == 1)
+  }
+
+  test("topUsers is a deterministic leaderboard") {
+    val ev = graft.core.Tables(spark, sf(), "events")
+    val out = Sessionize.topUsers(ev, 5).collect()
+    assert(out.length == 5)
+    val totals = out.map(_.getAs[Double]("total_value")).toSeq
+    assert(totals == totals.sorted.reverse)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{GraftFunctions, RollingFingerprint}
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality computes exact token/char arithmetic") {
+    val out = TextAnalysis.quality(Seq((1L, "the cat sat")).toDF("doc_id", "text"))
+      .collect().head
+    assert(out.getAs[Long]("n_chars") == 11L)
+    assert(out.getAs[Long]("n_tokens") == 3L)
+    assert(out.getAs[Double]("avg_token_len") == 3.0)
+    assert(out.getAs[Double]("punct_ratio") == 0.0)
+    assert(math.abs(out.getAs[Double]("stopword_ratio") - 1.0 / 3) < 1e-12)
+  }
+
+  test("tokenCount: ws vs bpe-ish vs subword estimate") {
+    val out = TextAnalysis.tokenCount(
+      Seq((1L, "abc 123 x.y")).toDF("doc_id", "text")).collect().head
+    assert(out.getAs[Long]("ws_tokens") == 3L)
+    // [abc][123][x][.][y]
+    assert(out.getAs[Long]("bpe_tokens") == 5L)
+    assert(out.getAs[Long]("subword_est") == 3L) // ceil(9/4)
+  }
+
+  test("langId scores markers with fixed-priority argmax") {
+    val out = TextAnalysis.langId(Seq(
+      (1L, "the cat of the house"),
+      (2L, "el perro de la casa"),
+      (3L, "xyz qqq")).toDF("doc_id", "text")).collect()
+    assert(out.map(_.getAs[String]("predicted_lang")).toSeq ==
+      Seq("en", "es", "und"))
+  }
+
+  test("rolling fingerprint: deterministic, content-sensitive, window-local") {
+    val df = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz0123456789 the quick brown fox jumps"),
+      (2L, "abcdefghijklmnopqrstuvwxyz0123456789 the quick brown fox jumps"),
+      (3L, "a completely different document body with other content here!"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fingerprint(df, window = 16).collect()
+    assert(out(0).getAs[Long]("fingerprint") == out(1).getAs[Long]("fingerprint"))
+    assert(out(0).getAs[Long]("fingerprint") != out(2).getAs[Long]("fingerprint"))
+    // matches the direct JVM evaluation (codegen path == interpreted path)
+    val direct = RollingFingerprint.eval(
+      "a completely different document body with other content here!"
+        .getBytes("UTF-8"), 16)
+    assert(out(2).getAs[Long]("fingerprint") == direct)
+  }
+
+  test("rolling_fingerprint is SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT rolling_fingerprint('hello world hello world', 8) AS f")
+      .collect().head.getLong(0)
+    assert(r == RollingFingerprint.eval(
+      "hello world hello world".getBytes("UTF-8"), 8))
+  }
+}

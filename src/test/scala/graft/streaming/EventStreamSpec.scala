@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    (Timestamp.valueOf("2024-01-01 00:05:00"), "click", 1.0),
+    (Timestamp.valueOf("2024-01-01 00:45:00"), "click", 2.0),
+    (Timestamp.valueOf("2024-01-01 01:05:00"), "click", 4.0),
+    (Timestamp.valueOf("2024-01-01 00:30:00"), "view", 8.0))
+
+  test("hourlyByType in streaming mode (watermark) matches batch mode") {
+    val batch = EventStream.hourlyByType(
+      rows.toDF("ts", "event_type", "value"))
+      .orderBy("hour_ts", "event_type").collect()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = EventStream.hourlyByType(
+      mem.toDF().toDF("ts", "event_type", "value"), watermark = Some("2 hours"))
+    val q = stream.writeStream
+      .format("memory").queryName("hourly_test").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_test")
+        .orderBy("hour_ts", "event_type").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      // sanity on content: hour 0 clicks = 2 events, value 3.0
+      val h0 = streamed.head
+      assert(h0.getAs[Long]("n_events") == 2L)
+      assert(h0.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+}
