@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** +1 if bit `b` of `h` is set, else -1 (SimHash per-bit vote). */
+  private def bitSign(h: org.apache.spark.sql.Column, b: Int)
+      : org.apache.spark.sql.Column =
+    when(call_function("shiftright", h, lit(b)).bitwiseAND(lit(1L)) === 1L, 1L)
+      .otherwise(-1L)
+
   /** Exact dedup by content hash. Keeper = lowest doc_id per cluster.
     * At 100 TB this is a single shuffle on a well-distributed key
     * (md5), with partial aggregation collapsing each partition first.
@@ -73,17 +79,23 @@ object Dedup {
                  bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = docs
-      .select(col("doc_id"),
-        TextOps.shingles(TextOps.tokens(col("text")), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", TextOps.minhashSignature(col("sh"), numHashes))
-    val banded = withSig.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          hash(slice(col("sig"), b * lit(rows) + 1, lit(rows))).as("bucket"))))
-        .as("bb"))
+    // Flat explode → 32 min-aggregates. Keeping the signature build as a
+    // plain aggregation (not a nested higher-order expression) keeps it
+    // inside WholeStageCodegen with map-side partial aggregation — the
+    // shape that scales: cost is O(shingles × k) hash ops with no
+    // per-row megamorphic expression tree, and the signature is
+    // materialized exactly once.
+    val exploded = docs.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), n)).as("s"))
+    val sig = exploded.groupBy("doc_id").agg(
+      min(hash(col("s"), lit(0))).as("mh0"),
+      (1 until numHashes).map(i =>
+        min(hash(col("s"), lit(i))).as(s"mh$i")): _*)
+    val banded = sig.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          hash((b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)
+            .as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -91,7 +103,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = withSig.select(col("doc_id"), col("sh"))
+    val sh = docs.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), n).as("sh"))
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -113,8 +126,21 @@ object Dedup {
   def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
     val bits = 64 / blocks
-    val sigs = docs
-      .select(col("doc_id"), TextOps.simhash64(TextOps.tokens(col("text"))).as("sig"))
+    // Flat explode → 64 conditional-sum aggregates → fold to one long.
+    // Same rationale as minhashLsh: a plain aggregation over
+    // (doc, token-hash) rows stays codegen'd and partial-aggregated,
+    // where a 64-wide per-row zip_with fold would not.
+    val tokenHashes = docs
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val counted = tokenHashes.groupBy("doc_id").agg(
+      sum(bitSign(col("h"), 0)).as("c0"),
+      (1 until 64).map(b => sum(bitSign(col("h"), b)).as(s"c$b")): _*)
+    val sigs = counted.select(col("doc_id"),
+      (0 until 64).map(b =>
+        when(col(s"c$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_.bitwiseOR(_)).as("sig"))
     val blocked = sigs.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(blocks - 1)), b =>
