@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for large text corpora.
@@ -41,24 +42,27 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.6,
                    maxDf: Int = 100): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"),
-        explode(TextOps.shingles(TextOps.tokens(col("text")), n)).as("shingle"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val rare = sh.join(
-      sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("shingle"),
-      "shingle")
-    val inter = rare.as("a")
+    // Shingle ONCE into a named column: passing an attribute (not the
+    // split() expression tree) into the higher-order shingle function
+    // means the text is tokenized once per row, not once per lambda
+    // element. Doc sizes ride along from size(sh) — no sizes join —
+    // and df comes from one window over the same shingle-partitioned
+    // exchange the self-join needs, so both join sides are identical
+    // subtrees and ReusedExchange computes the postings list once.
+    val posts = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shingles(col("toks"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(col("sh")).as("shingle"))
+    val rare = posts
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf)
+    rare.as("a")
       .join(rare.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("sz", "sz_a"),
-        col("doc_a") === sizes("doc_id")).drop("doc_id")
-      .join(sizes.withColumnRenamed("sz", "sz_b"),
-        col("doc_b") === sizes("doc_id")).drop("doc_id")
+      .agg(count(lit(1)).as("inter"),
+        min(col("a.sz")).as("sz_a"), min(col("b.sz")).as("sz_b"))
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
@@ -85,8 +89,9 @@ object Dedup {
     // shape that scales: cost is O(shingles × k) hash ops with no
     // per-row megamorphic expression tree, and the signature is
     // materialized exactly once.
-    val exploded = docs.select(col("doc_id"),
-      explode(TextOps.shingles(TextOps.tokens(col("text")), n)).as("s"))
+    val exploded = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(TextOps.shingles(col("toks"), n)).as("s"))
     val sig = exploded.groupBy("doc_id").agg(
       min(hash(col("s"), lit(0))).as("mh0"),
       (1 until numHashes).map(i =>
@@ -103,8 +108,9 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = docs.select(col("doc_id"),
-      TextOps.shingles(TextOps.tokens(col("text")), n).as("sh"))
+    val sh = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shingles(col("toks"), n).as("sh"))
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

@@ -87,39 +87,63 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH,
     * cosine-verified.
     *
-    * Signatures: `bands` OR-ed bands of `rowsPerBand` sign-bits each;
-    * hyperplane components are derived from murmur3 of (plane, dim) so
-    * the sketch is deterministic with no stored model. Candidates =
-    * same-band-bucket pairs (groupBy-join, never n²); exact cosine then
-    * filters to `minCosine`, so precision is exact.
+    * Everything is built from ONE posexplode of the corpus — no
+    * higher-order functions anywhere, so the whole operator stays in
+    * WholeStageCodegen with map-side partial aggregation:
+    *
+    *  1. signatures: `bands × rowsPerBand` hyperplane projections as
+    *     plain sum-aggregates over (vec_id, dim, value) rows; plane
+    *     components come from murmur3(plane, dim), so the sketch is
+    *     deterministic with no stored model. Norms fall out of the same
+    *     aggregate for free.
+    *  2. candidates: same-band-bucket self-join (identical subtrees →
+    *     one ReusedExchange), deduped BEFORE any verification.
+    *  3. verify: exact cosine per unique candidate via an explode-join
+    *     dot product (pair × dim rows → sum aggregate) — precision is
+    *     exact, only recall is probabilistic.
+    *
+    * Bucket count per band is 2^rowsPerBand — size it so expected bucket
+    * occupancy stays executor-friendly (more bits = fewer collisions =
+    * lower recall at a given threshold; recall ≥ 1-(1-p^r)^b with
+    * p = 1 - θ/π). The defaults favour candidate sparsity; for
+    * high-threshold near-dup mining (cos ≥ 0.9) r=16+ is the right
+    * regime at cluster scale.
     */
   def embeddingNearDup(corpus: DataFrame, minCosine: Double = 0.35,
-                       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val dims = 64
-    def planeComponent(plane: Column, d: Column): Column =
-      (pmod(hash(plane, d), lit(10007)).cast("double") / 10007.0) - 0.5
-    val sigBit: (Column, Column) => Column = (emb, plane) => {
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), lit(dims - 1)),
-          (x, d) => x.cast("double") * planeComponent(plane, d)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, 1).otherwise(0)
-    }
-    val banded = corpus.select(
-      col("vec_id"), col("embedding"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          hash(transform(sequence(lit(0), lit(rowsPerBand - 1)), r =>
-            sigBit(col("embedding"), b * lit(rowsPerBand) + r))).as("bucket"))))
-        .as("bb"))
-      .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bucket"))
-    banded.as("a")
+                       bands: Int = 8, rowsPerBand: Int = 6): DataFrame = {
+    val planes = bands * rowsPerBand
+    val flat = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d"), col("v").cast("double").as("x"))
+    def coef(p: Int): Column =
+      (pmod(hash(lit(p), col("d")), lit(10007)).cast("double") / 10007.0) - 0.5
+    val projected = flat.groupBy("vec_id").agg(
+      sum(col("x") * coef(0)).as("p0"),
+      (1 until planes).map(p => sum(col("x") * coef(p)).as(s"p$p")) :+
+        sqrt(sum(col("x") * col("x"))).as("nrm"): _*)
+    val banded = projected.select(col("vec_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(p =>
+            (col(s"p$p") > 0).cast("int")): _*).as("bucket"))): _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+    val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(col("a.embedding"), col("b.embedding")).as("cos_sim"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
+    val norms = projected.select(col("vec_id"), col("nrm"))
+    candidates
+      .join(flat.select(col("vec_id").as("vec_a"), col("d"), col("x").as("xa")),
+        Seq("vec_a"))
+      .join(flat.select(col("vec_id").as("vec_b"), col("d"), col("x").as("xb")),
+        Seq("vec_b", "d"))
+      .groupBy("vec_a", "vec_b").agg(sum(col("xa") * col("xb")).as("dot"))
+      .join(norms.select(col("vec_id").as("vec_a"), col("nrm").as("na")), "vec_a")
+      .join(norms.select(col("vec_id").as("vec_b"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (col("dot") / (col("na") * col("nb"))).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
