@@ -12,6 +12,12 @@ object GraftFunctions {
     org.apache.spark.sql.graft.Bridge.column(
       RollingFingerprint(org.apache.spark.sql.graft.Bridge.expression(c), window))
 
+  /** Column wrapper for [[VectorDot]]. */
+  def vectorDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      VectorDot(org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
   private[functions] def builder(args: Seq[Expression]): Expression = args match {
     case Seq(c) => RollingFingerprint(c, 64)
     case Seq(c, Literal(w: Int, _)) => RollingFingerprint(c, w)
@@ -19,16 +25,27 @@ object GraftFunctions {
       "rolling_fingerprint(text[, window_literal])")
   }
 
+  private[functions] def dotBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => VectorDot(a, b)
+    case _ => throw new IllegalArgumentException("vector_dot(a, b)")
+  }
+
   private[functions] val ident = FunctionIdentifier("rolling_fingerprint")
   private[functions] val info = new ExpressionInfo(
     classOf[RollingFingerprint].getName, "rolling_fingerprint")
+  private[functions] val dotIdent = FunctionIdentifier("vector_dot")
+  private[functions] val dotInfo = new ExpressionInfo(
+    classOf[VectorDot].getName, "vector_dot")
 
   /** Register into an already-built session (idempotent), so
     * `expr("rolling_fingerprint(text, 64)")` and spark.sql work.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("rolling_fingerprint", builder, "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("vector_dot", dotBuilder, "scala_udf")
+  }
 }
 
 /** SparkSessionExtensions hook: add
@@ -36,7 +53,10 @@ object GraftFunctions {
   * at session build to get graft's SQL functions in every new session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       (GraftFunctions.ident, GraftFunctions.info, GraftFunctions.builder))
+    ext.injectFunction(
+      (GraftFunctions.dotIdent, GraftFunctions.dotInfo, GraftFunctions.dotBuilder))
+  }
 }
