@@ -90,45 +90,44 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH,
     * cosine-verified.
     *
-    * Everything is built from ONE posexplode of the corpus — no
-    * higher-order functions anywhere, so the whole operator stays in
-    * WholeStageCodegen with map-side partial aggregation:
+    *  1. signatures: hyperplanes are generated driver-side (splitmix64,
+    *     deterministic — no stored model, no RNG in the plan) and
+    *     embedded as array literals, so each sign-bit is ONE native
+    *     [[graft.functions.VectorDot]] against a constant — a single
+    *     codegen'd projection over the corpus scan, no shuffle.
+    *  2. candidates: same-band-bucket self-join (identical subtrees
+    *     share one exchange), deduped BEFORE any verification.
+    *  3. verify: exact native cosine per unique candidate pair after
+    *     joining the embeddings back — precision is exact, only recall
+    *     is probabilistic (≥ 1-(1-p^r)^b with p = 1 - θ/π).
     *
-    *  1. signatures: `bands × rowsPerBand` hyperplane projections as
-    *     plain sum-aggregates over (vec_id, dim, value) rows; plane
-    *     components come from murmur3(plane, dim), so the sketch is
-    *     deterministic with no stored model. Norms fall out of the same
-    *     aggregate for free.
-    *  2. candidates: same-band-bucket self-join (identical subtrees →
-    *     one ReusedExchange), deduped BEFORE any verification.
-    *  3. verify: exact cosine per unique candidate via an explode-join
-    *     dot product (pair × dim rows → sum aggregate) — precision is
-    *     exact, only recall is probabilistic.
-    *
-    * Bucket count per band is 2^rowsPerBand — size it so expected bucket
-    * occupancy stays executor-friendly (more bits = fewer collisions =
-    * lower recall at a given threshold; recall ≥ 1-(1-p^r)^b with
-    * p = 1 - θ/π). The defaults favour candidate sparsity; for
+    * Bucket count per band is 2^rowsPerBand — size it so expected
+    * bucket occupancy stays executor-friendly (more bits = fewer
+    * collisions = lower recall at a given threshold). The defaults
+    * favour candidate sparsity on weakly-similar corpora; for
     * high-threshold near-dup mining (cos ≥ 0.9) r=16+ is the right
     * regime at cluster scale.
     */
   def embeddingNearDup(corpus: DataFrame, minCosine: Double = 0.35,
-                       bands: Int = 8, rowsPerBand: Int = 6): DataFrame = {
-    val planes = bands * rowsPerBand
-    val flat = corpus
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .select(col("vec_id"), col("d"), col("v").cast("double").as("x"))
-    def coef(p: Int): Column =
-      (pmod(hash(lit(p), col("d")), lit(10007)).cast("double") / 10007.0) - 0.5
-    val projected = flat.groupBy("vec_id").agg(
-      sum(col("x") * coef(0)).as("p0"),
-      (1 until planes).map(p => sum(col("x") * coef(p)).as(s"p$p")) :+
-        sqrt(sum(col("x") * col("x"))).as("nrm"): _*)
-    val banded = projected.select(col("vec_id"),
+                       bands: Int = 8, rowsPerBand: Int = 6,
+                       dims: Int = 64): DataFrame = {
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def plane(p: Int): Array[Float] =
+      Array.tabulate(dims) { d =>
+        (((splitmix64(p * 1009L + d) >>> 11).toDouble / (1L << 53)) - 0.5).toFloat
+      }
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val banded = emb.select(col("vec_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(p =>
-            (col(s"p$p") > 0).cast("int")): _*).as("bucket"))): _*)).as("bb"))
+            (dot(col("embedding"), typedlit(plane(p).toSeq)) > 0).cast("int")): _*)
+            .as("bucket"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -136,17 +135,13 @@ object Similarity {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    val norms = projected.select(col("vec_id"), col("nrm"))
     candidates
-      .join(flat.select(col("vec_id").as("vec_a"), col("d"), col("x").as("xa")),
-        Seq("vec_a"))
-      .join(flat.select(col("vec_id").as("vec_b"), col("d"), col("x").as("xb")),
-        Seq("vec_b", "d"))
-      .groupBy("vec_a", "vec_b").agg(sum(col("xa") * col("xb")).as("dot"))
-      .join(norms.select(col("vec_id").as("vec_a"), col("nrm").as("na")), "vec_a")
-      .join(norms.select(col("vec_id").as("vec_b"), col("nrm").as("nb")), "vec_b")
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")),
+        "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")),
+        "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        (col("dot") / (col("na") * col("nb"))).as("cos_sim"))
+        cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
