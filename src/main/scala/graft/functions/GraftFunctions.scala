@@ -18,6 +18,11 @@ object GraftFunctions {
       VectorDot(org.apache.spark.sql.graft.Bridge.expression(a),
         org.apache.spark.sql.graft.Bridge.expression(b)))
 
+  /** Column wrapper for [[WordShingles]]. */
+  def wordShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      WordShingles(org.apache.spark.sql.graft.Bridge.expression(text), n))
+
   private[functions] def builder(args: Seq[Expression]): Expression = args match {
     case Seq(c) => RollingFingerprint(c, 64)
     case Seq(c, Literal(w: Int, _)) => RollingFingerprint(c, w)
@@ -30,12 +35,21 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException("vector_dot(a, b)")
   }
 
+  private[functions] def shinglesBuilder(args: Seq[Expression]): Expression =
+    args match {
+      case Seq(c, Literal(n: Int, _)) => WordShingles(c, n)
+      case _ => throw new IllegalArgumentException("word_shingles(text, n_literal)")
+    }
+
   private[functions] val ident = FunctionIdentifier("rolling_fingerprint")
   private[functions] val info = new ExpressionInfo(
     classOf[RollingFingerprint].getName, "rolling_fingerprint")
   private[functions] val dotIdent = FunctionIdentifier("vector_dot")
   private[functions] val dotInfo = new ExpressionInfo(
     classOf[VectorDot].getName, "vector_dot")
+  private[functions] val shinglesIdent = FunctionIdentifier("word_shingles")
+  private[functions] val shinglesInfo = new ExpressionInfo(
+    classOf[WordShingles].getName, "word_shingles")
 
   /** Register into an already-built session (idempotent), so
     * `expr("rolling_fingerprint(text, 64)")` and spark.sql work.
@@ -45,6 +59,8 @@ object GraftFunctions {
       .createOrReplaceTempFunction("rolling_fingerprint", builder, "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("vector_dot", dotBuilder, "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("word_shingles", shinglesBuilder, "scala_udf")
   }
 }
 
@@ -58,5 +74,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (GraftFunctions.ident, GraftFunctions.info, GraftFunctions.builder))
     ext.injectFunction(
       (GraftFunctions.dotIdent, GraftFunctions.dotInfo, GraftFunctions.dotBuilder))
+    ext.injectFunction(
+      (GraftFunctions.shinglesIdent, GraftFunctions.shinglesInfo,
+        GraftFunctions.shinglesBuilder))
   }
 }

@@ -42,16 +42,13 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.6,
                    maxDf: Int = 100): DataFrame = {
-    // Shingle ONCE into a named column: passing an attribute (not the
-    // split() expression tree) into the higher-order shingle function
-    // means the text is tokenized once per row, not once per lambda
-    // element. Doc sizes ride along from size(sh) — no sizes join —
-    // and df comes from one window over the same shingle-partitioned
-    // exchange the self-join needs, so both join sides are identical
-    // subtrees and ReusedExchange computes the postings list once.
+    // Shingle ONCE (native kernel). Doc sizes ride along from size(sh)
+    // — no sizes join — and df comes from one window over the same
+    // shingle-partitioned exchange the self-join needs, so both join
+    // sides are identical subtrees and ReusedExchange computes the
+    // postings list once.
     val posts = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), TextOps.shingles(col("toks"), n).as("sh"))
+      .select(col("doc_id"), TextOps.shingles(col("text"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("shingle"))
     val rare = posts
@@ -90,8 +87,7 @@ object Dedup {
     // per-row megamorphic expression tree, and the signature is
     // materialized exactly once.
     val exploded = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(TextOps.shingles(col("toks"), n)).as("s"))
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("s"))
     val sig = exploded.groupBy("doc_id").agg(
       min(hash(col("s"), lit(0))).as("mh0"),
       (1 until numHashes).map(i =>
@@ -109,8 +105,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val sh = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), TextOps.shingles(col("toks"), n).as("sh"))
+      .select(col("doc_id"), TextOps.shingles(col("text"), n).as("sh"))
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")

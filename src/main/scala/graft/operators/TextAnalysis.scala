@@ -30,10 +30,13 @@ object TextAnalysis {
     * → "und" (undetermined).
     */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val scored = docs.select(
-      (col("doc_id") +: Markers.map { case (l, ws) =>
-        markerCount(toks, ws).as(s"score_$l") }): _*)
+    // project tokens to an attribute so the text is split once per row,
+    // not once per language scorer
+    val scored = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(
+        (col("doc_id") +: Markers.map { case (l, ws) =>
+          markerCount(col("toks"), ws).as(s"score_$l") }): _*)
     val Seq(en, es, fr, de) = Markers.map { case (l, _) => col(s"score_$l") }
     scored.withColumn("predicted_lang",
       when(en >= es && en >= fr && en >= de && en > 0, "en")

@@ -13,14 +13,18 @@ object TextOps {
     */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles ("a b c" style), empty-safe.
-    *
-    * Built with higher-order functions so the whole thing stays inside
-    * WholeStageCodegen: positions that would run past the end yield NULL
-    * and are filtered, avoiding `sequence(1, negative)` pitfalls on
-    * short documents.
+  /** Distinct word n-gram shingles ("a b c" style) straight from the
+    * text, empty-safe — native codegen kernel
+    * ([[graft.functions.WordShingles]]).
     */
-  def shingles(toks: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.wordShingles(text, n)
+
+  /** Declarative (higher-order-function) shingle build, kept as the
+    * reference implementation the native kernel is spec-checked
+    * against. CodegenFallback — do not use on a hot path.
+    */
+  def shinglesHof(toks: Column, n: Int): Column = {
     val idx = sequence(lit(1), greatest(size(toks), lit(1)))
     val grams = transform(idx, i =>
       when(i + lit(n - 1) <= size(toks), array_join(slice(toks, i, lit(n)), " ")))
