@@ -23,6 +23,11 @@ object GraftFunctions {
     org.apache.spark.sql.graft.Bridge.column(
       WordShingles(org.apache.spark.sql.graft.Bridge.expression(text), n))
 
+  /** Column wrapper for [[SimHash64]]. */
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      SimHash64(org.apache.spark.sql.graft.Bridge.expression(text)))
+
   private[functions] def builder(args: Seq[Expression]): Expression = args match {
     case Seq(c) => RollingFingerprint(c, 64)
     case Seq(c, Literal(w: Int, _)) => RollingFingerprint(c, w)
@@ -41,6 +46,12 @@ object GraftFunctions {
       case _ => throw new IllegalArgumentException("word_shingles(text, n_literal)")
     }
 
+  private[functions] def simhashBuilder(args: Seq[Expression]): Expression =
+    args match {
+      case Seq(c) => SimHash64(c)
+      case _ => throw new IllegalArgumentException("simhash64(text)")
+    }
+
   private[functions] val ident = FunctionIdentifier("rolling_fingerprint")
   private[functions] val info = new ExpressionInfo(
     classOf[RollingFingerprint].getName, "rolling_fingerprint")
@@ -50,6 +61,9 @@ object GraftFunctions {
   private[functions] val shinglesIdent = FunctionIdentifier("word_shingles")
   private[functions] val shinglesInfo = new ExpressionInfo(
     classOf[WordShingles].getName, "word_shingles")
+  private[functions] val simhashIdent = FunctionIdentifier("simhash64")
+  private[functions] val simhashInfo = new ExpressionInfo(
+    classOf[SimHash64].getName, "simhash64")
 
   /** Register into an already-built session (idempotent), so
     * `expr("rolling_fingerprint(text, 64)")` and spark.sql work.
@@ -61,6 +75,8 @@ object GraftFunctions {
       .createOrReplaceTempFunction("vector_dot", dotBuilder, "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("word_shingles", shinglesBuilder, "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("simhash64", simhashBuilder, "scala_udf")
   }
 }
 
@@ -77,5 +93,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.shinglesIdent, GraftFunctions.shinglesInfo,
         GraftFunctions.shinglesBuilder))
+    ext.injectFunction(
+      (GraftFunctions.simhashIdent, GraftFunctions.simhashInfo,
+        GraftFunctions.simhashBuilder))
   }
 }

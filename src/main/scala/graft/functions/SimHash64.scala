@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash over the distinct space-separated tokens of a
+  * document, as one native codegen pass.
+  *
+  * Per-bit ±1 votes are accumulated over `xxhash64(token)` (Spark's
+  * hash family, seed 42, so results are identical to the declarative
+  * formulation); the sign of each counter becomes the output bit.
+  *
+  * The declarative equivalent — explode tokens, groupBy(doc) with 64
+  * conditional sums, fold 64 columns back into one long — costs an
+  * exchange over the token table and a 64-wide aggregate. A document's
+  * tokens are already colocated in its row, so the shuffle exists only
+  * because the plan can't see that; this kernel computes the signature
+  * where the row is, at corpus-scan speed.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash64 needs a string input, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.eval(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.eval($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+  def eval(text: UTF8String): Long = {
+    val toks = text.toString.split(" ", -1)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        val h = XxHash64Function.hash(
+          UTF8String.fromString(toks(i)), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}

@@ -16,12 +16,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** +1 if bit `b` of `h` is set, else -1 (SimHash per-bit vote). */
-  private def bitSign(h: org.apache.spark.sql.Column, b: Int)
-      : org.apache.spark.sql.Column =
-    when(call_function("shiftright", h, lit(b)).bitwiseAND(lit(1L)) === 1L, 1L)
-      .otherwise(-1L)
-
   /** Exact dedup by content hash. Keeper = lowest doc_id per cluster.
     * At 100 TB this is a single shuffle on a well-distributed key
     * (md5), with partial aggregation collapsing each partition first.
@@ -127,21 +121,12 @@ object Dedup {
   def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
     val bits = 64 / blocks
-    // Flat explode → 64 conditional-sum aggregates → fold to one long.
-    // Same rationale as minhashLsh: a plain aggregation over
-    // (doc, token-hash) rows stays codegen'd and partial-aggregated,
-    // where a 64-wide per-row zip_with fold would not.
-    val tokenHashes = docs
-      .select(col("doc_id"),
-        explode(array_distinct(TextOps.tokens(col("text")))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val counted = tokenHashes.groupBy("doc_id").agg(
-      sum(bitSign(col("h"), 0)).as("c0"),
-      (1 until 64).map(b => sum(bitSign(col("h"), b)).as(s"c$b")): _*)
-    val sigs = counted.select(col("doc_id"),
-      (0 until 64).map(b =>
-        when(col(s"c$b") > 0, lit(1L << b)).otherwise(0L))
-        .reduce(_.bitwiseOR(_)).as("sig"))
+    // Signatures come from the native SimHash64 kernel: a document's
+    // tokens are already colocated in its row, so the
+    // explode+groupBy(doc) formulation shuffles for nothing — this is
+    // a pure projection over the scan.
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash64(col("text")).as("sig"))
     val blocked = sigs.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(blocks - 1)), b =>
