@@ -28,6 +28,11 @@ object GraftFunctions {
     org.apache.spark.sql.graft.Bridge.column(
       SimHash64(org.apache.spark.sql.graft.Bridge.expression(text)))
 
+  /** Column wrapper for [[MinHashSig]]. */
+  def minhashSig(text: Column, n: Int, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      MinHashSig(org.apache.spark.sql.graft.Bridge.expression(text), n, k))
+
   private[functions] def builder(args: Seq[Expression]): Expression = args match {
     case Seq(c) => RollingFingerprint(c, 64)
     case Seq(c, Literal(w: Int, _)) => RollingFingerprint(c, w)

@@ -74,23 +74,19 @@ object Dedup {
                  bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Flat explode → 32 min-aggregates. Keeping the signature build as a
-    // plain aggregation (not a nested higher-order expression) keeps it
-    // inside WholeStageCodegen with map-side partial aggregation — the
-    // shape that scales: cost is O(shingles × k) hash ops with no
-    // per-row megamorphic expression tree, and the signature is
-    // materialized exactly once.
-    val exploded = docs
-      .select(col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("s"))
-    val sig = exploded.groupBy("doc_id").agg(
-      min(hash(col("s"), lit(0))).as("mh0"),
-      (1 until numHashes).map(i =>
-        min(hash(col("s"), lit(i))).as(s"mh$i")): _*)
+    // Signatures come from the native MinHashSig kernel — a document's
+    // shingles are colocated in its row, so the explode+groupBy(doc)
+    // formulation shuffled the whole shingle table for nothing. One
+    // codegen'd projection over the scan, null (= no shingles) filtered
+    // like the explode version dropped those docs.
+    val sig = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhashSig(col("text"), n, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          hash((b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)
-            .as("bucket"))): _*)).as("bb"))
+          hash((b * rows until (b + 1) * rows).map(i =>
+            element_at(col("sig"), i + 1)): _*).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
