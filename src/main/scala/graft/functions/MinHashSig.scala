@@ -34,13 +34,13 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
       s"minhash_sig needs a string input, got ${child.dataType.simpleString}")
 
   override protected def nullSafeEval(input: Any): Any =
-    MinHashSig.eval(input.asInstanceOf[UTF8String], n, k)
+    MinHashSig.compute(input.asInstanceOf[UTF8String], n, k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val out = ctx.freshName("mhs")
     nullSafeCodeGen(ctx, ev, c => s"""
       org.apache.spark.sql.catalyst.util.ArrayData $out =
-        graft.functions.MinHashSig.eval($c, $n, $k);
+        graft.functions.MinHashSig.compute($c, $n, $k);
       if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
     """)
   }
@@ -53,7 +53,7 @@ case class MinHashSig(child: Expression, n: Int, k: Int)
 
 object MinHashSig {
   /** Returns null when the document yields no shingles. */
-  def eval(text: UTF8String, n: Int, k: Int): ArrayData = {
+  def compute(text: UTF8String, n: Int, k: Int): ArrayData = {
     val toks = text.toString.split(" ", -1)
     if (toks.length < n) return null
     val seen = new java.util.HashSet[String](toks.length * 2)

@@ -31,11 +31,11 @@ case class RollingFingerprint(child: Expression, window: Int)
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    RollingFingerprint.eval(input.asInstanceOf[UTF8String].getBytes, window)
+    RollingFingerprint.compute(input.asInstanceOf[UTF8String].getBytes, window)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.RollingFingerprint.eval($c.getBytes(), $window)")
+      s"graft.functions.RollingFingerprint.compute($c.getBytes(), $window)")
 
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
     copy(child = newChild)
@@ -47,7 +47,7 @@ object RollingFingerprint {
   final val Base = 1000003L
 
   /** Minimum rolling hash over all `w`-byte windows (wrapping arithmetic). */
-  def eval(bytes: Array[Byte], w: Int): Long = {
+  def compute(bytes: Array[Byte], w: Int): Long = {
     val n = bytes.length
     if (n == 0) return 0L
     if (n <= w) {

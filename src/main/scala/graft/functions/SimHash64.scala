@@ -30,10 +30,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       s"simhash64 needs a string input, got ${child.dataType.simpleString}")
 
   override protected def nullSafeEval(input: Any): Any =
-    SimHash64.eval(input.asInstanceOf[UTF8String])
+    SimHash64.compute(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -42,7 +42,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 object SimHash64 {
-  def eval(text: UTF8String): Long = {
+  def compute(text: UTF8String): Long = {
     val toks = text.toString.split(" ", -1)
     val seen = new java.util.HashSet[String](toks.length * 2)
     val counters = new Array[Int](64)

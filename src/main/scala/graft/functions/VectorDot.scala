@@ -35,10 +35,10 @@ case class VectorDot(left: Expression, right: Expression)
     }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorDot.eval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VectorDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorDot.eval($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorDot.compute($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDot =
@@ -48,7 +48,7 @@ case class VectorDot(left: Expression, right: Expression)
 }
 
 object VectorDot {
-  def eval(a: ArrayData, b: ArrayData): Double = {
+  def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0

@@ -33,10 +33,10 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
       s"word_shingles needs a string input, got ${child.dataType.simpleString}")
 
   override protected def nullSafeEval(input: Any): Any =
-    WordShingles.eval(input.asInstanceOf[UTF8String], n)
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.eval($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.compute($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -45,7 +45,7 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object WordShingles {
-  def eval(text: UTF8String, n: Int): ArrayData = {
+  def compute(text: UTF8String, n: Int): ArrayData = {
     val toks = text.toString.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](toks.length * 2)

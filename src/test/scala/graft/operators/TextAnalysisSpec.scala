@@ -45,7 +45,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getAs[Long]("fingerprint") == out(1).getAs[Long]("fingerprint"))
     assert(out(0).getAs[Long]("fingerprint") != out(2).getAs[Long]("fingerprint"))
     // matches the direct JVM evaluation (codegen path == interpreted path)
-    val direct = RollingFingerprint.eval(
+    val direct = RollingFingerprint.compute(
       "a completely different document body with other content here!"
         .getBytes("UTF-8"), 16)
     assert(out(2).getAs[Long]("fingerprint") == direct)
@@ -56,7 +56,7 @@ class TextAnalysisSpec extends SparkSpec {
     val r = spark.sql(
       "SELECT rolling_fingerprint('hello world hello world', 8) AS f")
       .collect().head.getLong(0)
-    assert(r == RollingFingerprint.eval(
+    assert(r == RollingFingerprint.compute(
       "hello world hello world".getBytes("UTF-8"), 8))
   }
 }
