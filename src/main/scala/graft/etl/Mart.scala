@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized-mart lifecycle — the Spark equivalent of the
+  * reference's `CREATE TABLE ... AS SELECT` layer
+  * (ETL_GlobalWeather_DB.sql §3.2-3.5): build once, then dashboards
+  * read tables instead of re-deriving the star schema per query.
+  *
+  * Scale design: the fact is written partitioned by `year` (derived
+  * from the date key) so date-ranged queries prune whole partitions at
+  * the file-listing level — at 100 TB that is the difference between
+  * scanning a year and scanning a decade. Dimensions are tiny and land
+  * as single unpartitioned tables. Writes are idempotent (overwrite).
+  */
+object Mart {
+
+  val FactTable = "fact_weather_day"
+  val DimTables: Seq[String] =
+    Seq("dim_date", "dim_location", "dim_band", "dim_precip_type",
+      "dim_source", "normalized_location")
+
+  def materialize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+    write(WeatherMart.dimDate(spark, srcDir), "dim_date")
+    write(WeatherMart.dimLocation(spark, srcDir), "dim_location")
+    write(WeatherMart.dimBand(spark, srcDir), "dim_band")
+    write(WeatherMart.dimPrecipType(spark, srcDir), "dim_precip_type")
+    write(WeatherMart.dimSource(spark), "dim_source")
+    write(WeatherMart.normalizedLocation(spark, srcDir), "normalized_location")
+    WeatherMart.fact(spark, srcDir)
+      .withColumn("year", year(col("date_key")))
+      .write.mode("overwrite").partitionBy("year")
+      .parquet(s"$outDir/$FactTable")
+  }
+
+  def table(spark: SparkSession, outDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$outDir/$name")
+
+  /** Fact for a date range — the filter on the partition column prunes
+    * non-matching year directories before any file is opened.
+    */
+  def factBetween(spark: SparkSession, outDir: String,
+                  from: String, to: String): DataFrame =
+    table(spark, outDir, FactTable)
+      .filter(col("year").between(year(lit(from).cast("date")),
+        year(lit(to).cast("date"))))
+      .filter(col("date_key").between(lit(from).cast("date"), lit(to).cast("date")))
+}

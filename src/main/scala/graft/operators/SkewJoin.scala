@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys.
+  *
+  * A hash-partitioned join sends every row of a hot key to one task;
+  * one pathological key (the null user, the default account, the
+  * crawler bot) can pin a 1000-executor stage on a single straggler.
+  * Salting splits each hot key's rows across `saltBuckets` tasks:
+  * the big side gets a deterministic salt in [0, saltBuckets), the
+  * small side is replicated once per salt value, and the join key
+  * becomes (key, salt).
+  *
+  * Use when AQE's skew-join splitting isn't available (e.g. the skewed
+  * side feeds a window) or the hot keys are known a priori. The salt is
+  * derived from the big side's whole row hash — deterministic, no RNG
+  * in the plan, stable under retries.
+  */
+object SkewJoin {
+
+  /** Inner equi-join of `big` (skewed) with `small` on `keys`;
+    * `small` is replicated `saltBuckets`×, so keep it dimension-sized.
+    */
+  def saltedInner(big: DataFrame, small: DataFrame, keys: Seq[String],
+                  saltBuckets: Int = 8): DataFrame = {
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val salted = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Convenience for the common fact⋈dim shape where the dim is small
+    * enough to broadcast — in that case broadcasting IS the skew fix
+    * (no shuffle of the big side at all); salting is for when the
+    * small side is too big to broadcast but small enough to replicate.
+    */
+  def joinSkewAware(big: DataFrame, small: DataFrame, keys: Seq[String],
+                    broadcastable: Boolean, saltBuckets: Int = 8): DataFrame =
+    if (broadcastable) big.join(broadcast(small), keys)
+    else saltedInner(big, small, keys, saltBuckets)
+
+  /** Top-frequency key cut: drop keys whose row count exceeds `maxDf`
+    * — the stopword guard used by the inverted-index joins, exposed as
+    * a reusable primitive.
+    */
+  def dropHotKeys(df: DataFrame, key: Column, maxDf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__df", count(lit(1)).over(Window.partitionBy(key)))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+  }
+}

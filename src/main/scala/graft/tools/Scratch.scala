@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** One-off investigation main; contents change freely, never part of
@@ -8,51 +8,34 @@ import org.apache.spark.sql.functions._
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val emb = graft.core.Tables(spark, sfDir, "embeddings")
 
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    val out = java.nio.file.Files.createTempDirectory("graft_mart_drive").toString
+    graft.etl.Mart.materialize(spark, sfDir, out)
+    (graft.etl.Mart.DimTables :+ graft.etl.Mart.FactTable).foreach { t =>
+      println(s"[scratch] $t rows=${graft.etl.Mart.table(spark, out, t).count()}")
     }
+    val pruned = graft.etl.Mart.factBetween(spark, out, "1995-01-01", "1995-12-31")
+    println(s"[scratch] fact 1995 rows=${pruned.count()}")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("NO PARTITION FILTERS")
+    println(s"[scratch] ${scanLine.trim.take(300)}")
 
-    // mirror of embeddingNearDup internals to size each phase
-    val bands = 8; val rowsPerBand = 6; val planes = bands * rowsPerBand
-    val flat = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .select(col("vec_id"), col("d"), col("v").cast("double").as("x"))
-    def coef(p: Int): Column =
-      (pmod(hash(lit(p), col("d")), lit(10007)).cast("double") / 10007.0) - 0.5
-    val projected = flat.groupBy("vec_id").agg(
-      sum(col("x") * coef(0)).as("p0"),
-      (1 until planes).map(p => sum(col("x") * coef(p)).as(s"p$p")) :+
-        sqrt(sum(col("x") * col("x"))).as("nrm"): _*)
-    time("projected")(projected.write.mode("overwrite").format("noop").save())
-    val banded = projected.select(col("vec_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(p =>
-            (col(s"p$p") > 0).cast("int")): _*).as("bucket"))): _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
-    val nCand = time("candidates")(candidates.count())
-    println(s"[scratch] candidates = $nCand")
-    val full = time("full embeddingNearDup") {
-      graft.operators.Similarity.embeddingNearDup(emb).count()
-    }
-    println(s"[scratch] output pairs = $full")
+    val events = graft.core.Tables(spark, sfDir, "events")
+    val users = events.select(col("user_id")).distinct().limit(50)
+      .withColumn("name", concat(lit("u"), col("user_id")))
+    val plainCount = events.join(users, Seq("user_id")).count()
+    val saltedCount = graft.operators.SkewJoin
+      .saltedInner(events, users, Seq("user_id")).count()
+    println(s"[scratch] plain=$plainCount salted=$saltedCount match=${plainCount == saltedCount}")
     spark.stop()
   }
 }

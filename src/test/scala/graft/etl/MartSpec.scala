@@ -1,0 +1,35 @@
+package graft.etl
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+class MartSpec extends SparkSpec {
+
+  test("materialized mart round-trips and the fact prunes by partition") {
+    val out = Files.createTempDirectory("graft_mart").toString
+    Mart.materialize(spark, sf(), out)
+
+    // every table lands and is readable
+    (Mart.DimTables :+ Mart.FactTable).foreach { t =>
+      assert(Mart.table(spark, out, t).count() > 0, s"table $t is empty")
+    }
+    // fact content round-trips (modulo the derived partition column)
+    val direct = WeatherMart.fact(spark, sf())
+    val mart = Mart.table(spark, out, Mart.FactTable)
+    assert(mart.count() == direct.count())
+    assert(mart.columns.toSet == direct.columns.toSet + "year")
+
+    // a date-ranged read prunes year partitions before opening files
+    val pruned = Mart.factBetween(spark, out, "1995-01-01", "1995-12-31")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("year"),
+      s"expected partition filters on year in:\n$plan")
+    val years = pruned.select("year").distinct().collect().map(_.getInt(0)).toSet
+    assert(years == Set(1995))
+    // and the pruned read agrees with filtering the full fact
+    val expected = direct
+      .filter(org.apache.spark.sql.functions.col("date_key")
+        .between("1995-01-01", "1995-12-31")).count()
+    assert(pruned.count() == expected)
+  }
+}
