@@ -317,5 +317,47 @@ object SparkEntry {
         |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 448 AS height,
         |  1 + doc_id % 30 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB's list_cosine_similarity over DOUBLE[] performs the same
+    // double-precision MAC as graft's VectorDot, so even round-4 values
+    // hash-match. Mirrors Similarity.bruteForceTopK (probes vec_id<10, k=5).
+    "ann_bruteforce" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, emb AS pe FROM c WHERE vec_id < 10),
+        |s AS (SELECT probe_id, c.vec_id AS neighbor_id,
+        |        list_cosine_similarity(pe, c.emb) AS cs
+        |      FROM p CROSS JOIN c WHERE c.vec_id <> probe_id),
+        |r AS (SELECT probe_id, neighbor_id, cs,
+        |        row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank
+        |      FROM s)
+        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  ROUND(cs, 4) AS cos_sim
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // Mirrors Similarity.ivfTopK (centroidStride=50, nProbeCells=2, k=5).
+    "ann_ivf" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cent AS (SELECT vec_id AS cell_id, emb AS ce FROM c WHERE vec_id % 50 = 0),
+        |assigned AS (
+        |  SELECT vec_id, emb, cell_id FROM (
+        |    SELECT c.vec_id, c.emb, cent.cell_id,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_cosine_similarity(c.emb, cent.ce) DESC, cent.cell_id) AS rk
+        |    FROM c CROSS JOIN cent) WHERE rk = 1),
+        |probes AS (
+        |  SELECT probe_id, pe, cell_id FROM (
+        |    SELECT p.vec_id AS probe_id, p.emb AS pe, cent.cell_id,
+        |      row_number() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_cosine_similarity(p.emb, cent.ce) DESC, cent.cell_id) AS rk
+        |    FROM (SELECT * FROM c WHERE vec_id < 10) p CROSS JOIN cent) WHERE rk <= 2),
+        |scored AS (
+        |  SELECT probe_id, a.vec_id AS neighbor_id,
+        |    MAX(list_cosine_similarity(pe, a.emb)) AS cs
+        |  FROM probes pr JOIN assigned a ON pr.cell_id = a.cell_id
+        |  WHERE a.vec_id <> pr.probe_id GROUP BY 1, 2),
+        |r AS (SELECT probe_id, neighbor_id, cs,
+        |        row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+        |  ROUND(cs, 4) AS cos_sim
+        |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
   )
 }
