@@ -7,8 +7,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries are forced through the `noop` sink so the full plan executes
   * (a bare count() lets Spark skip compute on projection-only plans).
-  * One cheap warmup query absorbs first-use JVM/codegen costs so
-  * per-query numbers measure the plan, not classloading.
+  * One cheap warmup query absorbs first-use JVM/codegen costs, and each
+  * query runs SPARK_GRAFT_BENCH_ITERS times (default 2) reporting the
+  * minimum — steady-state plan cost, not JIT/GC noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,13 +36,17 @@ object Bench {
       }
     }
 
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try force(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try force(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -84,6 +84,7 @@ object SparkEntry {
       EventStream.hourlyByType(Tables(s, d, "events"))
         .orderBy("hour_ts", "event_type")),
     "events_topk_users" -> ((s, d) => Sessionize.topUsers(Tables(s, d, "events"))),
+    "events_approx_stats" -> ((s, d) => Sessionize.approxStats(Tables(s, d, "events"))),
     // --- multimodal plumbing (SURVEY.md §2) ---
     "multimodal_extract" -> ((s, d) => Multimodal.extract(s, Tables(s, d, "documents"))),
   )

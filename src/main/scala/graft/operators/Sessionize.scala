@@ -49,4 +49,25 @@ object Sessionize {
         (round(sum("value") * 100, 0) / 100.0).as("total_value"))
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(n)
+
+  /** Sketch aggregates per event type: HyperLogLog++ distinct users and
+    * approximate value quantiles. At 100 TB these replace exact
+    * count-distinct / percentile (whose state is unbounded) with fixed-
+    * size mergeable sketches — partial aggregation ships kilobytes per
+    * partition instead of the value set. Sketch contents are
+    * engine-specific, so this is a rows-only query (no DuckDB oracle);
+    * the spec bounds the approximation error against exact answers.
+    */
+  def approxStats(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
+          lit(10000)).as("pq"))
+      .select(col("event_type"), col("n_events"), col("approx_users"),
+        round(element_at(col("pq"), 1), 4).as("p50_value"),
+        round(element_at(col("pq"), 2), 4).as("p95_value"),
+        round(element_at(col("pq"), 3), 4).as("p99_value"))
+      .orderBy("event_type")
 }

@@ -33,4 +33,26 @@ class SessionizeSpec extends SparkSpec {
     val totals = out.map(_.getAs[Double]("total_value")).toSeq
     assert(totals == totals.sorted.reverse)
   }
+
+  test("approxStats sketches stay within error bounds of exact answers") {
+    val ev = graft.core.Tables(spark, sf(), "events")
+    val approx = Sessionize.approxStats(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("users"),
+        expr("percentile(value, 0.5)").as("p50"))
+      .collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    approx.foreach { case (t, a) =>
+      val users = exact(t).getAs[Long]("users").toDouble
+      assert(math.abs(a.getAs[Long]("approx_users") - users) / users <= 0.05,
+        s"HLL distinct off >5% for $t")
+      val p50 = exact(t).getAs[Double]("p50")
+      assert(math.abs(a.getAs[Double]("p50_value") - p50) <= math.abs(p50) * 0.05 + 0.01,
+        s"approx p50 off for $t: ${a.getAs[Double]("p50_value")} vs $p50")
+      assert(a.getAs[Double]("p50_value") <= a.getAs[Double]("p95_value"))
+      assert(a.getAs[Double]("p95_value") <= a.getAs[Double]("p99_value"))
+    }
+  }
 }
