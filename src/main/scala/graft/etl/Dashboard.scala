@@ -27,48 +27,67 @@ object Dashboard {
   private def exactAvg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(sum(c) * 100, 0) / count(lit(1)) / lit(100.0)
 
+  // Each query has a storage-agnostic core over DataFrames — the same
+  // code runs against the inline-derived mart (driver contract) or the
+  // materialized tables written by [[Mart]] — plus a thin (spark, dir)
+  // wrapper for the driver contract.
+
   /** q1: average measure over time (Dashboard.sql:1-9). */
-  def avgByDate(spark: SparkSession, dir: String): DataFrame =
-    WeatherMart.fact(spark, dir)
-      .join(broadcast(WeatherMart.dimDate(spark, dir).select("date_key", "full_date")),
-        "date_key")
+  def avgByDate(fact: DataFrame, dimDate: DataFrame): DataFrame =
+    fact
+      .join(broadcast(dimDate.select("date_key", "full_date")), "date_key")
       .groupBy("full_date")
       .agg(exactAvg(col("avg_temp_f")).as("avg_temp_f"))
       .orderBy("full_date")
 
+  def avgByDate(spark: SparkSession, dir: String): DataFrame =
+    avgByDate(WeatherMart.fact(spark, dir), WeatherMart.dimDate(spark, dir))
+
   /** q2: top-15 locations by average measure (Dashboard.sql:11-21). */
-  def topNByLocation(spark: SparkSession, dir: String, n: Int = 15): DataFrame =
-    WeatherMart.fact(spark, dir)
-      .join(broadcast(WeatherMart.dimLocation(spark, dir)
-        .select("location_key", "city_name")), "location_key")
+  def topNByLocation(fact: DataFrame, dimLocation: DataFrame, n: Int): DataFrame =
+    fact
+      .join(broadcast(dimLocation.select("location_key", "city_name")),
+        "location_key")
       .groupBy("city_name")
       .agg(exactAvg(col("avg_temp_f")).as("avg_temp_f"))
       .orderBy(col("avg_temp_f").desc, col("city_name"))
       .limit(n)
 
+  def topNByLocation(spark: SparkSession, dir: String, n: Int = 15): DataFrame =
+    topNByLocation(WeatherMart.fact(spark, dir), WeatherMart.dimLocation(spark, dir), n)
+
   /** q3: average measure by precipitation class (Dashboard.sql:23-29). */
-  def avgByClass(spark: SparkSession, dir: String): DataFrame =
-    WeatherMart.fact(spark, dir)
+  def avgByClass(fact: DataFrame): DataFrame =
+    fact
       .groupBy("precipitation_type")
       .agg(exactAvg(col("avg_temp_f")).as("avg_temp_f"))
       .orderBy(col("avg_temp_f").desc, col("precipitation_type"))
 
+  def avgByClass(spark: SparkSession, dir: String): DataFrame =
+    avgByClass(WeatherMart.fact(spark, dir))
+
   /** q4: band frequency distribution (Dashboard.sql:31-37). */
-  def bandCounts(spark: SparkSession, dir: String): DataFrame =
-    WeatherMart.fact(spark, dir)
+  def bandCounts(fact: DataFrame): DataFrame =
+    fact
       .groupBy("weather_band")
       .agg(count(lit(1)).as("days_count"))
       .orderBy(col("days_count").desc, col("weather_band"))
 
+  def bandCounts(spark: SparkSession, dir: String): DataFrame =
+    bandCounts(WeatherMart.fact(spark, dir))
+
   /** q5: percentage of locations with positive precipitation per day
     * (Dashboard.sql:39-45, COUNT_IF re-expressed as a conditional SUM).
     */
-  def pctPositiveByDate(spark: SparkSession, dir: String): DataFrame =
-    WeatherMart.fact(spark, dir)
+  def pctPositiveByDate(fact: DataFrame): DataFrame =
+    fact
       .groupBy("date_key")
       .agg(round(
         lit(100.0) * sum(when(col("precipitation_in") > 0, 1L).otherwise(0L))
           .cast("double") / count(lit(1)), 4)
         .as("pct_locations_with_rain"))
       .orderBy("date_key")
+
+  def pctPositiveByDate(spark: SparkSession, dir: String): DataFrame =
+    pctPositiveByDate(WeatherMart.fact(spark, dir))
 }

@@ -36,6 +36,13 @@ object Scratch {
     val saltedCount = graft.operators.SkewJoin
       .saltedInner(events, users, Seq("user_id")).count()
     println(s"[scratch] plain=$plainCount salted=$saltedCount match=${plainCount == saltedCount}")
+
+    // dashboard cores over the materialized mart vs inline derivation
+    val q1Mart = graft.etl.Dashboard.avgByDate(
+      graft.etl.Mart.table(spark, out, graft.etl.Mart.FactTable),
+      graft.etl.Mart.table(spark, out, "dim_date")).collect().toSeq
+    val q1Inline = graft.etl.Dashboard.avgByDate(spark, sfDir).collect().toSeq
+    println(s"[scratch] q1 mart==inline: ${q1Mart == q1Inline} (${q1Mart.size} rows)")
     spark.stop()
   }
 }

@@ -31,5 +31,16 @@ class MartSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("date_key")
         .between("1995-01-01", "1995-12-31")).count()
     assert(pruned.count() == expected)
+
+    // dashboard queries produce identical results over the
+    // materialized tables and the inline-derived mart
+    val q1Mart = Dashboard.avgByDate(
+      Mart.table(spark, out, Mart.FactTable),
+      Mart.table(spark, out, "dim_date")).collect().toSeq
+    val q1Direct = Dashboard.avgByDate(spark, sf()).collect().toSeq
+    assert(q1Mart == q1Direct)
+    val q4Mart = Dashboard.bandCounts(
+      Mart.table(spark, out, Mart.FactTable)).collect().toSeq
+    assert(q4Mart == Dashboard.bandCounts(spark, sf()).collect().toSeq)
   }
 }
