@@ -1,0 +1,113 @@
+package graft
+
+import graft.etl.{Dashboard, WeatherMart}
+import graft.operators.{Dedup, Sessionize, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audit: pins the scale-critical plan shapes from
+  * SURVEY.md §4 so a regression that re-introduces a shuffle, a
+  * sort-merge join, or a full-width scan fails in CI — not on the
+  * 100 TB run.
+  *
+  * Assertions run against the FINAL adaptive plan: `collect()` first
+  * drives AQE to completion on the same QueryExecution, then the
+  * executed-plan string is inspected.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    // AdaptiveSparkPlan.toString prints the final plan followed by the
+    // initial plan — keep only the final section or every node counts twice
+    val s = df.queryExecution.executedPlan.toString
+    s.indexOf("== Initial Plan ==") match {
+      case -1 => s
+      case i  => s.substring(0, i)
+    }
+  }
+
+  test("fact star join is all-broadcast: no sort-merge join, no fact-side shuffle for joins") {
+    val plan = finalPlan(WeatherMart.fact(spark, sf()))
+    assert(!plan.contains("SortMergeJoin"), s"fact join degraded to SMJ:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("both fact window metrics share a single location_key exchange") {
+    val plan = finalPlan(WeatherMart.fact(spark, sf()))
+    val n = "hashpartitioning\\(location_key".r.findAllMatchIn(plan).length
+    assert(n == 1, s"expected exactly 1 window exchange, saw $n:\n$plan")
+  }
+
+  test("staging scan prunes to the projected columns only") {
+    val plan = WeatherMart.staging(spark, sf())
+      .queryExecution.executedPlan.toString
+    // 11-column lineitem → 8-column read; the unused ones never leave parquet
+    Seq("l_partkey", "l_returnflag", "l_linestatus").foreach { c =>
+      assert(!plan.contains(c), s"scan reads unused column $c:\n$plan")
+    }
+  }
+
+  test("dashboard q1 never pays the window shuffle (unused metrics pruned)") {
+    val plan = finalPlan(Dashboard.avgByDate(spark, sf()))
+    assert(!plan.contains("hashpartitioning(location_key"),
+      s"q1 should not shuffle by location_key — window metrics are unused:\n$plan")
+  }
+
+  test("dashboard aggregates are partial (map-side combine before the exchange)") {
+    val plan = finalPlan(Dashboard.bandCounts(spark, sf()))
+    assert(plan.contains("partial_count"), s"no partial aggregation:\n$plan")
+  }
+
+  test("top-n queries avoid a global sort (TakeOrderedAndProject)") {
+    val plan = finalPlan(Sessionize.topUsers(graft.core.Tables(spark, sf(), "events")))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("brute-force ANN pushes rank-k into the shuffle (WindowGroupLimit both sides)") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val plan = finalPlan(
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10)))
+    val n = "WindowGroupLimit".r.findAllMatchIn(plan).length
+    assert(n >= 2, s"expected partial+final WindowGroupLimit, saw $n:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"probe join must broadcast:\n$plan")
+  }
+
+  test("ngram inverted-index self-join reuses one postings exchange") {
+    val plan = finalPlan(Dedup.ngramJaccard(graft.core.Tables(spark, sf(), "documents")))
+    assert(plan.contains("ReusedExchange"),
+      s"self-join sides diverged — postings computed twice:\n$plan")
+  }
+
+  test("LSH banding self-joins reuse the signature exchange on the shuffle path") {
+    // At test scale AQE broadcasts the small side instead (also fine);
+    // disable broadcast to exercise the shape these joins take at 100 TB,
+    // where exchange reuse is what keeps signatures computed once.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      Seq(
+        Dedup.minhashLsh(graft.core.Tables(spark, sf(), "documents")),
+        Dedup.simhash(graft.core.Tables(spark, sf(), "documents")),
+        Similarity.embeddingNearDup(graft.core.Tables(spark, sf(), "embeddings"))
+      ).foreach { df =>
+        val plan = finalPlan(df)
+        assert(plan.contains("ReusedExchange"),
+          s"banded self-join sides diverged — signatures computed twice:\n$plan")
+      }
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("every contract query stays free of cartesian products") {
+    // the 1-row dim_source cross join broadcasts; a CartesianProduct node
+    // anywhere means an equi-join lost its keys
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf()).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+}
