@@ -44,6 +44,8 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber")),
     "dim_date" -> ((s, d) => WeatherMart.dimDate(s, d).orderBy("date_key")),
     "dim_location" -> ((s, d) => WeatherMart.dimLocation(s, d).orderBy("location_key")),
+    "dim_scd2_merge" -> ((s, d) => WeatherMart.dimLocationMerged(s, d)
+      .orderBy("location_key")),
     "dim_band" -> ((s, d) => WeatherMart.dimBand(s, d)),
     "dim_precip_type" -> ((s, d) => WeatherMart.dimPrecipType(s, d)),
     "dim_source" -> ((s, _) => WeatherMart.dimSource(s)),
@@ -163,6 +165,45 @@ object SparkEntry {
         |FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS dk FROM lineitem)
         |ORDER BY date_key""".stripMargin,
     "dim_location" -> s"SELECT * FROM ($dimLocationSql) ORDER BY location_key",
+    // Mirrors WeatherMart.dimLocationMerged (StarSchema.scd2Merge with
+    // businessKey=postal_code, asOf=2026-02-01): full-outer dim↔snapshot,
+    // untouched/closed/inserted branches, new keys continue after max.
+    "dim_scd2_merge" ->
+      s"""WITH dim AS ($dimLocationSql),
+         |nat AS ($locNaturalSql),
+         |snap AS (
+         |  SELECT postal_code, city_name,
+         |    CASE WHEN postal_code % 7 = 0 THEN 'RELOCATED' ELSE country END AS country,
+         |    region_name
+         |  FROM nat WHERE postal_code % 13 <> 0
+         |  UNION ALL SELECT 999999, 'new_city', 'XX', 'YY'),
+         |j AS (
+         |  SELECT d.location_key, d.postal_code AS d_pc, d.city_name AS d_city,
+         |    d.country AS d_ctry, d.region_name AS d_reg, d.valid_from,
+         |    s.postal_code AS s_pc, s.city_name AS s_city, s.country AS s_ctry,
+         |    s.region_name AS s_reg,
+         |    (s.postal_code IS NOT NULL AND d.location_key IS NOT NULL AND
+         |     (d.city_name <> s.city_name OR d.country <> s.country
+         |      OR d.region_name <> s.region_name)) AS changed
+         |  FROM dim d FULL OUTER JOIN snap s ON d.postal_code = s.postal_code),
+         |merged AS (
+         |  SELECT location_key, d_pc AS postal_code, d_city AS city_name,
+         |    d_ctry AS country, d_reg AS region_name, valid_from,
+         |    CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+         |  FROM j WHERE location_key IS NOT NULL AND (s_pc IS NULL OR NOT changed)
+         |  UNION ALL
+         |  SELECT location_key, d_pc, d_city, d_ctry, d_reg, valid_from,
+         |    '2026-02-01', FALSE
+         |  FROM j WHERE changed
+         |  UNION ALL
+         |  SELECT (SELECT MAX(location_key) FROM dim)
+         |      + ROW_NUMBER() OVER (ORDER BY s_pc),
+         |    s_pc, s_city, s_ctry, s_reg, '2026-02-01',
+         |    CAST(NULL AS VARCHAR), TRUE
+         |  FROM j WHERE s_pc IS NOT NULL AND (location_key IS NULL OR changed))
+         |SELECT CAST(location_key AS BIGINT) AS location_key, postal_code,
+         |  city_name, country, region_name, valid_from, valid_to, is_current
+         |FROM merged ORDER BY location_key""".stripMargin,
     "dim_band" ->
       s"""SELECT DISTINCT $bandCase AS weather_band
          |FROM (SELECT l_quantity AS band_q FROM lineitem)

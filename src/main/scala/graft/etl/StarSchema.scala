@@ -55,6 +55,81 @@ object StarSchema {
       .select((keyName +: naturalKey) ++
         Seq("valid_from", "valid_to", "is_current") map col: _*)
 
+  /** SCD Type-2 incremental merge: fold a new snapshot into an existing
+    * dimension, versioning changed rows instead of rebuilding wholesale.
+    *
+    * The reference's dim schema carries VALID_FROM/VALID_TO/IS_CURRENT
+    * (ETL_GlobalWeather_DB.sql:41-44) but only ever rebuilds with
+    * CREATE OR REPLACE; this is the incremental path those columns
+    * imply, and the only viable one at 100 TB — touch the changed keys,
+    * not the table.
+    *
+    * Given the current dimension (schema as produced by [[scd1]]: one
+    * surrogate `keyName`, `businessKey` columns, `attrs` columns,
+    * valid_from/valid_to/is_current) and an incoming snapshot
+    * (businessKey + attrs), produces the merged dimension:
+    *  - unchanged / untouched rows pass through;
+    *  - rows whose attrs changed are closed out (valid_to = asOf,
+    *    is_current = false) and a new current version is inserted;
+    *  - brand-new business keys are inserted as current rows;
+    *  - new surrogate keys continue after the existing maximum, assigned
+    *    by ROW_NUMBER over the business key (total order → deterministic).
+    *
+    * Scale: one shuffle joins dim↔snapshot on the business key; the
+    * 1-row max-key aggregate broadcasts; the surrogate window runs only
+    * over NEW rows (a dimension-sized, not fact-sized, set). Historical
+    * (non-current) rows never shuffle — they pass through on a
+    * union branch.
+    */
+  def scd2Merge(dim: DataFrame, snapshot: DataFrame, businessKey: Seq[String],
+                attrs: Seq[String], keyName: String, asOf: String): DataFrame = {
+    val outCols = (keyName +: (businessKey ++ attrs)) ++
+      Seq("valid_from", "valid_to", "is_current")
+    val current = dim.filter(col("is_current"))
+    val history = dim.filter(!col("is_current"))
+    val snap = snapshot.select((businessKey ++ attrs).map(col): _*).distinct()
+
+    val attrDiffers: Column = attrs
+      .map(a => !(col(s"cur.$a") <=> col(s"snap.$a")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val joined = current.as("cur").join(snap.as("snap"),
+      businessKey.map(k => col(s"cur.$k") <=> col(s"snap.$k")).reduce(_ && _),
+      "full_outer")
+
+    // current rows absent from the snapshot, or with identical attrs: keep
+    val untouched = joined
+      .filter(col(s"snap.${businessKey.head}").isNull ||
+        (col(s"cur.$keyName").isNotNull && !attrDiffers))
+      .select(outCols.map(c => col(s"cur.$c")): _*)
+    // current rows superseded by a changed snapshot version: close out
+    val closed = joined
+      .filter(col(s"cur.$keyName").isNotNull &&
+        col(s"snap.${businessKey.head}").isNotNull && attrDiffers)
+      .select(outCols.map {
+        case "valid_to"   => to_date(lit(asOf)).as("valid_to")
+        case "is_current" => lit(false).as("is_current")
+        case c            => col(s"cur.$c")
+      }: _*)
+    // changed or brand-new snapshot rows become the new current versions
+    val incoming = joined
+      .filter(col(s"snap.${businessKey.head}").isNotNull &&
+        (col(s"cur.$keyName").isNull || attrDiffers))
+      .select((businessKey ++ attrs).map(c => col(s"snap.$c").as(c)): _*)
+    val maxKey = current.agg(
+      coalesce(max(col(keyName)), lit(0L)).as("__max_key"))
+    val inserted = incoming
+      .crossJoin(broadcast(maxKey))
+      .withColumn(keyName, (col("__max_key") +
+        row_number().over(Window.orderBy(businessKey.map(col): _*))).cast("long"))
+      .withColumn("valid_from", to_date(lit(asOf)))
+      .withColumn("valid_to", lit(null).cast("date"))
+      .withColumn("is_current", lit(true))
+      .select(outCols.map(col): _*)
+
+    history.select(outCols.map(col): _*)
+      .unionByName(untouched).unionByName(closed).unionByName(inserted)
+  }
+
   /** CASE banding of a continuous measure into labeled buckets
     * (reference DIM_WEATHER_BAND, ETL_GlobalWeather_DB.sql:80-90).
     * `bounds` are inclusive upper bounds for all labels but the last.

@@ -64,7 +64,15 @@ object WeatherMart {
     * tiny → broadcast.
     */
   def dimLocation(spark: SparkSession, dir: String): DataFrame = {
-    val natural = Tables(spark, dir, "supplier")
+    StarSchema.scd1(locationNatural(spark, dir),
+      naturalKey = Seq("postal_code", "city_name", "country", "region_name"),
+      orderBy = Seq("postal_code"),
+      keyName = "location_key", validFrom = ValidFrom)
+  }
+
+  /** Natural location rows (the scd1 input): supplier ⋈ nation ⋈ region. */
+  def locationNatural(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "supplier")
       .join(broadcast(Tables(spark, dir, "nation")),
         col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables(spark, dir, "region")),
@@ -74,11 +82,30 @@ object WeatherMart {
         col("s_name").as("city_name"),
         col("n_name").as("country"),
         col("r_name").as("region_name"))
-    StarSchema.scd1(natural,
-      naturalKey = Seq("postal_code", "city_name", "country", "region_name"),
-      orderBy = Seq("postal_code"),
-      keyName = "location_key", validFrom = ValidFrom)
-  }
+
+  /** Deterministic "day 2" location snapshot for the SCD2 merge query:
+    * every 7th postal code relocates (country change), every 13th
+    * disappears from the feed (its dim row must survive untouched), and
+    * one brand-new key arrives.
+    */
+  def locationSnapshot(spark: SparkSession, dir: String): DataFrame =
+    locationNatural(spark, dir)
+      .filter(pmod(col("postal_code"), lit(13)) =!= 0)
+      .withColumn("country",
+        when(pmod(col("postal_code"), lit(7)) === 0, lit("RELOCATED"))
+          .otherwise(col("country")))
+      .unionByName(spark.range(1).select(
+        lit(999999L).as("postal_code"), lit("new_city").as("city_name"),
+        lit("XX").as("country"), lit("YY").as("region_name")))
+
+  /** SCD2 incremental merge of [[locationSnapshot]] into [[dimLocation]]
+    * — see [[StarSchema.scd2Merge]].
+    */
+  def dimLocationMerged(spark: SparkSession, dir: String): DataFrame =
+    StarSchema.scd2Merge(dimLocation(spark, dir), locationSnapshot(spark, dir),
+      businessKey = Seq("postal_code"),
+      attrs = Seq("city_name", "country", "region_name"),
+      keyName = "location_key", asOf = "2026-02-01")
 
   def dimBand(spark: SparkSession, dir: String): DataFrame =
     staging(spark, dir)
