@@ -58,6 +58,17 @@ object SparkEntry {
     "q3_avg_by_class" -> ((s, d) => Dashboard.avgByClass(s, d)),
     "q4_band_counts" -> ((s, d) => Dashboard.bandCounts(s, d)),
     "q5_pct_positive" -> ((s, d) => Dashboard.pctPositiveByDate(s, d)),
+    // --- skew-aware join (SURVEY.md §2) ---
+    "skew_join_salted" -> ((s, d) => {
+      val li = Tables(s, d, "lineitem").select("l_suppkey", "l_extendedprice")
+      val sup = Tables(s, d, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.operators.SkewJoin.saltedInner(li, sup, Seq("l_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"),
+          (round(sum("l_extendedprice") * 100, 0) / 100.0).as("total_revenue"))
+        .orderBy("s_name")
+    }),
     // --- deduplication (SURVEY.md §2) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables(s, d, "documents"))),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables(s, d, "documents"))),
@@ -254,6 +265,13 @@ object SparkEntry {
         |  ROUND(100.0 * CAST(SUM(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END)
         |    AS DOUBLE) / COUNT(*), 4) AS pct_locations_with_rain
         |FROM lineitem GROUP BY 1 ORDER BY date_key""".stripMargin,
+    // Salting must be result-invisible: the oracle is the PLAIN join —
+    // identical output proves the salt/replicate/join/drop round-trip.
+    "skew_join_salted" ->
+      """SELECT s_name, COUNT(*) AS n_items,
+        |  ROUND(SUM(l_extendedprice) * 100, 0) / 100.0 AS total_revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY s_name""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
         |  COUNT(*) AS n_dupes

@@ -39,6 +39,26 @@ object Mart {
   def table(spark: SparkSession, outDir: String, name: String): DataFrame =
     spark.read.parquet(s"$outDir/$name")
 
+  /** Bucketed materialization: pays the shuffle ONCE at write time.
+    *
+    * A table bucketed (and sorted) by its join/grouping key satisfies
+    * the hash-distribution requirement at read time, so every later
+    * join between tables bucketed the same way — and every aggregation
+    * on the bucket key — runs with ZERO exchanges. At 100 TB this turns
+    * the recurring fact⋈fact or fact-groupBy shuffle into a one-time
+    * write cost; bucket count should be sized to cluster parallelism
+    * (and is pinned in the table metadata, so both join sides always
+    * agree). Requires `saveAsTable` (bucket metadata lives in the
+    * catalog, not the parquet files).
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Fact for a date range — the filter on the partition column prunes
     * non-matching year directories before any file is opened.
     */
