@@ -32,4 +32,34 @@ object Tables {
   /** Register every table as a temp view (for spark.sql users). */
   def registerAll(spark: SparkSession, dir: String): Unit =
     All.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  // ---- non-parquet sources -------------------------------------------
+  // Schema is REQUIRED, never inferred: at 100 TB inference is a full
+  // extra pass over the data, and silently re-types columns under schema
+  // drift. PERMISSIVE + a corrupt-record column quarantines bad rows
+  // instead of failing the job (or silently nulling fields).
+
+  val CorruptCol = "_corrupt_record"
+
+  private def withCorrupt(schema: org.apache.spark.sql.types.StructType) =
+    if (schema.fieldNames.contains(CorruptCol)) schema
+    else schema.add(CorruptCol, org.apache.spark.sql.types.StringType)
+
+  def csv(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType,
+          header: Boolean = true): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(path)
+
+  def json(spark: SparkSession, path: String,
+           schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(withCorrupt(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
 }
