@@ -19,7 +19,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     WeatherMart.fact(spark, "/root/testdata/sf0.001")
 
-  private val factOrder = Seq("location_key", "date_key", "l_orderkey", "l_linenumber")
+  private val factOrder = Seq("location_key", "date_key", "l_orderkey",
+    "l_linenumber", "avg_temp_f", "precipitation_in", "snowfall_in")
 
   /** Dump DATE columns as ISO strings: pandas renders Spark's date32 and
     * DuckDB's DATE differently ("1995-01-02" vs "1995-01-02 00:00:00"),
@@ -153,11 +154,15 @@ object SparkEntry {
        |  f.avg_temp_f, f.precipitation_in, f.snowfall_in,
        |  ROUND(f.avg_temp_f - LAG(f.avg_temp_f) OVER
        |    (PARTITION BY l.location_key
-       |     ORDER BY f.date_valid, f.l_orderkey, f.l_linenumber), 4)
+       |     ORDER BY f.date_valid, f.l_orderkey, f.l_linenumber,
+       |       f.avg_temp_f, f.precipitation_in, f.snowfall_in,
+       |       $bandCase), 4)
        |    AS temp_day_delta,
        |  ROUND(SUM(f.precipitation_in) OVER
        |    (PARTITION BY l.location_key
-       |     ORDER BY f.date_valid, f.l_orderkey, f.l_linenumber
+       |     ORDER BY f.date_valid, f.l_orderkey, f.l_linenumber,
+       |       f.avg_temp_f, f.precipitation_in, f.snowfall_in,
+       |       $bandCase
        |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
        |    AS precipitation_7d_sum
        |FROM stg f JOIN dim_loc l ON f.loc_ref = l.postal_code AND l.is_current""".stripMargin
@@ -230,7 +235,8 @@ object SparkEntry {
       s"SELECT * FROM ($locNaturalSql) ORDER BY postal_code",
     "fact_build" ->
       s"""$factSql
-         |ORDER BY l.location_key, f.date_valid, f.l_orderkey, f.l_linenumber""".stripMargin,
+         |ORDER BY l.location_key, f.date_valid, f.l_orderkey, f.l_linenumber,
+         |  f.avg_temp_f, f.precipitation_in, f.snowfall_in""".stripMargin,
     "validate_fact" ->
       s"""WITH fact AS ($factSql)
          |SELECT CAST(SUM(CASE WHEN location_key IS NULL OR date_key IS NULL

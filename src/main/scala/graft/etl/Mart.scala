@@ -59,6 +59,21 @@ object Mart {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /** Incremental refresh: rewrite ONLY the year partitions present in
+    * `updates` — dynamic partition overwrite leaves every other year's
+    * files untouched. This is the daily-load path at 100 TB: a day of
+    * late-arriving data rewrites one year directory (typically one),
+    * not the decade-sized table. `updates` must have the fact schema
+    * (the year partition column is derived here, like [[materialize]]).
+    */
+  def refreshFact(spark: SparkSession, outDir: String, updates: DataFrame): Unit =
+    updates
+      .withColumn("year", year(col("date_key")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year")
+      .parquet(s"$outDir/$FactTable")
+
   /** Fact for a date range — the filter on the partition column prunes
     * non-matching year directories before any file is opened.
     */

@@ -153,7 +153,15 @@ object WeatherMart {
       .filter(col("is_current"))
       .select("location_key", "postal_code")
     val part = Seq(col("location_key"))
-    val order = Seq(col("date_key"), col("l_orderkey"), col("l_linenumber"))
+    // (date, orderkey, linenumber) alone is NOT total: the generator can
+    // emit two lines with the same order/line number for one supplier+day
+    // (1 such pair at sf0.1), and a window-order tie makes LAG and the
+    // rolling SUM engine-dependent. Tiebreak by every column the window
+    // outputs depend on — rows still tied are then full duplicates, which
+    // are interchangeable (identical outputs under any permutation).
+    val order = Seq(col("date_key"), col("l_orderkey"), col("l_linenumber"),
+      col("avg_temp_f"), col("precipitation_in"), col("snowfall_in"),
+      col("weather_band"))
     stg
       .join(broadcast(dd), stg("date_valid") === dd("date_key"))
       .join(broadcast(dl), stg("loc_ref") === dl("postal_code"))

@@ -1,6 +1,7 @@
 package graft.etl
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 class MartSpec extends SparkSpec {
@@ -42,5 +43,29 @@ class MartSpec extends SparkSpec {
     val q4Mart = Dashboard.bandCounts(
       Mart.table(spark, out, Mart.FactTable)).collect().toSeq
     assert(q4Mart == Dashboard.bandCounts(spark, sf()).collect().toSeq)
+  }
+
+  test("refreshFact overwrites only the touched year partitions") {
+    val out = Files.createTempDirectory("graft_mart_refresh").toString
+    Mart.materialize(spark, sf(), out)
+    val fact = Mart.table(spark, out, Mart.FactTable)
+    val years = fact.select("year").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(years.length >= 2, s"need ≥2 year partitions, got ${years.toSeq}")
+    val (touched, untouched) = (years.head, years.last)
+
+    val before = fact.filter(col("year") === untouched).count()
+    // simulate a corrected reload of the oldest year: drop half its rows
+    val corrected = WeatherMart.fact(spark, sf())
+      .filter(year(col("date_key")) === touched &&
+        pmod(col("l_orderkey"), lit(2)) === 0)
+    val expected = corrected.count()
+    Mart.refreshFact(spark, out, corrected)
+
+    val after = Mart.table(spark, out, Mart.FactTable)
+    assert(after.filter(col("year") === touched).count() == expected,
+      "touched partition was not replaced")
+    assert(after.filter(col("year") === untouched).count() == before,
+      "untouched partition changed under dynamic overwrite")
   }
 }
