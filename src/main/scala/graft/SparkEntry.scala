@@ -92,6 +92,8 @@ object SparkEntry {
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables(s, d, "documents"))),
     "doc_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables(s, d, "documents"))),
+    "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(Tables(s, d, "documents"))),
+    "corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables(s, d, "documents"))),
     // --- events: batch + streaming-twin (SURVEY.md §2) ---
     "events_sessionize" -> ((s, d) => Sessionize.sessions(Tables(s, d, "events"))),
     "events_hourly" -> ((s, d) =>
@@ -349,6 +351,22 @@ object SparkEntry {
         |    - (length(text) - length(replace(text, ' ', '')) + 1) + 1 AS DOUBLE)
         |    / 4.0) AS BIGINT) AS subword_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      """SELECT t AS token, COUNT(*) AS term_freq
+        |FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
+        |GROUP BY 1 ORDER BY term_freq DESC, token LIMIT 100""".stripMargin,
+    "corpus_stats" ->
+      """SELECT * FROM (
+        |  SELECT COUNT(*) AS n_docs,
+        |    CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |    MIN(nt) AS min_doc_tokens,
+        |    MAX(nt) AS max_doc_tokens,
+        |    CAST(SUM(nt) AS DOUBLE) / COUNT(*) AS avg_doc_tokens
+        |  FROM (SELECT CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |    AS BIGINT) AS nt FROM documents))
+        |CROSS JOIN (
+        |  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_size
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents))""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),

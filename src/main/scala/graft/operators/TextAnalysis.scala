@@ -94,4 +94,40 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       GraftFunctions.rollingFingerprint(col("text"), window).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** Corpus vocabulary top-k by term frequency (BPE/vocab prep).
+    *
+    * Scale shape: explode → one shuffle on the token with partial
+    * aggregation (the exchange carries per-partition term counts, not
+    * the token stream), then TakeOrderedAndProject for the top-k — no
+    * global sort. Ties broken by token for determinism.
+    */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("term_freq"))
+      .orderBy(col("term_freq").desc, col("token"))
+      .limit(k)
+
+  /** One-row corpus profile: document count, token totals, length
+    * moments, distinct-vocabulary size. Two single-row aggregates
+    * (length moments over the doc scan; exact count-distinct over the
+    * exploded token stream) combined with a 1×1 cross join. The average
+    * is a bare long→double IEEE division — identical in every engine,
+    * no rounding step to disagree on.
+    */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val nChars = length(text).cast("long")
+    val nTokens = (nChars - length(regexp_replace(text, " ", "")) + 1).cast("long")
+    val base = docs.select(nTokens.as("n_tokens")).agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tokens").as("total_tokens"),
+      min("n_tokens").as("min_doc_tokens"),
+      max("n_tokens").as("max_doc_tokens"),
+      (sum("n_tokens").cast("double") / count(lit(1))).as("avg_doc_tokens"))
+    val vocab = docs.select(explode(TextOps.tokens(text)).as("token"))
+      .agg(count_distinct(col("token")).as("vocab_size"))
+    base.crossJoin(vocab)
+  }
 }
