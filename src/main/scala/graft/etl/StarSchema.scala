@@ -32,23 +32,72 @@ object StarSchema {
       weekofyear(col("date_key")).cast("long").as("week_of_year"),
       dayofyear(col("date_key")).cast("long").as("day_of_year"))
 
+  /** Global dense row numbering WITHOUT an unpartitioned window.
+    *
+    * `ROW_NUMBER() OVER (ORDER BY …)` funnels the whole input through a
+    * single task — fine for a 5-row dim, fatal for a billion-row entity
+    * table. This produces bit-identical ranks scalably:
+    *
+    *  1. bucket each row by an order-preserving, DETERMINISTIC function
+    *     of the first order column (numeric → fixed-width buckets from
+    *     exact min/max; string → first-character bucket). No sampling
+    *     (unlike `repartitionByRange`), so every subtree that recomputes
+    *     the bucketing agrees on it;
+    *  2. ROW_NUMBER within each bucket (a partitioned window — parallel);
+    *  3. per-bucket counts → cumulative offsets via a tiny
+    *     buckets×buckets self-join (≤ a few hundred rows — broadcast);
+    *  4. rank = offset + local row number.
+    *
+    * Buckets are order-preserving, so offset+local == the global
+    * ROW_NUMBER under the same total order. Width buckets can skew
+    * (bounded by buckets× the average for id-like keys); that trades a
+    * bounded imbalance for determinism and zero driver collection.
+    */
+  def globalRank(src: DataFrame, orderBy: Seq[String], keyName: String,
+                 buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    val k = col(orderBy.head)
+    val bucket = src.schema(orderBy.head).dataType match {
+      case _: NumericType =>
+        // exact min/max (deterministic, unlike range-partitioner sampling)
+        val stats = src.agg(min(k).cast("double").as("__lo"),
+          max(k).cast("double").as("__hi"))
+        (df: DataFrame) => df.crossJoin(broadcast(stats))
+          .withColumn("__bkt", least(lit(buckets - 1),
+            floor((k.cast("double") - col("__lo")) * buckets /
+              (col("__hi") - col("__lo") + 1d)).cast("int")))
+          .drop("__lo", "__hi")
+      case StringType =>
+        (df: DataFrame) => df.withColumn("__bkt",
+          coalesce(ascii(substring(k, 1, 1)), lit(0)))
+      case _ =>
+        (df: DataFrame) => df.withColumn("__bkt", lit(0))
+    }
+    val local = bucket(src).withColumn("__rn",
+      row_number().over(
+        Window.partitionBy("__bkt").orderBy(orderBy.map(col): _*)))
+    val counts = local.groupBy("__bkt").agg(count(lit(1)).as("__cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), "__bkt")
+      .withColumn(keyName, (col("__off") + col("__rn")).cast("long"))
+      .drop("__bkt", "__rn", "__off")
+  }
+
   /** SCD Type-1 dimension: ROW_NUMBER surrogate key over the distinct
     * natural key plus validity metadata (reference DIM_LOCATION,
     * ETL_GlobalWeather_DB.sql:60-74). `validFrom` is a caller-supplied
     * fixed date: the reference uses CURRENT_DATE(), which is not
     * reproducible across runs.
     *
-    * Scale note: the unpartitioned ROW_NUMBER window funnels the dim
-    * through one task. That is correct *for dimensions* — they are small
-    * by definition (the fact side never passes through this code path).
-    * For a billion-row entity table use `monotonically_increasing_id`
-    * or a hash surrogate instead.
+    * Surrogate keys come from [[globalRank]], so even a billion-row
+    * entity dimension never funnels through one task.
     */
   def scd1(src: DataFrame, naturalKey: Seq[String], orderBy: Seq[String],
            keyName: String, validFrom: String): DataFrame =
-    src.select(naturalKey.map(col): _*).distinct()
-      .withColumn(keyName,
-        row_number().over(Window.orderBy(orderBy.map(col): _*)).cast("long"))
+    globalRank(src.select(naturalKey.map(col): _*).distinct(), orderBy, keyName)
       .withColumn("valid_from", to_date(lit(validFrom)))
       .withColumn("valid_to", lit(null).cast("date"))
       .withColumn("is_current", lit(true))
@@ -117,10 +166,10 @@ object StarSchema {
       .select((businessKey ++ attrs).map(c => col(s"snap.$c").as(c)): _*)
     val maxKey = current.agg(
       coalesce(max(col(keyName)), lit(0L)).as("__max_key"))
-    val inserted = incoming
+    val inserted = globalRank(incoming, businessKey, "__new_rank")
       .crossJoin(broadcast(maxKey))
-      .withColumn(keyName, (col("__max_key") +
-        row_number().over(Window.orderBy(businessKey.map(col): _*))).cast("long"))
+      .withColumn(keyName, (col("__max_key") + col("__new_rank")).cast("long"))
+      .drop("__new_rank")
       .withColumn("valid_from", to_date(lit(asOf)))
       .withColumn("valid_to", lit(null).cast("date"))
       .withColumn("is_current", lit(true))
