@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation pipelines for LLM training data: deterministic
+  * train/test splitting, composed quality filtering, and duplicate-
+  * cluster resolution (connected components).
+  */
+object Corpus {
+
+  /** Deterministic content-hash split: the last hex nibble of md5(text)
+    * buckets each document into 16 slots, `trainSlots` of which are
+    * train (13/16 = 81.25% by default). Content-keyed (not id-keyed), so
+    * the assignment is stable under re-ingestion, reshuffling, and
+    * re-partitioning — the property a 100 TB pipeline actually needs
+    * from its split. Stratified reporting by document length band.
+    */
+  def trainTestSplit(docs: DataFrame, trainSlots: Int = 13): DataFrame = {
+    val nTokens = TextAnalysis.nTokensExpr(col("text"))
+    val h = ascii(substring(md5(col("text")), 32, 1))
+    val nibble = when(h <= 57, h - 48).otherwise(h - 87)
+    docs
+      .select(
+        when(nTokens <= 60, "short").when(nTokens <= 120, "medium")
+          .otherwise("long").as("stratum"),
+        when(nibble < trainSlots, "train").otherwise("test").as("split"),
+        nTokens.as("n_tokens"))
+      .groupBy("stratum", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("stratum", "split")
+  }
+
+  /** Composed quality gate: keep documents that are (a) predicted
+    * English, (b) above the quality-score floor, and (c) the keeper of
+    * their exact-duplicate cluster (lowest doc_id per content hash).
+    *
+    * One scan computes every per-row signal (the expression builders in
+    * [[TextAnalysis]]), the row filter runs BEFORE the dedup semi-join,
+    * and the keeper set is one hash aggregate — so the corpus is read
+    * once and only surviving candidates shuffle.
+    */
+  def qualityFilter(docs: DataFrame, lang: String = "en",
+                    minScore: Double = 0.5): DataFrame = {
+    val keepers = docs
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs
+      .select(col("doc_id"),
+        TextAnalysis.nTokensExpr(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScoreExpr(col("text")).as("quality_score"),
+        TextAnalysis.predictedLangExpr(col("text")).as("predicted_lang"))
+      .filter(col("predicted_lang") === lang && col("quality_score") >= minScore)
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .orderBy("doc_id")
+  }
+
+  /** Connected components over an undirected pair list via iterated
+    * min-label propagation: every node repeatedly adopts the smallest
+    * label among itself and its neighbors, converging in O(graph
+    * diameter) rounds to component_id = min doc_id of the component.
+    *
+    * This is the one deliberately ITERATIVE operator in the library —
+    * like GraphX/Pregel, each round is a distributed shuffle join and
+    * the driver only checks a converged/not-converged bit.
+    * `localCheckpoint` caps lineage so round N's plan does not replay
+    * rounds 1..N-1. Near-duplicate graphs are shallow (dupes of a doc
+    * are dupes of each other), so rounds ≈ 2-3 in practice.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("comp").as("nbr_comp"))
+      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed"))
+        .localCheckpoint()
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.select("id", "comp").localCheckpoint()
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+      .orderBy("doc_id")
+  }
+}

@@ -25,6 +25,37 @@ object TextAnalysis {
   private def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit(_)): _*))).cast("long")
 
+  // -- reusable per-row expression builders (shared by the standalone
+  //    queries and by pipeline compositions like Corpus.qualityFilter,
+  //    so composed pipelines stay ONE scan instead of joining three) --
+
+  /** Whitespace token count (single-space corpora; oracle-parity form). */
+  def nTokensExpr(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", "")) + 1).cast("long")
+
+  /** Composite quality score — same formula as [[quality]]. */
+  def qualityScoreExpr(text: Column): Column = {
+    val nChars = length(text).cast("long")
+    val nTokens = nTokensExpr(text)
+    val punctRatio = length(regexp_replace(text, "[a-z ]", "")).cast("double") / nChars
+    val stopRatio = markerCount(TextOps.tokens(text), Markers.head._2)
+      .cast("double") / nTokens
+    least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.4 +
+      (lit(1.0) - punctRatio) * 0.3 +
+      least(stopRatio * 5.0, lit(1.0)) * 0.3
+  }
+
+  /** Argmax language pick with fixed priority — same rule as [[langId]]. */
+  def predictedLangExpr(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val Seq(en, es, fr, de) = Markers.map { case (_, ws) => markerCount(toks, ws) }
+    when(en >= es && en >= fr && en >= de && en > 0, "en")
+      .when(es >= fr && es >= de && es > 0, "es")
+      .when(fr >= de && fr > 0, "fr")
+      .when(de > 0, "de")
+      .otherwise("und")
+  }
+
   /** Language ID: count stopword markers per language, argmax with a
     * fixed priority order (en > es > fr > de) on ties; no marker at all
     * → "und" (undetermined).
