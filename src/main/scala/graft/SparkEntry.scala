@@ -64,6 +64,7 @@ object SparkEntry {
     "normalized_3nf" -> ((s, d) => WeatherMart.normalizedLocation(s, d)),
     "fact_build" -> ((s, d) => WeatherMart.fact(s, d)
       .orderBy(factOrder.map(col): _*)),
+    "fact_rolling_range" -> ((s, d) => WeatherMart.rolling7Day(s, d)),
     "validate_fact" -> ((s, d) => WeatherMart.validateFact(s, d)),
     "q1_avg_by_date" -> ((s, d) => Dashboard.avgByDate(s, d)),
     "q2_topn_by_location" -> ((s, d) => Dashboard.topNByLocation(s, d)),
@@ -348,6 +349,19 @@ object SparkEntry {
       s"""$factSql
          |ORDER BY l.location_key, f.date_valid, f.l_orderkey, f.l_linenumber,
          |  f.avg_temp_f, f.precipitation_in, f.snowfall_in""".stripMargin,
+    // Mirrors WeatherMart.rolling7Day: integer-cents daily sums, RANGE
+    // frame over day numbers (gap days shrink the window).
+    "fact_rolling_range" ->
+      s"""WITH stg AS ($stgSql),
+         |daily AS (
+         |  SELECT loc_ref, date_valid,
+         |    ROUND(SUM(precipitation_in) * 100, 0) AS c,
+         |    datediff('day', DATE '1970-01-01', CAST(date_valid AS DATE)) AS dn
+         |  FROM stg GROUP BY loc_ref, date_valid)
+         |SELECT loc_ref, date_valid, c / 100.0 AS day_precip,
+         |  SUM(c) OVER (PARTITION BY loc_ref ORDER BY dn
+         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0 AS precip_7day
+         |FROM daily ORDER BY loc_ref, date_valid""".stripMargin,
     "validate_fact" ->
       s"""WITH fact AS ($factSql)
          |SELECT CAST(SUM(CASE WHEN location_key IS NULL OR date_key IS NULL

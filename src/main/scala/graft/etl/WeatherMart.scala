@@ -180,6 +180,32 @@ object WeatherMart {
         StarSchema.rollingSum(col("precipitation_in"), 7, part, order))
   }
 
+  /** Calendar-aware 7-DAY rolling precipitation via a RANGE frame.
+    *
+    * The ROWS frame in [[fact]] mirrors the reference's
+    * `ROWS BETWEEN 6 PRECEDING` literally; this variant reads the
+    * reference's "7d" as calendar days: gap days shrink the window and
+    * same-day rows are RANGE peers (always all included), so the result
+    * is order-independent within a day. Daily sums snap to integer
+    * cents before the rolling re-sum, so the window arithmetic is exact
+    * integer math — immune to engine summation order.
+    *
+    * Scale shape: one partial-aggregating shuffle to (location, day),
+    * then the window re-sorts only the dimension-sized daily table.
+    */
+  def rolling7Day(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = staging(spark, dir)
+      .groupBy("loc_ref", "date_valid")
+      .agg(round(sum("precipitation_in") * 100, 0).as("__c"))
+    val dayNum = datediff(col("date_valid"), to_date(lit("1970-01-01")))
+    val w = Window.partitionBy("loc_ref").orderBy(dayNum).rangeBetween(-6, 0)
+    daily.select(col("loc_ref"), col("date_valid"),
+      (col("__c") / 100.0).as("day_precip"),
+      (sum("__c").over(w) / 100.0).as("precip_7day"))
+      .orderBy("loc_ref", "date_valid")
+  }
+
   /** Validation (reference §3.6): FK null count + measure range, one row. */
   def validateFact(spark: SparkSession, dir: String): DataFrame =
     fact(spark, dir).agg(

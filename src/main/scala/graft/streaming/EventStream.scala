@@ -28,4 +28,27 @@ object EventStream {
       .select(col("w.start").as("hour_ts"), col("event_type"),
         col("n_events"), col("total_value"))
   }
+
+  /** Stream-static enrichment: events joined to a (small) static user
+    * dimension, then windowed per tier.
+    *
+    * The static side is broadcast into every micro-batch — a
+    * stream-static join keeps NO join state (unlike stream-stream), so
+    * at cluster scale this is the way to attach dimension attributes to
+    * a firehose: re-resolved per batch, zero state-store growth, and
+    * the only streaming state is the bounded windowed aggregate. Same
+    * code runs batch (backfill) and streaming (live).
+    */
+  def hourlyByUserTier(events: DataFrame, userDim: DataFrame,
+                       watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src
+      .join(broadcast(userDim), Seq("user_id"), "left")
+      .withColumn("tier", coalesce(col("tier"), lit("unknown")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum("value") * 100, 0) / 100.0).as("total_value"))
+      .select(col("w.start").as("hour_ts"), col("tier"),
+        col("n_events"), col("total_value"))
+  }
 }

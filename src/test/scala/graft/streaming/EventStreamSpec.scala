@@ -37,4 +37,33 @@ class EventStreamSpec extends SparkSpec {
       assert(h0.getAs[Double]("total_value") == 3.0)
     } finally q.stop()
   }
+
+  test("stream-static tier join matches batch, unknown users bucketed") {
+    val evRows = Seq(
+      (Timestamp.valueOf("2024-01-01 00:05:00"), 1L, 1.0),
+      (Timestamp.valueOf("2024-01-01 00:45:00"), 2L, 2.0),
+      (Timestamp.valueOf("2024-01-01 00:50:00"), 99L, 4.0)) // not in dim
+    val userDim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+
+    val batch = EventStream.hourlyByUserTier(
+      evRows.toDF("ts", "user_id", "value"), userDim)
+      .orderBy("hour_ts", "tier").collect()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val q = EventStream.hourlyByUserTier(
+      mem.toDF().toDF("ts", "user_id", "value"), userDim,
+      watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("tier_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(evRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tier_test")
+        .orderBy("hour_ts", "tier").collect()
+      assert(streamed.toSeq == batch.toSeq)
+      assert(streamed.map(_.getAs[String]("tier")).toSet ==
+        Set("gold", "basic", "unknown"))
+    } finally q.stop()
+  }
 }
