@@ -112,6 +112,7 @@ object SparkEntry {
       EventStream.hourlyByType(Tables(s, d, "events"))
         .orderBy("hour_ts", "event_type")),
     "events_topk_users" -> ((s, d) => Sessionize.topUsers(Tables(s, d, "events"))),
+    "events_top3_per_type" -> ((s, d) => Sessionize.topKPerType(Tables(s, d, "events"))),
     "events_approx_stats" -> ((s, d) => Sessionize.approxStats(Tables(s, d, "events"))),
     // --- multimodal plumbing (SURVEY.md §2) ---
     "multimodal_extract" -> ((s, d) => Multimodal.extract(s, Tables(s, d, "documents"))),
@@ -544,6 +545,14 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_ts, event_type,
         |  COUNT(*) AS n_events, ROUND(SUM(value) * 100, 0) / 100.0 AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+    // Mirrors Sessionize.topKPerType (k=3, ties by event_id).
+    "events_top3_per_type" ->
+      """SELECT event_type, event_id, user_id, value, rank FROM (
+        |  SELECT event_type, event_id, user_id, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS BIGINT) AS rank
+        |  FROM events)
+        |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
     "events_topk_users" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  ROUND(SUM(value) * 100, 0) / 100.0 AS total_value

@@ -141,9 +141,17 @@ object StarSchema {
     val attrDiffers: Column = attrs
       .map(a => !(col(s"cur.$a") <=> col(s"snap.$a")))
       .reduceOption(_ || _).getOrElse(lit(false))
+    // The merge delta is dimension-sized by contract, and every output
+    // branch (untouched / closed / inserted) plus the insert-rank pass
+    // reads it. Materialize it ONCE: without this, each branch re-runs
+    // the dim build and the dim⋈snapshot join (4-5× the work), and at
+    // cluster scale an incremental merge chained daily would replay its
+    // whole lineage. This is the one place the ELT layer trades plan
+    // purity for a bounded, dimension-sized materialization.
     val joined = current.as("cur").join(snap.as("snap"),
       businessKey.map(k => col(s"cur.$k") <=> col(s"snap.$k")).reduce(_ && _),
       "full_outer")
+      .localCheckpoint()
 
     // current rows absent from the snapshot, or with identical attrs: keep
     val untouched = joined

@@ -50,6 +50,21 @@ object Sessionize {
       .orderBy(col("total_value").desc, col("user_id"))
       .limit(n)
 
+  /** Top-k events per type by value (per-GROUP top-k, vs [[topUsers]]'
+    * global top-n). The rank filter is planned as WindowGroupLimit on
+    * both sides of the exchange, so each partition ships only its local
+    * top-k — the shuffle carries k×groups rows, not the event stream.
+    */
+  def topKPerType(events: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    events
+      .select(col("event_type"), col("event_id"), col("user_id"), col("value"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("event_type", "rank")
+  }
+
   /** Sketch aggregates per event type: HyperLogLog++ distinct users and
     * approximate value quantiles. At 100 TB these replace exact
     * count-distinct / percentile (whose state is unbounded) with fixed-

@@ -1,7 +1,7 @@
 package graft
 
-import graft.etl.{Dashboard, WeatherMart}
-import graft.operators.{Dedup, Sessionize, Similarity}
+import graft.etl.{Cube, Dashboard, WeatherMart}
+import graft.operators.{AsOfJoin, Corpus, Dedup, Sessionize, Similarity}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -100,6 +100,55 @@ class PlanAuditSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
+  }
+
+  test("as-of join shuffles exactly once (the key window), never explodes") {
+    val ev = graft.core.Tables(spark, sf(), "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val plan = finalPlan(AsOfJoin.backward(
+      ev.filter(col("event_type") === "click").drop("event_type"),
+      ev.filter(col("event_type") === "purchase").drop("event_type"),
+      Seq("user_id"), "us", "us", Seq("value"), "event_id", "p_"))
+    val n = "hashpartitioning\\(user_id".r.findAllMatchIn(plan).length
+    assert(n == 1, s"expected exactly 1 key exchange, saw $n:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join at all:\n$plan")
+  }
+
+  test("rollup is hierarchical re-aggregation: no Expand node in the plan") {
+    val plan = finalPlan(Cube.salesRollup(
+      graft.core.Tables(spark, sf(), "lineitem"),
+      graft.core.Tables(spark, sf(), "supplier"),
+      graft.core.Tables(spark, sf(), "nation"),
+      graft.core.Tables(spark, sf(), "region")))
+    assert(!plan.contains("Expand"), s"rollup re-introduced Expand:\n$plan")
+    assert(plan.contains("partial_count"), s"no partial aggregation:\n$plan")
+  }
+
+  test("pivot with explicit values: partial aggregation, no value-collect pre-pass") {
+    val df = Cube.eventsPivot(
+      graft.core.Tables(spark, sf(), "events"),
+      Seq("click", "error", "purchase", "signup", "view"))
+    // explicit values => building the frame runs NO distinct-collect job
+    // and the plan is partial count -> partial pivotfirst (both map-side
+    // combined before their exchanges)
+    val plan = finalPlan(df)
+    assert(plan.contains("partial_pivotfirst"), s"pivot not partial:\n$plan")
+    assert(plan.contains("partial_count"), s"count not partial:\n$plan")
+  }
+
+  test("per-group top-k pushes the limit into the shuffle (WindowGroupLimit)") {
+    val plan = finalPlan(Sessionize.topKPerType(
+      graft.core.Tables(spark, sf(), "events")))
+    val n = "WindowGroupLimit".r.findAllMatchIn(plan).length
+    assert(n >= 2, s"expected partial+final WindowGroupLimit, saw $n:\n$plan")
+  }
+
+  test("quality filter reads the corpus exactly twice (signals + keeper agg)") {
+    val plan = finalPlan(Corpus.qualityFilter(
+      graft.core.Tables(spark, sf(), "documents")))
+    val n = "Scan parquet".r.findAllMatchIn(plan).length
+    assert(n == 2, s"expected 2 document scans, saw $n:\n$plan")
   }
 
   test("every contract query stays free of cartesian products") {
