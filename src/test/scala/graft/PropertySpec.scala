@@ -1,0 +1,115 @@
+package graft
+
+import graft.etl.StarSchema
+import graft.operators.{AsOfJoin, Corpus, RangeJoin}
+import scala.util.Random
+
+/** Randomized equivalence: the scale-shaped operators must produce the
+  * SAME results as brute-force reference implementations on arbitrary
+  * inputs — not just the hand-picked spec cases. Fixed seeds keep every
+  * trial reproducible.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalRank == unpartitioned ROW_NUMBER for arbitrary numeric keys") {
+    val rnd = new Random(101)
+    for (trial <- 1 to 8) {
+      val keys = List.fill(1 + rnd.nextInt(200))(rnd.nextLong() % 1000000).distinct
+      val got = StarSchema.globalRank(keys.toDF("k"), Seq("k"), "rank", buckets = 7)
+        .select("k", "rank").as[(Long, Long)].collect().toMap
+      val want = keys.sorted.zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("globalRank == unpartitioned ROW_NUMBER for arbitrary string keys") {
+    val rnd = new Random(202)
+    for (trial <- 1 to 8) {
+      val keys = List.fill(1 + rnd.nextInt(150))(
+        rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString).distinct
+      val got = StarSchema.globalRank(keys.toDF("k"), Seq("k"), "rank")
+        .select("k", "rank").as[(String, Long)].collect().toMap
+      val want = keys.sorted.zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("asof backward == brute-force latest-at-or-before scan") {
+    val rnd = new Random(303)
+    for (trial <- 1 to 8) {
+      val ls = List.fill(1 + rnd.nextInt(60))(
+        (rnd.nextInt(4) + 1L, rnd.nextInt(50).toLong))
+      val rs = List.fill(rnd.nextInt(60))(
+        (rnd.nextInt(4) + 1L, rnd.nextInt(50).toLong, rnd.nextInt(99) + 1.0))
+      val left = ls.zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+        .toDF("event_id", "user_id", "us")
+      val right = rs.zipWithIndex.map { case ((u, t, v), i) => (i.toLong, u, t, v) }
+        .toDF("event_id", "user_id", "us", "value")
+      val got = AsOfJoin.backward(left, right, Seq("user_id"), "us", "us",
+        Seq("value"), "event_id", "p_")
+        .select("event_id", "p_us", "p_value").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Any]("p_us")).map(_ =>
+            (r.getAs[Long]("p_us"), r.getAs[Double]("p_value"))))
+        .toMap
+      val indexed = rs.zipWithIndex.map { case ((u, t, v), i) => (i.toLong, u, t, v) }
+      val want = ls.zipWithIndex.map { case ((u, t), i) =>
+        val cands = indexed.filter(r => r._2 == u && r._3 <= t)
+        i.toLong -> (if (cands.isEmpty) None
+        else Some(cands.maxBy(r => (r._3, r._1))).map(b => (b._3, b._4)))
+      }.toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("bucketed range join == brute-force BETWEEN for arbitrary ranges") {
+    val rnd = new Random(404)
+    for (trial <- 1 to 8) {
+      val ps = List.fill(1 + rnd.nextInt(80))(rnd.nextDouble() * 150 - 60)
+      val rgs = List.fill(1 + rnd.nextInt(12)) {
+        val lo = rnd.nextDouble() * 100 - 50
+        (lo, lo + rnd.nextDouble() * 30)
+      }
+      val facts = ps.toDF("v")
+      val ranges = rgs.zipWithIndex
+        .map { case ((lo, hi), i) => (i.toLong, lo, hi) }.toDF("tier", "lo", "hi")
+      val got = RangeJoin.pointInRange(facts, "v", ranges, "lo", "hi", 10.0)
+        .select("v", "tier").as[(Double, Long)].collect().sorted.toSeq
+      val want = (for {
+        v <- ps
+        ((lo, hi), i) <- rgs.zipWithIndex if v >= lo && v <= hi
+      } yield (v, i.toLong)).sorted
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("connectedComponents == union-find on arbitrary graphs") {
+    val rnd = new Random(505)
+    for (trial <- 1 to 5) {
+      val edges = List.fill(1 + rnd.nextInt(40)) {
+        val a = rnd.nextInt(30) + 1L
+        var b = rnd.nextInt(30) + 1L
+        while (b == a) b = rnd.nextInt(30) + 1L
+        (a, b)
+      }
+      val got = Corpus.connectedComponents(
+        edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.groupBy(find).flatMap { case (_, members) =>
+        val m = members.min; members.map(_ -> m)
+      }
+      assert(got == want, s"trial $trial")
+    }
+  }
+}
