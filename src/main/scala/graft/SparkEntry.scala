@@ -116,6 +116,7 @@ object SparkEntry {
     "events_approx_stats" -> ((s, d) => Sessionize.approxStats(Tables(s, d, "events"))),
     // --- multimodal plumbing (SURVEY.md §2) ---
     "multimodal_extract" -> ((s, d) => Multimodal.extract(s, Tables(s, d, "documents"))),
+    "multimodal_frames" -> ((s, d) => Multimodal.frameSample(Tables(s, d, "documents"))),
     // --- relational extensions (SURVEY.md §2: as-of / range / pivot / rollup) ---
     "asof_join" -> ((s, d) => {
       val ev = Tables(s, d, "events").select(col("event_id"), col("user_id"),
@@ -566,6 +567,24 @@ object SparkEntry {
         |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 448 AS height,
         |  1 + doc_id % 30 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors Multimodal.frameSample (stride 5): the text IS the payload
+    // (ascii → byte slicing == char slicing), so md5 over string slices
+    // equals Spark's md5 over the binary slices.
+    "multimodal_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    1 + doc_id % 30 AS n_frames
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    GREATEST(byte_len // n_frames, 1) AS frame_len, n_frames
+        |  FROM p)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  md5(substr(text, CAST(i * frame_len + 1 AS INT),
+        |    CAST(frame_len AS INT))) AS frame_md5
+        |FROM f, UNNEST(generate_series(0, n_frames - 1, 5)) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // DuckDB's list_cosine_similarity over DOUBLE[] performs the same
     // double-precision MAC as graft's VectorDot, so even round-4 values
     // hash-match. Mirrors Similarity.bruteForceTopK (probes vec_id<10, k=5).

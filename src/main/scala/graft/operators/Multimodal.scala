@@ -51,6 +51,32 @@ object Multimodal {
     (width, height, frames)
   }
 
+  /** Frame sampling: every `stride`-th frame of each payload as its own
+    * row, with the frame's bytes sliced out of the binary column.
+    *
+    * The Spark-side plumbing is the real thing at 100 TB: a 1→N explode
+    * whose per-row count comes from metadata (never a collect), binary
+    * slicing via `Column.substr` on the payload, and a content hash per
+    * frame — the shape a video→training-frames pipeline has. Frame
+    * BOUNDARIES are the stub (fixed-size slices from the fake
+    * n_frames); a real demuxer replaces only the boundary computation.
+    */
+  def frameSample(docs: DataFrame, stride: Int = 5): DataFrame = {
+    val p = asPayloads(docs)
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .withColumn("n_frames", lit(1L) + pmod(col("doc_id"), lit(30L)))
+      .withColumn("frame_len",
+        greatest(floor(col("byte_len") / col("n_frames")).cast("long"), lit(1L)))
+    p.select(col("doc_id"), col("payload"), col("frame_len"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("payload").substr(
+          (col("frame_idx") * col("frame_len") + 1).cast("int"),
+          col("frame_len").cast("int"))).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Decode payloads to typed metadata, one decoder per partition. */
   def extract(spark: SparkSession, docs: DataFrame): DataFrame = {
     val payloads = asPayloads(docs)

@@ -21,4 +21,17 @@ class MultimodalSpec extends SparkSpec {
     assert(r0.getAs[Long]("height") == 64L + 35L % 448L)
     assert(r0.getAs[Long]("n_frames") == 1L)
   }
+
+  test("frameSample slices stride-th frames with correct boundaries") {
+    // doc_id 7 -> n_frames = 8, text of 40 chars -> frame_len = 5,
+    // stride 5 -> sampled frames 0 and 5
+    val text = "abcdefghij" * 4
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val out = Multimodal.frameSample(docs, stride = 5).collect()
+    assert(out.map(_.getAs[Long]("frame_idx")).toSeq == Seq(0L, 5L))
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getAs[String]("frame_md5") == hex(text.substring(0, 5)))
+    assert(out(1).getAs[String]("frame_md5") == hex(text.substring(25, 30)))
+  }
 }
