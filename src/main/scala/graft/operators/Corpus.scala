@@ -73,21 +73,27 @@ object Corpus {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed with min(self, direct neighbors) — one aggregate, and the
+    // loop below only pays for graphs with diameter > 1
+    var labels = edges
+      .groupBy("src")
+      .agg(least(min("dst"), col("src")).as("comp"))
+      .select(col("src").as("id"), col("comp"))
       .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min("comp").as("nbr_comp"))
-      val updated = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      // one checkpointed frame per round serves BOTH the convergence
+      // check and the next round's labels
+      val updated = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("nid")).agg(min("comp").as("nbr_comp"))
+        .join(labels, col("nid") === labels("id"), "right")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
           (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed"))
         .localCheckpoint()
       converged = updated.filter(col("changed")).isEmpty
-      labels = updated.select("id", "comp").localCheckpoint()
+      labels = updated.select("id", "comp")
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))

@@ -123,6 +123,12 @@ class PlanAuditSpec extends SparkSpec {
       graft.core.Tables(spark, sf(), "region")))
     assert(!plan.contains("Expand"), s"rollup re-introduced Expand:\n$plan")
     assert(plan.contains("partial_count"), s"no partial aggregation:\n$plan")
+    // the coarser levels must REUSE the fine-level exchange, not re-scan
+    // the fact: one lineitem scan + three dim scans, nothing more
+    val scans = "Scan parquet".r.findAllMatchIn(plan).length
+    assert(scans <= 4, s"rollup re-scans the fact ($scans scans):\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"fine-level exchange not reused across rollup levels:\n$plan")
   }
 
   test("pivot with explicit values: partial aggregation, no value-collect pre-pass") {
