@@ -114,6 +114,26 @@ object SparkEntry {
     "events_topk_users" -> ((s, d) => Sessionize.topUsers(Tables(s, d, "events"))),
     "events_top3_per_type" -> ((s, d) => Sessionize.topKPerType(Tables(s, d, "events"))),
     "events_approx_stats" -> ((s, d) => Sessionize.approxStats(Tables(s, d, "events"))),
+    // --- orders/customer analytics (big⋈big shuffle-join path) ---
+    "orders_monthly_status" -> ((s, d) => Tables(s, d, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        (round(sum("o_totalprice") * 100, 0) / 100.0).as("total_price"))
+      .orderBy("month", "o_orderstatus")),
+    // Unlike the star joins, BOTH sides here scale with the data — the
+    // aggregate's custkey partitioning is reused by the join, so only
+    // the customer side pays a fresh shuffle at cluster scale.
+    "customer_top_spenders" -> ((s, d) => {
+      val totals = Tables(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          (round(sum("o_totalprice") * 100, 0) / 100.0).as("total_spend"))
+      totals
+        .join(Tables(s, d, "customer").select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_orders"), col("total_spend"))
+        .orderBy(col("total_spend").desc, col("c_custkey")).limit(20)
+    }),
     // --- multimodal plumbing (SURVEY.md §2) ---
     "multimodal_extract" -> ((s, d) => Multimodal.extract(s, Tables(s, d, "documents"))),
     "multimodal_frames" -> ((s, d) => Multimodal.frameSample(Tables(s, d, "documents"))),
@@ -554,6 +574,18 @@ object SparkEntry {
         |      ORDER BY value DESC, event_id) AS BIGINT) AS rank
         |  FROM events)
         |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "orders_monthly_status" ->
+      """SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month,
+        |  o_orderstatus, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice) * 100, 0) / 100.0 AS total_price
+        |FROM orders GROUP BY 1, 2 ORDER BY month, o_orderstatus""".stripMargin,
+    "customer_top_spenders" ->
+      """SELECT c_custkey, c_name, n_orders, total_spend FROM (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    ROUND(SUM(o_totalprice) * 100, 0) / 100.0 AS total_spend
+        |  FROM orders GROUP BY 1)
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_spend DESC, c_custkey LIMIT 20""".stripMargin,
     "events_topk_users" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  ROUND(SUM(value) * 100, 0) / 100.0 AS total_value

@@ -65,6 +65,27 @@ object Sessionize {
       .orderBy("event_type", "rank")
   }
 
+  /** Per-day Apache DataSketches HLL sketches of distinct users.
+    *
+    * The point at 100 TB: the daily job emits a FIXED-SIZE binary
+    * sketch per day instead of a user set; any ad-hoc date range is
+    * then answered by merging sketches ([[mergedUserEstimate]]) without
+    * re-touching raw events. HLL register-merge is associative and
+    * idempotent, so the merged estimate is IDENTICAL to a single-pass
+    * sketch over the same rows (spec-asserted, not just approximately).
+    */
+  def dailyUserSketches(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("user_sketch"),
+        count(lit(1)).as("n_events"))
+
+  /** Merge daily sketches into one distinct-user estimate. */
+  def mergedUserEstimate(daily: DataFrame): DataFrame =
+    daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("user_sketch")))
+        .as("approx_distinct_users"))
+
   /** Sketch aggregates per event type: HyperLogLog++ distinct users and
     * approximate value quantiles. At 100 TB these replace exact
     * count-distinct / percentile (whose state is unbounded) with fixed-

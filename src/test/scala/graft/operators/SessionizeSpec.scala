@@ -55,4 +55,20 @@ class SessionizeSpec extends SparkSpec {
       assert(a.getAs[Double]("p95_value") <= a.getAs[Double]("p99_value"))
     }
   }
+
+  test("daily HLL sketches merge to the exact same estimate as one pass") {
+    val ev = graft.core.Tables(spark, sf(), "events")
+    val daily = Sessionize.dailyUserSketches(ev)
+    assert(daily.count() > 1, "need multiple days for the merge to matter")
+    val merged = Sessionize.mergedUserEstimate(daily)
+      .head().getAs[Long]("approx_distinct_users")
+    // register-merge is associative: merged daily sketches == the
+    // sketch built in one pass over everything
+    val onePass = ev.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .head().getAs[Long]("e")
+    assert(merged == onePass, s"merge changed the sketch: $merged vs $onePass")
+    val exact = ev.select(countDistinct("user_id")).head().getLong(0).toDouble
+    assert(math.abs(merged - exact) / exact <= 0.05, s"estimate off: $merged vs $exact")
+  }
 }
