@@ -62,6 +62,13 @@ object SparkEntry {
     "dim_precip_type" -> ((s, d) => WeatherMart.dimPrecipType(s, d)),
     "dim_source" -> ((s, _) => WeatherMart.dimSource(s)),
     "normalized_3nf" -> ((s, d) => WeatherMart.normalizedLocation(s, d)),
+    // set difference: snapshot rows not present in the current dim
+    // naturals = the day's changed + brand-new locations (EXCEPT is a
+    // distinct-aggregating shuffle — same cost shape as a groupBy)
+    "location_drift" -> ((s, d) =>
+      WeatherMart.locationSnapshot(s, d)
+        .except(WeatherMart.locationNatural(s, d))
+        .orderBy("postal_code")),
     "fact_build" -> ((s, d) => WeatherMart.fact(s, d)
       .orderBy(factOrder.map(col): _*)),
     "fact_rolling_range" -> ((s, d) => WeatherMart.rolling7Day(s, d)),
@@ -113,6 +120,7 @@ object SparkEntry {
         .orderBy("hour_ts", "event_type")),
     "events_topk_users" -> ((s, d) => Sessionize.topUsers(Tables(s, d, "events"))),
     "events_top3_per_type" -> ((s, d) => Sessionize.topKPerType(Tables(s, d, "events"))),
+    "events_value_deciles" -> ((s, d) => Sessionize.valueDeciles(Tables(s, d, "events"))),
     "events_approx_stats" -> ((s, d) => Sessionize.approxStats(Tables(s, d, "events"))),
     // --- orders/customer analytics (big⋈big shuffle-join path) ---
     "orders_monthly_status" -> ((s, d) => Tables(s, d, "orders")
@@ -367,6 +375,30 @@ object SparkEntry {
         |  'testdata' AS dataset_name, 'parquet' AS ingest_method""".stripMargin,
     "normalized_3nf" ->
       s"SELECT * FROM ($locNaturalSql) ORDER BY postal_code",
+    // Mirrors the location_drift query (snapshot EXCEPT naturals); snap
+    // derivation matches WeatherMart.locationSnapshot.
+    "location_drift" ->
+      s"""WITH nat AS ($locNaturalSql),
+         |snap AS (
+         |  SELECT postal_code, city_name,
+         |    CASE WHEN postal_code % 7 = 0 THEN 'RELOCATED' ELSE country END AS country,
+         |    region_name
+         |  FROM nat WHERE postal_code % 13 <> 0
+         |  UNION ALL SELECT 999999, 'new_city', 'XX', 'YY')
+         |SELECT * FROM snap EXCEPT SELECT * FROM nat ORDER BY postal_code""".stripMargin,
+    // Mirrors Sessionize.valueDeciles: ntile(10) == floor((rank-1)*10/n)+1
+    // under SQL-standard semantics (first n mod k buckets one larger).
+    "events_value_deciles" ->
+      """WITH t AS (
+        |  SELECT user_id, ROUND(SUM(value) * 100, 0) / 100.0 AS total_value
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT total_value, CAST(ntile(10) OVER (
+        |    ORDER BY total_value DESC, user_id) AS BIGINT) AS decile
+        |  FROM t)
+        |SELECT decile, COUNT(*) AS n_users,
+        |  ROUND(SUM(total_value) * 100, 0) / 100.0 AS decile_value
+        |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
     "fact_build" ->
       s"""$factSql
          |ORDER BY l.location_key, f.date_valid, f.l_orderkey, f.l_linenumber,

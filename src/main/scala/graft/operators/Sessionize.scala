@@ -65,6 +65,38 @@ object Sessionize {
       .orderBy("event_type", "rank")
   }
 
+  /** Decile segmentation of users by total value — WITHOUT the
+    * unpartitioned ntile window. SQL-standard `ntile(k)` over n rows
+    * makes the FIRST n mod k buckets one row larger (not evenly
+    * spread — floor((rank-1)k/n) gets that wrong whenever k ∤ n):
+    * with q = n div k, m = n mod k, the first m buckets have q+1 rows,
+    * so rank r maps to ceil(r/(q+1)) inside the first (q+1)·m ranks
+    * and m + ceil((r - (q+1)m)/q) after. Rank comes from the scalable
+    * [[graft.etl.StarSchema.globalRank]] and n from a 1-row broadcast,
+    * so no single task ever sees the whole user list. The window input
+    * is the user-sized aggregate, never the raw event stream.
+    */
+  def valueDeciles(events: DataFrame, k: Int = 10): DataFrame = {
+    val totals = events.groupBy("user_id")
+      .agg((round(sum("value") * 100, 0) / 100.0).as("total_value"))
+      .withColumn("__neg", -col("total_value"))
+    val n = totals.agg(count(lit(1)).as("__n"))
+    val q = floor(col("__n") / k).cast("long")
+    val m = col("__n") % k
+    val cut = (q + 1) * m
+    val r = col("__rank")
+    graft.etl.StarSchema.globalRank(totals, Seq("__neg", "user_id"), "__rank")
+      .crossJoin(broadcast(n))
+      .withColumn("decile",
+        when(r <= cut, floor((r + q) / (q + lit(1))))
+          .otherwise(m + floor((r - cut + q - 1) / q))
+          .cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_users"),
+        (round(sum("total_value") * 100, 0) / 100.0).as("decile_value"))
+      .orderBy("decile")
+  }
+
   /** Per-day Apache DataSketches HLL sketches of distinct users.
     *
     * The point at 100 TB: the daily job emits a FIXED-SIZE binary

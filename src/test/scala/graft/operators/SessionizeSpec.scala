@@ -56,6 +56,19 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("valueDeciles matches SQL ntile semantics when k does not divide n") {
+    // 13 users, k=10: SQL ntile front-loads the remainder — bucket
+    // sizes [2,2,2,1,1,1,1,1,1,1], NOT an even spread
+    val base = 1700000000000000L
+    val ev = (1L to 13L).map(u => (u, base, u, u * 10.0))
+      .toDF("event_id", "us", "user_id", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("value"))
+    val out = Sessionize.valueDeciles(ev).collect()
+      .map(r => r.getAs[Long]("decile") -> r.getAs[Long]("n_users"))
+    assert(out.toSeq == ((1L to 3L).map(_ -> 2L) ++ (4L to 10L).map(_ -> 1L)))
+  }
+
   test("daily HLL sketches merge to the exact same estimate as one pass") {
     val ev = graft.core.Tables(spark, sf(), "events")
     val daily = Sessionize.dailyUserSketches(ev)
