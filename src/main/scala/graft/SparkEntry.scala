@@ -284,6 +284,39 @@ object SparkEntry {
       |    AS quality_score
       |FROM b""".stripMargin
 
+  /** Mirrors Similarity.embeddingNearDup (8 bands × 6 planes, τ=0.35):
+    * the SAME deterministic hyperplanes embedded as DOUBLE[] literals,
+    * sign bits packed to the band bucket with plain integer arithmetic,
+    * candidates cosine-verified. Float→double is exact and Scala's
+    * shortest-round-trip Double printing parses back to the identical
+    * double, so both engines compute bit-equal dot products.
+    */
+  private def embeddingNearDupSql: String = {
+    val (bands, rows, minCosine) = (8, 6, 0.35)
+    val branches = (0 until bands).map { b =>
+      val bucket = (0 until rows).map { i =>
+        val planeLit = graft.operators.Similarity.hyperplane(b * rows + i)
+          .map(_.toDouble.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(emb, $planeLit) > 0 THEN 1 ELSE 0 END) * ${1L << i}"
+      }.mkString("\n      + ")
+      s"SELECT vec_id, $b AS band,\n      $bucket AS bucket FROM c"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |banded AS (
+       |  $branches),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b,
+       |  ROUND(list_cosine_similarity(ca.emb, cb.emb), 4) AS cos_sim
+       |FROM cand
+       |JOIN c ca ON vec_a = ca.vec_id
+       |JOIN c cb ON vec_b = cb.vec_id
+       |WHERE list_cosine_similarity(ca.emb, cb.emb) >= $minCosine
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   /** Fact CTE — mirrors WeatherMart.fact. */
   private val factSql =
     s"""WITH stg AS ($stgSql),
@@ -649,6 +682,7 @@ object SparkEntry {
         |    CAST(frame_len AS INT))) AS frame_md5
         |FROM f, UNNEST(generate_series(0, n_frames - 1, 5)) AS t(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "dedup_embedding" -> embeddingNearDupSql,
     // DuckDB's list_cosine_similarity over DOUBLE[] performs the same
     // double-precision MAC as graft's VectorDot, so even round-4 values
     // hash-match. Mirrors Similarity.bruteForceTopK (probes vec_id<10, k=5).

@@ -108,26 +108,37 @@ object Similarity {
     * high-threshold near-dup mining (cos ≥ 0.9) r=16+ is the right
     * regime at cluster scale.
     */
-  def embeddingNearDup(corpus: DataFrame, minCosine: Double = 0.35,
-                       bands: Int = 8, rowsPerBand: Int = 6,
-                       dims: Int = 64): DataFrame = {
+  /** Deterministic LSH hyperplane `p` (splitmix64-derived — no stored
+    * model, no RNG in the plan). Public so the oracle SQL can embed the
+    * SAME planes as literals.
+    */
+  def hyperplane(p: Int, dims: Int = 64): Array[Float] = {
     def splitmix64(seed: Long): Long = {
       var z = seed + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^ (z >>> 31)
     }
-    def plane(p: Int): Array[Float] =
-      Array.tabulate(dims) { d =>
-        (((splitmix64(p * 1009L + d) >>> 11).toDouble / (1L << 53)) - 0.5).toFloat
-      }
+    Array.tabulate(dims) { d =>
+      (((splitmix64(p * 1009L + d) >>> 11).toDouble / (1L << 53)) - 0.5).toFloat
+    }
+  }
+
+  def embeddingNearDup(corpus: DataFrame, minCosine: Double = 0.35,
+                       bands: Int = 8, rowsPerBand: Int = 6,
+                       dims: Int = 64): DataFrame = {
     val emb = corpus.select(col("vec_id"), col("embedding"))
+    // bucket = the band's sign bits packed into an integer — exact
+    // bucket identity (a hash here would only ADD murmur-collision
+    // candidates), and plain integer arithmetic any engine reproduces
     val banded = emb.select(col("vec_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          hash((b * rowsPerBand until (b + 1) * rowsPerBand).map(p =>
-            (dot(col("embedding"), typedlit(plane(p).toSeq)) > 0).cast("int")): _*)
-            .as("bucket"))): _*)).as("bb"))
+          (b * rowsPerBand until (b + 1) * rowsPerBand).zipWithIndex.map {
+            case (p, i) =>
+              (dot(col("embedding"), typedlit(hyperplane(p, dims).toSeq)) > 0)
+                .cast("long") * (1L << i)
+          }.reduce(_ + _).as("bucket"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
     val candidates = banded.as("a")
       .join(banded.as("b"),
