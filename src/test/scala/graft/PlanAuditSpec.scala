@@ -48,10 +48,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("dashboard q1 never pays the window shuffle (unused metrics pruned)") {
-    val plan = finalPlan(Dashboard.avgByDate(spark, sf()))
-    assert(!plan.contains("hashpartitioning(location_key"),
-      s"q1 should not shuffle by location_key — window metrics are unused:\n$plan")
+  test("no dashboard query pays the window shuffle (unused metrics pruned)") {
+    Seq[(String, DataFrame)](
+      "q1" -> Dashboard.avgByDate(spark, sf()),
+      "q2" -> Dashboard.topNByLocation(spark, sf()),
+      "q3" -> Dashboard.avgByClass(spark, sf()),
+      "q4" -> Dashboard.bandCounts(spark, sf()),
+      "q5" -> Dashboard.pctPositiveByDate(spark, sf())
+    ).foreach { case (name, df) =>
+      val plan = finalPlan(df)
+      assert(!plan.contains("hashpartitioning(location_key"),
+        s"$name should not shuffle by location_key — window metrics unused:\n$plan")
+      // the fact's LAG/rolling metrics must be pruned away (the only
+      // Window allowed is the dim build's bucketed surrogate rank)
+      assert(!plan.contains("temp_day_delta") && !plan.contains("precipitation_7d_sum"),
+        s"$name computes unused fact window metrics:\n$plan")
+    }
   }
 
   test("dashboard aggregates are partial (map-side combine before the exchange)") {
