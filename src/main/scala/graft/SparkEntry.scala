@@ -91,6 +91,11 @@ object SparkEntry {
     }),
     // --- deduplication (SURVEY.md §2) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables(s, d, "documents"))),
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Dedup.incremental(docs.filter(col("doc_id") >= 400),
+        docs.filter(col("doc_id") < 400))
+    }),
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables(s, d, "documents"))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables(s, d, "documents"))),
@@ -121,6 +126,13 @@ object SparkEntry {
     "events_topk_users" -> ((s, d) => Sessionize.topUsers(Tables(s, d, "events"))),
     "events_top3_per_type" -> ((s, d) => Sessionize.topKPerType(Tables(s, d, "events"))),
     "events_value_deciles" -> ((s, d) => Sessionize.valueDeciles(Tables(s, d, "events"))),
+    // exact grouped median (sort-based percentile) — the precise
+    // counterpart to events_approx_stats' sketch quantiles
+    "events_median_by_type" -> ((s, d) => Tables(s, d, "events")
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")),
     "events_approx_stats" -> ((s, d) => Sessionize.approxStats(Tables(s, d, "events"))),
     // --- orders/customer analytics (big⋈big shuffle-join path) ---
     "orders_monthly_status" -> ((s, d) => Tables(s, d, "orders")
@@ -494,6 +506,15 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
         |  COUNT(*) AS n_dupes
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    // Mirrors Dedup.incremental (batch = doc_id >= 400).
+    "dedup_incremental" ->
+      """WITH keep AS (
+        |  SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id
+        |  FROM documents WHERE doc_id >= 400 GROUP BY 1),
+        |old AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 400)
+        |SELECT doc_id, content_hash FROM keep
+        |WHERE content_hash NOT IN (SELECT h FROM old)
+        |ORDER BY doc_id""".stripMargin,
     // Mirrors Dedup.ngramJaccard (n=3, maxDf=100, minJaccard=0.6):
     // DuckDB list slice w[i:i+2] is 1-based inclusive = Spark slice(w,i,3).
     "ngram_jaccard" -> s"$ngramJaccardBody\nORDER BY doc_a, doc_b",
@@ -656,6 +677,12 @@ object SparkEntry {
         |  ROUND(SUM(value) * 100, 0) / 100.0 AS total_value
         |FROM events GROUP BY 1
         |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin,
+    // Spark's exact percentile and DuckDB's quantile_cont both linearly
+    // interpolate over the sorted values.
+    "events_median_by_type" ->
+      """SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS median_value,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "multimodal_extract" ->
       """SELECT doc_id,
         |  ['png','jpg','wav'][CAST(doc_id % 3 AS INT) + 1] AS format,

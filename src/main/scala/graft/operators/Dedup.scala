@@ -25,6 +25,24 @@ object Dedup {
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_dupes"))
       .orderBy("content_hash")
 
+  /** Incremental-append dedup: of a NEW batch, keep only documents that
+    * are (a) the keeper inside their batch-local duplicate cluster and
+    * (b) unseen in the existing corpus.
+    *
+    * This is the ingestion-time shape at 100 TB: the corpus side is a
+    * precomputed content-hash index (here derived inline), the batch is
+    * orders of magnitude smaller, and the anti join broadcasts the
+    * batch's keeper set — the corpus is never re-deduped, only probed.
+    */
+  def incremental(newDocs: DataFrame, corpus: DataFrame): DataFrame =
+    newDocs
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("doc_id"))
+      .join(corpus.select(md5(col("text")).as("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+      .orderBy("doc_id")
+
   /** Exact n-gram Jaccard similar pairs via an inverted index.
     *
     * Joining on the shingle (token) shards the O(n²) problem by term —
