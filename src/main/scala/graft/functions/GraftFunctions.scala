@@ -18,6 +18,12 @@ object GraftFunctions {
       VectorDot(org.apache.spark.sql.graft.Bridge.expression(a),
         org.apache.spark.sql.graft.Bridge.expression(b)))
 
+  /** Column wrapper for [[VectorCosine]]. */
+  def vectorCosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      VectorCosine(org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
   /** Column wrapper for [[WordShingles]]. */
   def wordShingles(text: Column, n: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(
@@ -45,6 +51,11 @@ object GraftFunctions {
     case _ => throw new IllegalArgumentException("vector_dot(a, b)")
   }
 
+  private[functions] def cosineBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => VectorCosine(a, b)
+    case _ => throw new IllegalArgumentException("vector_cosine(a, b)")
+  }
+
   private[functions] def shinglesBuilder(args: Seq[Expression]): Expression =
     args match {
       case Seq(c, Literal(n: Int, _)) => WordShingles(c, n)
@@ -63,6 +74,9 @@ object GraftFunctions {
   private[functions] val dotIdent = FunctionIdentifier("vector_dot")
   private[functions] val dotInfo = new ExpressionInfo(
     classOf[VectorDot].getName, "vector_dot")
+  private[functions] val cosineIdent = FunctionIdentifier("vector_cosine")
+  private[functions] val cosineInfo = new ExpressionInfo(
+    classOf[VectorCosine].getName, "vector_cosine")
   private[functions] val shinglesIdent = FunctionIdentifier("word_shingles")
   private[functions] val shinglesInfo = new ExpressionInfo(
     classOf[WordShingles].getName, "word_shingles")
@@ -78,6 +92,8 @@ object GraftFunctions {
       .createOrReplaceTempFunction("rolling_fingerprint", builder, "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("vector_dot", dotBuilder, "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("vector_cosine", cosineBuilder, "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("word_shingles", shinglesBuilder, "scala_udf")
     spark.sessionState.functionRegistry
@@ -95,6 +111,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (GraftFunctions.ident, GraftFunctions.info, GraftFunctions.builder))
     ext.injectFunction(
       (GraftFunctions.dotIdent, GraftFunctions.dotInfo, GraftFunctions.dotBuilder))
+    ext.injectFunction(
+      (GraftFunctions.cosineIdent, GraftFunctions.cosineInfo,
+        GraftFunctions.cosineBuilder))
     ext.injectFunction(
       (GraftFunctions.shinglesIdent, GraftFunctions.shinglesInfo,
         GraftFunctions.shinglesBuilder))

@@ -22,7 +22,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine ([[graft.functions.VectorCosine]]) —
+    * one traversal instead of three VectorDot calls per pair, same
+    * IEEE result (each running sum accumulates in index order).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vectorCosine(a, b)
 
   /** Brute-force cosine top-k: the exact baseline.
     *

@@ -45,6 +45,21 @@ class VectorDotSpec extends SparkSpec {
     assert(r.head.getDouble(0) == 11.0)
   }
 
+  test("fused vector_cosine is BIT-identical to the 3-pass dot/norm form") {
+    val rnd = new scala.util.Random(42)
+    val df = Seq.fill(50)((
+      Array.fill(64)(rnd.nextFloat() - 0.5f),
+      Array.fill(64)(rnd.nextFloat() - 0.5f))).toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.vectorCosine(col("a"), col("b")).as("fused"),
+      (GraftFunctions.vectorDot(col("a"), col("b")) /
+        (sqrt(GraftFunctions.vectorDot(col("a"), col("a"))) *
+          sqrt(GraftFunctions.vectorDot(col("b"), col("b"))))).as("unfused"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"${r.getDouble(0)} != ${r.getDouble(1)}"))
+  }
+
   test("vector_dot rejects non-float-array inputs") {
     val df = Seq((Array(1L, 2L), floats(1, 2))).toDF("a", "b")
     val err = intercept[Exception] {
