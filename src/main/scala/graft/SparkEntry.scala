@@ -184,6 +184,14 @@ object SparkEntry {
       Seq("click", "error", "purchase", "signup", "view"))),
     "sales_rollup" -> ((s, d) => Cube.salesRollup(Tables(s, d, "lineitem"),
       Tables(s, d, "supplier"), Tables(s, d, "nation"), Tables(s, d, "region"))),
+    "sales_cube" -> ((s, d) => Cube.salesCube(Tables(s, d, "lineitem"),
+      Tables(s, d, "supplier"), Tables(s, d, "nation"), Tables(s, d, "region"))),
+    "parts_by_brand" -> ((s, d) => Tables(s, d, "part")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        (round(sum("p_retailprice") * 100, 0) / count(lit(1)) / 100.0).as("avg_price"),
+        round(max("p_retailprice"), 4).as("max_price"))
+      .orderBy("p_brand")),
     // --- corpus pipelines (SURVEY.md §2) ---
     "train_test_split" -> ((s, d) => Corpus.trainTestSplit(Tables(s, d, "documents"))),
     "quality_filter" -> ((s, d) => Corpus.qualityFilter(Tables(s, d, "documents"))),
@@ -631,6 +639,27 @@ object SparkEntry {
         |CROSS JOIN (
         |  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_size
         |  FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents))""".stripMargin,
+    // Mirrors Cube.salesCube — DuckDB GROUP BY CUBE with the same
+    // grouping flags and null-safe ordering.
+    "sales_cube" ->
+      """SELECT region_name, nation_name,
+        |  CAST(GROUPING(region_name) AS BIGINT) AS g_region,
+        |  CAST(GROUPING(nation_name) AS BIGINT) AS g_nation,
+        |  COUNT(*) AS n_items,
+        |  ROUND(SUM(l_extendedprice) * 100, 0) / 100.0 AS revenue
+        |FROM (SELECT r_name AS region_name, n_name AS nation_name, l_extendedprice
+        |      FROM lineitem
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN nation ON s_nationkey = n_nationkey
+        |      JOIN region ON n_regionkey = r_regionkey)
+        |GROUP BY CUBE(region_name, nation_name)
+        |ORDER BY g_region, g_nation, COALESCE(region_name, ''),
+        |  COALESCE(nation_name, '')""".stripMargin,
+    "parts_by_brand" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |  ROUND(SUM(p_retailprice) * 100, 0) / COUNT(*) / 100.0 AS avg_price,
+        |  ROUND(MAX(p_retailprice), 4) AS max_price
+        |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
     "events_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),

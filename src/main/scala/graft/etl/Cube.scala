@@ -42,7 +42,40 @@ object Cube {
     */
   def salesRollup(lineitem: DataFrame, supplier: DataFrame,
                   nation: DataFrame, region: DataFrame): DataFrame = {
-    val fine = lineitem.select(col("l_suppkey"), col("l_extendedprice"))
+    val fine = fineAgg(lineitem, supplier, nation, region)
+    nationLevel(fine)
+      .unionByName(regionLevel(fine))
+      .unionByName(grandTotal(fine))
+      .orderBy(col("g_region"), col("g_nation"),
+        coalesce(col("region_name"), lit("")),
+        coalesce(col("nation_name"), lit("")))
+  }
+
+  /** CUBE over (region, nation): all four grouping combinations — the
+    * rollup levels plus the nation-only marginal, ALL re-aggregated
+    * from the same single fact shuffle (the fine exchange is reused by
+    * every level).
+    */
+  def salesCube(lineitem: DataFrame, supplier: DataFrame,
+                nation: DataFrame, region: DataFrame): DataFrame = {
+    val fine = fineAgg(lineitem, supplier, nation, region)
+    val nationOnly = fine.groupBy("nation_name")
+      .agg(sum("__n").as("n_items"), sum("__s").as("__s"))
+      .select(lit(null).cast("string").as("region_name"), col("nation_name"),
+        lit(1L).as("g_region"), lit(0L).as("g_nation"),
+        col("n_items"), (round(col("__s") * 100, 0) / 100.0).as("revenue"))
+    nationLevel(fine)
+      .unionByName(regionLevel(fine))
+      .unionByName(nationOnly)
+      .unionByName(grandTotal(fine))
+      .orderBy(col("g_region"), col("g_nation"),
+        coalesce(col("region_name"), lit("")),
+        coalesce(col("nation_name"), lit("")))
+  }
+
+  private def fineAgg(lineitem: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem.select(col("l_suppkey"), col("l_extendedprice"))
       .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"),
@@ -53,26 +86,26 @@ object Cube {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("region_name", "nation_name")
       .agg(count(lit(1)).as("__n"), sum("l_extendedprice").as("__s"))
-    val nationLevel = fine.select(
-      col("region_name"), col("nation_name"),
-      lit(0L).as("g_region"), lit(0L).as("g_nation"),
-      col("__n").as("n_items"), (round(col("__s") * 100, 0) / 100.0).as("revenue"))
-    val regionLevel = fine.groupBy("region_name")
-      .agg(sum("__n").as("n_items"), sum("__s").as("__s"))
-      .select(col("region_name"), lit(null).cast("string").as("nation_name"),
-        lit(0L).as("g_region"), lit(1L).as("g_nation"),
-        col("n_items"), (round(col("__s") * 100, 0) / 100.0).as("revenue"))
-    val grandTotal = fine
-      .agg(sum("__n").as("n_items"), sum("__s").as("__s"))
-      .select(lit(null).cast("string").as("region_name"),
-        lit(null).cast("string").as("nation_name"),
-        lit(1L).as("g_region"), lit(1L).as("g_nation"),
-        col("n_items"), (round(col("__s") * 100, 0) / 100.0).as("revenue"))
-    nationLevel.unionByName(regionLevel).unionByName(grandTotal)
-      // null-safe ordering: Spark sorts nulls first, DuckDB last —
-      // coalesce to '' so both engines agree
-      .orderBy(col("g_region"), col("g_nation"),
-        coalesce(col("region_name"), lit("")),
-        coalesce(col("nation_name"), lit("")))
-  }
+
+  // null-safe ordering everywhere: Spark sorts nulls first, DuckDB
+  // last — the levels coalesce names to '' in their ORDER BY instead
+
+  private def nationLevel(fine: DataFrame): DataFrame = fine.select(
+    col("region_name"), col("nation_name"),
+    lit(0L).as("g_region"), lit(0L).as("g_nation"),
+    col("__n").as("n_items"), (round(col("__s") * 100, 0) / 100.0).as("revenue"))
+
+  private def regionLevel(fine: DataFrame): DataFrame = fine
+    .groupBy("region_name")
+    .agg(sum("__n").as("n_items"), sum("__s").as("__s"))
+    .select(col("region_name"), lit(null).cast("string").as("nation_name"),
+      lit(0L).as("g_region"), lit(1L).as("g_nation"),
+      col("n_items"), (round(col("__s") * 100, 0) / 100.0).as("revenue"))
+
+  private def grandTotal(fine: DataFrame): DataFrame = fine
+    .agg(sum("__n").as("n_items"), sum("__s").as("__s"))
+    .select(lit(null).cast("string").as("region_name"),
+      lit(null).cast("string").as("nation_name"),
+      lit(1L).as("g_region"), lit(1L).as("g_nation"),
+      col("n_items"), (round(col("__s") * 100, 0) / 100.0).as("revenue"))
 }
