@@ -54,6 +54,28 @@ object SparkEntry {
   private def raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stg_load" -> ((s, d) => WeatherMart.staging(s, d)
       .orderBy("l_orderkey", "l_linenumber")),
+    // classic pricing-summary shape (TPC-H Q1 analog): one wide partial
+    // aggregate over the fact scan, grouped by two low-cardinality flags
+    "pricing_summary" -> ((s, d) => Tables(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        (round(sum("l_extendedprice") * 100, 0) / 100.0).as("sum_price"),
+        (round(sum("l_quantity") * 100, 0) / count(lit(1)) / 100.0).as("avg_qty"),
+        (round(sum("l_extendedprice") * 100, 0) / count(lit(1)) / 100.0).as("avg_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")),
+    // generic data-profiling: null + exact distinct counts per column in
+    // one aggregate (exact count_distinct expands k× — fine for a
+    // profiling job; swap approx_count_distinct for the 100 TB variant)
+    "table_profile" -> ((s, d) => {
+      val cols = Seq("l_suppkey", "l_quantity", "l_discount", "l_returnflag")
+      Tables(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+          count_distinct(col(c)).as(s"distinct_$c"))): _*)
+    }),
     "dim_date" -> ((s, d) => WeatherMart.dimDate(s, d).orderBy("date_key")),
     "dim_location" -> ((s, d) => WeatherMart.dimLocation(s, d).orderBy("location_key")),
     "dim_scd2_merge" -> ((s, d) => WeatherMart.dimLocationMerged(s, d)
@@ -365,6 +387,25 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "stg_load" ->
       s"SELECT * FROM ($stgSql) ORDER BY l_orderkey, l_linenumber",
+    "pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice) * 100, 0) / 100.0 AS sum_price,
+        |  ROUND(SUM(l_quantity) * 100, 0) / COUNT(*) / 100.0 AS avg_qty,
+        |  ROUND(SUM(l_extendedprice) * 100, 0) / COUNT(*) / 100.0 AS avg_price,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "table_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_suppkey,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS distinct_l_suppkey,
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_quantity,
+        |  CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS distinct_l_quantity,
+        |  CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_discount,
+        |  CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS distinct_l_discount,
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_returnflag,
+        |  CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS distinct_l_returnflag
+        |FROM lineitem""".stripMargin,
     "dim_date" ->
       """SELECT CAST(dk AS VARCHAR) AS date_key, CAST(dk AS VARCHAR) AS full_date,
         |  CAST(year(dk) AS BIGINT) AS year,

@@ -127,20 +127,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"as-of must not plan a join at all:\n$plan")
   }
 
-  test("rollup is hierarchical re-aggregation: no Expand node in the plan") {
-    val plan = finalPlan(Cube.salesRollup(
-      graft.core.Tables(spark, sf(), "lineitem"),
-      graft.core.Tables(spark, sf(), "supplier"),
-      graft.core.Tables(spark, sf(), "nation"),
-      graft.core.Tables(spark, sf(), "region")))
-    assert(!plan.contains("Expand"), s"rollup re-introduced Expand:\n$plan")
-    assert(plan.contains("partial_count"), s"no partial aggregation:\n$plan")
-    // the coarser levels must REUSE the fine-level exchange, not re-scan
-    // the fact: one lineitem scan + three dim scans, nothing more
-    val scans = "Scan parquet".r.findAllMatchIn(plan).length
-    assert(scans <= 4, s"rollup re-scans the fact ($scans scans):\n$plan")
-    assert(plan.contains("ReusedExchange"),
-      s"fine-level exchange not reused across rollup levels:\n$plan")
+  test("rollup/cube are hierarchical re-aggregation: no Expand, fine exchange reused") {
+    def tables = Seq("lineitem", "supplier", "nation", "region")
+      .map(graft.core.Tables(spark, sf(), _))
+    Seq(
+      "rollup" -> Cube.salesRollup(tables(0), tables(1), tables(2), tables(3)),
+      "cube" -> Cube.salesCube(tables(0), tables(1), tables(2), tables(3))
+    ).foreach { case (name, df) =>
+      val plan = finalPlan(df)
+      assert(!plan.contains("Expand"), s"$name re-introduced Expand:\n$plan")
+      assert(plan.contains("partial_count"), s"$name: no partial aggregation:\n$plan")
+      // the coarser levels must REUSE the fine-level exchange, not
+      // re-scan the fact: one lineitem scan + three dim scans, no more
+      val scans = "Scan parquet".r.findAllMatchIn(plan).length
+      assert(scans <= 4, s"$name re-scans the fact ($scans scans):\n$plan")
+      assert(plan.contains("ReusedExchange"),
+        s"$name: fine-level exchange not reused across levels:\n$plan")
+    }
   }
 
   test("pivot with explicit values: partial aggregation, no value-collect pre-pass") {
