@@ -2,6 +2,7 @@ package graft
 
 import graft.etl.StarSchema
 import graft.operators.{AsOfJoin, Corpus, RangeJoin}
+import org.apache.spark.sql.functions.col
 import scala.util.Random
 
 /** Randomized equivalence: the scale-shaped operators must produce the
@@ -81,6 +82,29 @@ class PropertySpec extends SparkSpec {
         ((lo, hi), i) <- rgs.zipWithIndex if v >= lo && v <= hi
       } yield (v, i.toLong)).sorted
       assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("simhash blocking finds EVERY pair within the Hamming radius") {
+    // pigeonhole completeness: 4 blocks cover Hamming <= 3 exactly —
+    // compare against brute-force over the signatures themselves
+    val rnd = new Random(606)
+    for (trial <- 1 to 3) {
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa")
+      val docs = (1L to 40L).map { i =>
+        (i, Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val sigs = docs.select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash64(col("text")).as("sig"))
+        .as[(Long, Long)].collect().toMap
+      val want = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+      } yield (a, b)).toSet
+      val got = graft.operators.Dedup.simhash(docs)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"trial $trial: missing ${want -- got}, extra ${got -- want}")
     }
   }
 
