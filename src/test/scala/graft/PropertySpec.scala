@@ -108,6 +108,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash LSH finds every near-identical pair (recall at s≈0.97)") {
+    // one-token edits of 40-token docs: band-collision miss probability
+    // is ~3e-8 per pair at 8 bands × 4 rows — deterministic in practice
+    val rnd = new Random(707)
+    for (trial <- 1 to 3) {
+      val docs = (0 until 10).flatMap { g =>
+        val base = Seq.fill(40)("w" + (rnd.nextInt(500) + g * 1000)).mkString(" ")
+        val edited = base.split(" ").zipWithIndex
+          .map { case (w, i) => if (i == 39) "EDIT" + g else w }.mkString(" ")
+        Seq((g * 2L, base), (g * 2L + 1, edited))
+      }.toDF("doc_id", "text")
+      val got = graft.operators.Dedup.minhashLsh(docs)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val wantPairs = (0 until 10).map(g => (g * 2L, g * 2L + 1))
+      wantPairs.foreach { p =>
+        assert(got.contains(p), s"trial $trial: LSH missed near-dup pair $p")
+      }
+    }
+  }
+
   test("connectedComponents == union-find on arbitrary graphs") {
     val rnd = new Random(505)
     for (trial <- 1 to 5) {

@@ -38,6 +38,32 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append mode finalizes windows past the watermark and drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStream.hourlyByType(mem.toDF().toDF("ts", "event_type", "value"),
+      watermark = Some("30 minutes"))
+      .writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    try {
+      // hour-0 events, then an hour-2 event advances the watermark to
+      // 01:30 — hour 0 is finalized and emitted
+      mem.addData((Timestamp.valueOf("2024-01-01 00:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 00:45:00"), "click", 2.0))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2024-01-01 02:10:00"), "click", 4.0))
+      q.processAllAvailable()
+      // a straggler for hour 0, now behind the watermark: dropped
+      mem.addData((Timestamp.valueOf("2024-01-01 00:50:00"), "click", 64.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_test").collect()
+        .map(r => r.getAs[Timestamp]("hour_ts") -> r.getAs[Double]("total_value"))
+        .toMap
+      assert(rows(Timestamp.valueOf("2024-01-01 00:00:00")) == 3.0,
+        "hour-0 window should be finalized WITHOUT the late straggler")
+    } finally q.stop()
+  }
+
   test("stream-static tier join matches batch, unknown users bucketed") {
     val evRows = Seq(
       (Timestamp.valueOf("2024-01-01 00:05:00"), 1L, 1.0),
