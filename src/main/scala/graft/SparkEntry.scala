@@ -217,6 +217,19 @@ object SparkEntry {
     // --- corpus pipelines (SURVEY.md §2) ---
     "train_test_split" -> ((s, d) => Corpus.trainTestSplit(Tables(s, d, "documents"))),
     "quality_filter" -> ((s, d) => Corpus.qualityFilter(Tables(s, d, "documents"))),
+    // one-row funnel over the whole prep pipeline: raw -> exact-unique
+    // -> predicted-en -> full quality gate (each stage one aggregate;
+    // 1-row frames cross-joined, all broadcast)
+    "pipeline_summary" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(docs.agg(count_distinct(md5(col("text"))).as("n_exact_unique")))
+        .crossJoin(docs
+          .filter(TextAnalysis.predictedLangExpr(col("text")) === "en")
+          .agg(count(lit(1)).as("n_predicted_en")))
+        .crossJoin(Corpus.qualityFilter(docs)
+          .agg(count(lit(1)).as("n_pass_quality_gate")))
+    }),
     "dedup_cluster" -> ((s, d) => Corpus.connectedComponents(
       Dedup.ngramJaccard(Tables(s, d, "documents")), "doc_a", "doc_b")),
   )
@@ -594,6 +607,21 @@ object SparkEntry {
          |  ON q.doc_id = k.doc_id
          |WHERE l.predicted_lang = 'en' AND q.quality_score >= 0.5
          |ORDER BY q.doc_id""".stripMargin,
+    // Mirrors the pipeline_summary funnel (scalar-subquery composition
+    // of the lang/quality/keeper fragments).
+    "pipeline_summary" ->
+      s"""SELECT
+         |  (SELECT COUNT(*) FROM documents) AS n_docs,
+         |  (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT) FROM documents)
+         |    AS n_exact_unique,
+         |  (SELECT COUNT(*) FROM ($langIdBody) WHERE predicted_lang = 'en')
+         |    AS n_predicted_en,
+         |  (SELECT COUNT(*) FROM ($textQualityBody) q
+         |   JOIN ($langIdBody) l ON q.doc_id = l.doc_id
+         |   JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+         |     ON q.doc_id = k.doc_id
+         |   WHERE l.predicted_lang = 'en' AND q.quality_score >= 0.5)
+         |    AS n_pass_quality_gate""".stripMargin,
     // Mirrors Corpus.trainTestSplit: md5 last-nibble split (13/16 train),
     // stratified by token-length band.
     "train_test_split" ->
