@@ -339,6 +339,45 @@ object SparkEntry {
       |    AS quality_score
       |FROM b""".stripMargin
 
+  /** Mirrors TextAnalysis.fingerprint (window=64): the Karp–Rabin
+    * recurrence replayed positionally by a recursive CTE over per-doc
+    * byte lists (ascii corpus: unicode(char) == utf-8 byte). The base
+    * 257 / mod 2^31-1 arithmetic keeps every intermediate BIGINT-safe,
+    * which is exactly why the kernel uses it. DuckDB's % keeps the
+    * dividend's sign (like Java), so the same +M adjustment applies.
+    */
+  private def docFingerprintSql: String = {
+    val w = 64
+    val m = graft.functions.RollingFingerprint.Mod
+    val b = graft.functions.RollingFingerprint.Base
+    val pow = (1 to w).foldLeft(1L)((p, _) => p * b % m) // B^w mod M
+    s"""WITH RECURSIVE
+       |chl AS (
+       |  SELECT doc_id,
+       |    list(CAST(unicode(substr(text, i, 1)) AS BIGINT) ORDER BY i) AS cs
+       |  FROM documents,
+       |    UNNEST(generate_series(1, length(text))) AS t(i)
+       |  GROUP BY doc_id),
+       |st(doc_id, p, h, mn) AS (
+       |  SELECT doc_id, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT) FROM chl
+       |  UNION ALL
+       |  SELECT s.doc_id, s.p + 1,
+       |    CASE WHEN s.p < $w
+       |      THEN (s.h * $b + l.cs[s.p + 1]) % $m
+       |      ELSE ((s.h * $b + l.cs[s.p + 1]
+       |             - CAST($pow AS BIGINT) * l.cs[s.p + 1 - $w]) % $m
+       |            + $m) % $m END AS hnew,
+       |    CASE WHEN s.p + 1 >= $w
+       |      THEN LEAST(COALESCE(s.mn, hnew), hnew) ELSE NULL END
+       |  FROM st s JOIN chl l ON s.doc_id = l.doc_id
+       |  WHERE s.p < len(l.cs))
+       |SELECT s.doc_id, CASE WHEN len(l.cs) <= $w THEN s.h ELSE s.mn END
+       |  AS fingerprint
+       |FROM st s JOIN chl l ON s.doc_id = l.doc_id
+       |WHERE s.p = len(l.cs)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   /** Mirrors Similarity.embeddingNearDup (8 bands × 6 planes, τ=0.35):
     * the SAME deterministic hyperplanes embedded as DOUBLE[] literals,
     * sign bits packed to the band bucket with plain integer arithmetic,
@@ -808,6 +847,7 @@ object SparkEntry {
         |FROM f, UNNEST(generate_series(0, n_frames - 1, 5)) AS t(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "dedup_embedding" -> embeddingNearDupSql,
+    "doc_fingerprint" -> docFingerprintSql,
     // DuckDB's list_cosine_similarity over DOUBLE[] performs the same
     // double-precision MAC as graft's VectorDot, so even round-4 values
     // hash-match. Mirrors Similarity.bruteForceTopK (probes vec_id<10, k=5).
