@@ -378,6 +378,81 @@ object SparkEntry {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  /** Mirrors Dedup.simhash (62-bit signature over word 3-gram shingle
+    * features, 4 blocks, Hamming ≤ 3): replays SimHash64's two Horner
+    * polynomial hashes (bases 257/263 mod 2^31-1 — BIGINT-safe by
+    * construction, see SimHash64.scala) + xorshift-multiply avalanche
+    * per distinct shingle via a powers table, re-votes the 62 bits,
+    * re-packs the signature, and re-runs the pigeonhole block join.
+    * Even the LSH candidate set is bit-identical, so the pairs
+    * hash-check end to end.
+    */
+  private def simhashPairsSql: String = {
+    val n = 3
+    val m = graft.functions.SimHash64.Mod
+    val ba = graft.functions.SimHash64.BaseA
+    val bb = graft.functions.SimHash64.BaseB
+    val (c1, c2) = (graft.functions.SimHash64.MixC1, graft.functions.SimHash64.MixC2)
+    val mask = graft.functions.SimHash64.Mask
+    // One xorshift-multiply finalizer round as SQL text (h must be a
+    // plain column reference; each round is its own projection).
+    def xsrMul(h: String, s: Int, c: Long) =
+      s"(xor($h, $h >> $s) * $c) & $mask"
+    def xsr(h: String, s: Int) = s"xor($h, $h >> $s)"
+    val gram = (0 until n).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
+    s"""WITH RECURSIVE
+       |pw(k, pa, pb) AS (
+       |  SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+       |  UNION ALL
+       |  SELECT k + 1, pa * $ba % $m, pb * $bb % $m FROM pw WHERE k < 4096),
+       |toks AS (
+       |  SELECT DISTINCT doc_id, tok FROM (
+       |    SELECT doc_id, $gram AS tok
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |         UNNEST(generate_series(1, len(tk) - ${n - 1})) AS g(i)
+       |    UNION ALL
+       |    SELECT doc_id, text AS tok FROM documents
+       |    WHERE len(string_split(text, ' ')) < $n)),
+       |hsum AS (
+       |  SELECT doc_id, tok,
+       |    SUM(CAST(unicode(substr(tok, i, 1)) AS BIGINT) * p.pa) % $m AS h1,
+       |    SUM(CAST(unicode(substr(tok, i, 1)) AS BIGINT) * p.pb) % $m AS h2
+       |  FROM toks, UNNEST(generate_series(1, length(tok))) AS g(i)
+       |  JOIN pw p ON p.k = length(tok) - i
+       |  GROUP BY doc_id, tok),
+       |mix1 AS (
+       |  SELECT t.doc_id, COALESCE(h.h1, 0) AS h1, COALESCE(h.h2, 0) AS h2
+       |  FROM toks t LEFT JOIN hsum h USING (doc_id, tok)),
+       |mix2 AS (
+       |  SELECT doc_id, ${xsrMul("h1", 16, c1)} AS h1,
+       |                 ${xsrMul("h2", 15, c1)} AS h2 FROM mix1),
+       |mix3 AS (
+       |  SELECT doc_id, ${xsrMul("h1", 13, c2)} AS h1,
+       |                 ${xsrMul("h2", 14, c2)} AS h2 FROM mix2),
+       |th AS (
+       |  SELECT doc_id, ${xsr("h1", 16)} AS h1,
+       |                 ${xsr("h2", 15)} AS h2 FROM mix3),
+       |votes AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN ((CASE WHEN j < 31 THEN h1 ELSE h2 END)
+       |             >> (j % 31)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th, UNNEST(generate_series(0, 61)) AS b(j)
+       |  GROUP BY doc_id, j),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS sig
+       |  FROM votes GROUP BY doc_id),
+       |blocked AS (
+       |  SELECT doc_id, sig, blk, (sig >> (blk * 16)) & 65535 AS key
+       |  FROM sigs, UNNEST(generate_series(0, 3)) AS b(blk))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.sig, b.sig)) AS hamming
+       |FROM blocked a JOIN blocked b
+       |  ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Mirrors Similarity.embeddingNearDup (8 bands × 6 planes, τ=0.35):
     * the SAME deterministic hyperplanes embedded as DOUBLE[] literals,
     * sign bits packed to the band bucket with plain integer arithmetic,
@@ -848,6 +923,7 @@ object SparkEntry {
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "dedup_embedding" -> embeddingNearDupSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "dedup_simhash" -> simhashPairsSql,
     // DuckDB's list_cosine_similarity over DOUBLE[] performs the same
     // double-precision MAC as graft's VectorDot, so even round-4 values
     // hash-match. Mirrors Similarity.bruteForceTopK (probes vec_id<10, k=5).

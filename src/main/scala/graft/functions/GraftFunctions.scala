@@ -29,10 +29,10 @@ object GraftFunctions {
     org.apache.spark.sql.graft.Bridge.column(
       WordShingles(org.apache.spark.sql.graft.Bridge.expression(text), n))
 
-  /** Column wrapper for [[SimHash64]]. */
-  def simhash64(text: Column): Column =
+  /** Column wrapper for [[SimHash64]] (word n-gram shingle features). */
+  def simhash64(text: Column, n: Int = 3): Column =
     org.apache.spark.sql.graft.Bridge.column(
-      SimHash64(org.apache.spark.sql.graft.Bridge.expression(text)))
+      SimHash64(org.apache.spark.sql.graft.Bridge.expression(text), n))
 
   /** Column wrapper for [[MinHashSig]]. */
   def minhashSig(text: Column, n: Int, k: Int): Column =
@@ -64,8 +64,9 @@ object GraftFunctions {
 
   private[functions] def simhashBuilder(args: Seq[Expression]): Expression =
     args match {
-      case Seq(c) => SimHash64(c)
-      case _ => throw new IllegalArgumentException("simhash64(text)")
+      case Seq(c) => SimHash64(c, 3)
+      case Seq(c, Literal(n: Int, _)) => SimHash64(c, n)
+      case _ => throw new IllegalArgumentException("simhash64(text[, n_literal])")
     }
 
   private[functions] val ident = FunctionIdentifier("rolling_fingerprint")

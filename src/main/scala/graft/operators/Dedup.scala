@@ -126,21 +126,23 @@ object Dedup {
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ `maxHamming`.
     *
-    * The 64-bit signature is cut into `maxHamming + 1` blocks; by
-    * pigeonhole two signatures within the radius collide on at least one
-    * block, so the block-equality join finds every qualifying pair while
-    * only materializing same-block candidates. `bit_count(a XOR b)`
-    * verifies exactly.
+    * The signature is over word `n`-gram shingle features (see
+    * SimHash64's scaladoc for why unigram tokens collapse on
+    * small-vocabulary corpora). It is cut into `maxHamming + 1`
+    * blocks; by pigeonhole two signatures within the radius collide on
+    * at least one block, so the block-equality join finds every
+    * qualifying pair while only materializing same-block candidates.
+    * `bit_count(a XOR b)` verifies exactly.
     */
-  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhash(docs: DataFrame, maxHamming: Int = 3, n: Int = 3): DataFrame = {
     val blocks = maxHamming + 1
     val bits = 64 / blocks
     // Signatures come from the native SimHash64 kernel: a document's
-    // tokens are already colocated in its row, so the
+    // shingles are already colocated in its row, so the
     // explode+groupBy(doc) formulation shuffles for nothing — this is
     // a pure projection over the scan.
     val sigs = docs.select(col("doc_id"),
-      graft.functions.GraftFunctions.simhash64(col("text")).as("sig"))
+      graft.functions.GraftFunctions.simhash64(col("text"), n).as("sig"))
     val blocked = sigs.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(blocks - 1)), b =>

@@ -20,15 +20,34 @@ class SimHash64Spec extends SparkSpec {
       def bitSign(h: org.apache.spark.sql.Column, b: Int) =
         when(call_function("shiftright", h, lit(b)).bitwiseAND(lit(1L)) === 1L, 1L)
           .otherwise(-1L)
+      // Horner polynomial hash over the token's chars (ascii corpus:
+      // char code == utf-8 byte), declared via the aggregate lambda —
+      // the independent formulation of SimHash64.polyHash.
+      def poly(t: org.apache.spark.sql.Column, base: Long,
+               s1: Int, s2: Int, s3: Int) = {
+        import org.apache.spark.sql.Column
+        val h = aggregate(split(t, ""), lit(0L),
+          (acc, c) => (acc * base + ascii(c)) % SimHash64.Mod)
+        def xsr(x: Column, s: Int) =
+          x.bitwiseXOR(call_function("shiftright", x, lit(s)))
+        def mul(x: Column, c: Long) = (x * c).bitwiseAND(lit(SimHash64.Mask))
+        xsr(mul(xsr(mul(xsr(h, s1), SimHash64.MixC1), s2), SimHash64.MixC2), s3)
+      }
+      val tk = split(col("text"), " ")
+      val feats = when(size(tk) < 3, array(col("text")))
+        .otherwise(graft.operators.TextOps.shinglesHof(tk, 3))
       val th = docs
+        .select(col("doc_id"), explode(feats).as("t"))
         .select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("t"))
-        .select(col("doc_id"), xxhash64(col("t")).as("h"))
+          poly(col("t"), SimHash64.BaseA, 16, 13, 16).as("h1"),
+          poly(col("t"), SimHash64.BaseB, 15, 14, 15).as("h2"))
       th.groupBy("doc_id").agg(
-          sum(bitSign(col("h"), 0)).as("c0"),
-          (1 until 64).map(b => sum(bitSign(col("h"), b)).as(s"c$b")): _*)
+          sum(bitSign(col("h1"), 0)).as("c0"),
+          ((1 until 31).map(b => sum(bitSign(col("h1"), b)).as(s"c$b")) ++
+            (0 until 31).map(b =>
+              sum(bitSign(col("h2"), b)).as(s"c${31 + b}"))): _*)
         .select(col("doc_id"),
-          (0 until 64).map(b =>
+          (0 until 62).map(b =>
             when(col(s"c$b") > 0, lit(1L << b)).otherwise(0L))
             .reduce(_.bitwiseOR(_)).as("sig"))
     }
