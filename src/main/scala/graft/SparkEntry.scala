@@ -453,6 +453,132 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Mirrors Sessionize.approxStats: graft's deterministic HLL (p=9,
+    * avalanche hash, integer register sum) + hash-sampled exact
+    * quantiles. The only transcendental — the linear-counting table
+    * m·ln(m/V) — is computed on the JVM and embedded as 512 literals
+    * (libms disagree on ln in the last ulp); everything else is BIGINT
+    * arithmetic or single IEEE ops, so the estimates hash-check.
+    */
+  private def approxStatsSql: String = {
+    import graft.operators.Sessionize._
+    val m = graft.functions.SimHash64.Mod
+    val (c1, c2) = (graft.functions.SimHash64.MixC1, graft.functions.SimHash64.MixC2)
+    val mask = graft.functions.SimHash64.Mask
+    def xsrMul(h: String, s: Int, c: Long) = s"(xor($h, $h >> $s) * $c) & $mask"
+    def xsr(h: String, s: Int) = s"xor($h, $h >> $s)"
+    val rhoCase = (1 to HllValueBits).map(r =>
+      s"WHEN v >= ${1L << (HllValueBits - r)} THEN $r").mkString(" ")
+    val lc = (1 to 512).map(v =>
+      s"($v, ${LcTable(v - 1).toString})").mkString(", ")
+    val alpha = HllAlphaM2P.toString
+    s"""WITH e0 AS (
+       |  SELECT event_type, value,
+       |    ((user_id % $m) + $m) % $m AS hu,
+       |    ((event_id % $m) + $m) % $m AS he
+       |  FROM events),
+       |e1 AS (SELECT event_type, value, ${xsrMul("hu", 16, c1)} AS hu,
+       |              ${xsrMul("he", 15, c1)} AS he FROM e0),
+       |e2 AS (SELECT event_type, value, ${xsrMul("hu", 13, c2)} AS hu,
+       |              ${xsrMul("he", 14, c2)} AS he FROM e1),
+       |e3 AS (SELECT event_type, value, ${xsr("hu", 16)} AS hu,
+       |              ${xsr("he", 15)} AS he FROM e2),
+       |rws AS (
+       |  SELECT event_type, value, hu & ${HllM - 1} AS bucket,
+       |    CASE WHEN v = 0 THEN ${HllValueBits + 1} $rhoCase END AS rho,
+       |    he % $SampleMod = 0 AS sampled
+       |  FROM (SELECT *, hu >> $HllP AS v FROM e3)),
+       |regs AS (
+       |  SELECT event_type, bucket, MAX(rho) AS mrho
+       |  FROM rws GROUP BY event_type, bucket),
+       |hll AS (
+       |  SELECT event_type,
+       |    SUM(CAST(1 AS BIGINT) << (${HllValueBits + 1} - mrho))
+       |      + ($HllM - COUNT(*)) * ${1L << (HllValueBits + 1)} AS zn,
+       |    $HllM - COUNT(*) AS v_empty
+       |  FROM regs GROUP BY event_type),
+       |lc(v, est) AS (VALUES $lc),
+       |per AS (
+       |  SELECT event_type, COUNT(*) AS n_events,
+       |    CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+       |    ROUND(quantile_cont(CASE WHEN sampled THEN value END, 0.5), 4) AS p50_value,
+       |    ROUND(quantile_cont(CASE WHEN sampled THEN value END, 0.95), 4) AS p95_value,
+       |    ROUND(quantile_cont(CASE WHEN sampled THEN value END, 0.99), 4) AS p99_value
+       |  FROM rws GROUP BY event_type)
+       |SELECT p.event_type, p.n_events,
+       |  ROUND(CASE WHEN h.v_empty > 0 AND $alpha / h.zn <= ${2.5 * HllM}
+       |        THEN l.est ELSE $alpha / h.zn END, 4) AS approx_users,
+       |  p.n_sample, p.p50_value, p.p95_value, p.p99_value
+       |FROM per p JOIN hll h USING (event_type)
+       |LEFT JOIN lc l ON l.v = h.v_empty
+       |ORDER BY p.event_type""".stripMargin
+  }
+
+  /** Mirrors Dedup.minhashLsh (3-shingles, k=32 affine MinHash, 8
+    * bands × 4 rows, Jaccard ≥ 0.5): replays the shared Horner+
+    * avalanche shingle hash, the k affine permutations (coefficients
+    * embedded as literals), the Horner band buckets, the candidate
+    * join, and the exact-Jaccard verification. The whole approximate
+    * pipeline — including which candidate pairs LSH surfaces — is
+    * bit-identical, so the result hash-checks.
+    */
+  private def minhashPairsSql: String = {
+    val (n, k, bands, minJ) = (3, 32, 8, 0.5)
+    val rows = k / bands
+    val m = graft.functions.MinHashSig.Mod
+    val p = graft.operators.Dedup.BucketBase
+    val (c1, c2) = (graft.functions.SimHash64.MixC1, graft.functions.SimHash64.MixC2)
+    val mask = graft.functions.SimHash64.Mask
+    val ba = graft.functions.SimHash64.BaseA
+    val gram = (0 until n).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
+    val cf = (0 until k).map(i =>
+      s"(${i}, ${graft.functions.MinHashSig.coeffA(i)}, " +
+        s"${graft.functions.MinHashSig.coeffB(i)})").mkString(", ")
+    val rowCols = (0 until rows).map(r =>
+      s"MAX(CASE WHEN hi % $rows = $r THEN mn END) AS m$r").mkString(",\n    ")
+    val bucketFold = (1 until rows).foldLeft("m0")((acc, r) =>
+      s"(($acc) * $p + m$r) % $m")
+    val jac = "CAST(len(list_intersect(sa.ls, sb.ls)) AS DOUBLE)" +
+      " / len(list_distinct(sa.ls || sb.ls))"
+    s"""WITH RECURSIVE
+       |pw(k, pa) AS (
+       |  SELECT 0, CAST(1 AS BIGINT)
+       |  UNION ALL SELECT k + 1, pa * $ba % $m FROM pw WHERE k < 4096),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, $gram AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |       UNNEST(generate_series(1, len(tk) - ${n - 1})) AS g(i)),
+       |hs AS (
+       |  SELECT doc_id, s,
+       |    SUM(CAST(unicode(substr(s, i, 1)) AS BIGINT) * p.pa) % $m AS h
+       |  FROM sh, UNNEST(generate_series(1, length(s))) AS g(i)
+       |  JOIN pw p ON p.k = length(s) - i
+       |  GROUP BY doc_id, s),
+       |x1 AS (SELECT doc_id, (xor(h, h >> 16) * $c1) & $mask AS h FROM hs),
+       |x2 AS (SELECT doc_id, (xor(h, h >> 13) * $c2) & $mask AS h FROM x1),
+       |xs AS (SELECT doc_id, xor(h, h >> 16) AS x FROM x2),
+       |cf(hi, a, b) AS (VALUES $cf),
+       |mins AS (
+       |  SELECT doc_id, hi, MIN((a * x + b) % $m) AS mn
+       |  FROM xs, cf GROUP BY doc_id, hi),
+       |bm AS (
+       |  SELECT doc_id, hi // $rows AS band,
+       |    $rowCols
+       |  FROM mins GROUP BY doc_id, hi // $rows),
+       |banded AS (SELECT doc_id, band, $bucketFold AS bucket FROM bm),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |shl AS (SELECT doc_id, list(DISTINCT s) AS ls FROM sh GROUP BY doc_id)
+       |SELECT doc_a, doc_b, $jac AS jaccard
+       |FROM cand
+       |JOIN shl sa ON doc_a = sa.doc_id
+       |JOIN shl sb ON doc_b = sb.doc_id
+       |WHERE $jac >= $minJ
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Mirrors Similarity.embeddingNearDup (8 bands × 6 planes, τ=0.35):
     * the SAME deterministic hyperplanes embedded as DOUBLE[] literals,
     * sign bits packed to the band bucket with plain integer arithmetic,
@@ -924,6 +1050,8 @@ object SparkEntry {
     "dedup_embedding" -> embeddingNearDupSql,
     "doc_fingerprint" -> docFingerprintSql,
     "dedup_simhash" -> simhashPairsSql,
+    "dedup_minhash_lsh" -> minhashPairsSql,
+    "events_approx_stats" -> approxStatsSql,
     // DuckDB's list_cosine_similarity over DOUBLE[] performs the same
     // double-precision MAC as graft's VectorDot, so even round-4 values
     // hash-match. Mirrors Similarity.bruteForceTopK (probes vec_id<10, k=5).

@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Horner base for LSH band-bucket folds (BucketBase · 2^31 < 2^62,
+    * BIGINT-safe).
+    */
+  final val BucketBase = 1000003L
+
   /** Exact dedup by content hash. Keeper = lowest doc_id per cluster.
     * At 100 TB this is a single shuffle on a well-distributed key
     * (md5), with partial aggregation collapsing each partition first.
@@ -100,11 +105,18 @@ object Dedup {
     val sig = docs.select(col("doc_id"),
       graft.functions.GraftFunctions.minhashSig(col("text"), n, numHashes).as("sig"))
       .filter(col("sig").isNotNull)
+    // Band bucket = Horner fold of the band's mins mod 2^31-1 — same
+    // BIGINT-safe family as the signature itself, so the oracle
+    // replays the exact buckets (a murmur `hash(...)` bucket could
+    // not be reproduced outside the JVM).
+    def bucket(b: Int) =
+      (b * rows until (b + 1) * rows).foldLeft(lit(0L)) { (acc, i) =>
+        (acc * Dedup.BucketBase + element_at(col("sig"), i + 1)) %
+          graft.functions.MinHashSig.Mod
+      }
     val banded = sig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          hash((b * rows until (b + 1) * rows).map(i =>
-            element_at(col("sig"), i + 1)): _*).as("bucket"))): _*)).as("bb"))
+        struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     val candidates = banded.as("a")
       .join(banded.as("b"),

@@ -15,6 +15,26 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
+  // --- Deterministic-HLL parameters (see approxStats) ---------------
+  final val HllMod = graft.functions.SimHash64.Mod // 2^31 - 1
+  final val HllP = 9 // register-index bits
+  final val HllM = 1L << HllP // 512 registers
+  final val HllValueBits = 31 - HllP // 22 rho bits; rho ∈ [1, 23]
+  final val SampleMod = 8 // quantile sample: he % 8 == 0 (12.5%)
+  /** alpha_m · m² · 2^(valueBits+1): the raw-HLL estimate is this over
+    * the integer register sum ZN = Σ 2^(23-M_j) — a single IEEE
+    * division, identical in any engine.
+    */
+  final val HllAlphaM2P: Double =
+    (0.7213 / (1.0 + 1.079 / 512.0)) * (512.0 * 512.0 * 8388608.0)
+  /** Linear-counting estimates m·ln(m/V) for V = 1..512, computed ONCE
+    * on the JVM and embedded as literals in the oracle SQL — ln is the
+    * one operation libms disagree on (measured: 2/512 args differ
+    * between Math.log and glibc), so neither engine may recompute it.
+    */
+  final val LcTable: Array[Double] =
+    Array.tabulate(512)(i => 512.0 * math.log(512.0 / (i + 1)))
+
   /** 30-minute-gap sessionization. A session starts where the gap to the
     * previous event of the same user exceeds `gapMinutes` (or at the
     * user's first event); running count of starts numbers the sessions.
@@ -118,24 +138,69 @@ object Sessionize {
       hll_sketch_estimate(hll_union_agg(col("user_sketch")))
         .as("approx_distinct_users"))
 
-  /** Sketch aggregates per event type: HyperLogLog++ distinct users and
-    * approximate value quantiles. At 100 TB these replace exact
-    * count-distinct / percentile (whose state is unbounded) with fixed-
-    * size mergeable sketches — partial aggregation ships kilobytes per
-    * partition instead of the value set. Sketch contents are
-    * engine-specific, so this is a rows-only query (no DuckDB oracle);
-    * the spec bounds the approximation error against exact answers.
+  /** Sketch aggregates per event type: HyperLogLog distinct users
+    * (graft's own deterministic registers) and value quantiles over a
+    * deterministic hash sample. At 100 TB these replace exact
+    * count-distinct / percentile (whose state is unbounded) with
+    * fixed-size mergeable state — the register pass partially
+    * aggregates to ≤ types × 512 rows per partition, and the sample
+    * bounds the percentile sort to `1/sampleMod` of the stream.
+    *
+    * Unlike `approx_count_distinct`/`percentile_approx` (whose sketch
+    * contents are engine-private), every step here is plain BIGINT
+    * arithmetic on the shared avalanche hash ([[SimHash64.mix]]), so
+    * the DuckDB oracle replays registers, estimates and sample
+    * bit-for-bit and the query is hash-checked like the exact ones.
+    * Linear-counting constants (the one transcendental, ln) are
+    * computed once here and embedded in the oracle as literals.
     */
-  def approxStats(events: DataFrame): DataFrame =
-    events.groupBy("event_type")
-      .agg(
-        count(lit(1)).as("n_events"),
-        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
-        percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
-          lit(10000)).as("pq"))
-      .select(col("event_type"), col("n_events"), col("approx_users"),
+  def approxStats(events: DataFrame): DataFrame = {
+    import Sessionize._
+    val m = HllM
+    // 31-bit avalanche of a BIGINT key, normalized to [0, Mod).
+    def mix31(c: org.apache.spark.sql.Column, s1: Int, s2: Int, s3: Int) = {
+      val norm = (c % HllMod + HllMod) % HllMod
+      def xsr(v: org.apache.spark.sql.Column, s: Int) =
+        v.bitwiseXOR(call_function("shiftright", v, lit(s)))
+      def mul(v: org.apache.spark.sql.Column, k: Long) =
+        (v * k).bitwiseAND(lit(graft.functions.SimHash64.Mask))
+      xsr(mul(xsr(mul(xsr(norm, s1), graft.functions.SimHash64.MixC1), s2),
+        graft.functions.SimHash64.MixC2), s3)
+    }
+    val hu = mix31(col("user_id"), 16, 13, 16)
+    val he = mix31(col("event_id"), 15, 14, 15)
+    val v = call_function("shiftright", hu, lit(HllP))
+    // rank of the highest set bit → rho ∈ [1, 23]; 0 → 23
+    val rho = (1 to HllValueBits).foldLeft(when(lit(false), 0)) {
+      (acc, r) => acc.when(v >= (1L << (HllValueBits - r)), r)
+    }.otherwise(HllValueBits + 1)
+    val rows = events.select(col("event_type"), col("value"),
+      hu.bitwiseAND(lit(m - 1L)).as("bucket"), rho.as("rho"),
+      (he % SampleMod === 0).as("sampled"))
+    val regs = rows.groupBy("event_type", "bucket")
+      .agg(max("rho").as("mrho"))
+    val hll = regs.groupBy("event_type").agg(
+      (sum(call_function("shiftleft", lit(1L), lit(HllValueBits + 1) - col("mrho"))) +
+        (lit(m) - count(lit(1))) * (1L << (HllValueBits + 1))).as("zn"),
+      (lit(m) - count(lit(1))).as("v_empty"))
+    val raw = lit(HllAlphaM2P) / col("zn")
+    // greatest(..,1): when v_empty = 0 the branch is unused but ANSI
+    // element_at still type-checks the index eagerly.
+    val est = when(col("v_empty") > 0 && raw <= lit(2.5 * m),
+        element_at(lit(LcTable), greatest(col("v_empty"), lit(1L)).cast("int")))
+      .otherwise(raw)
+    val per = rows.groupBy("event_type").agg(
+      count(lit(1)).as("n_events"),
+      sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sample"),
+      percentile(when(col("sampled"), col("value")),
+        array(lit(0.5), lit(0.95), lit(0.99))).as("pq"))
+    per.join(hll, Seq("event_type"))
+      .select(col("event_type"), col("n_events"),
+        round(est, 4).as("approx_users"),
+        col("n_sample"),
         round(element_at(col("pq"), 1), 4).as("p50_value"),
         round(element_at(col("pq"), 2), 4).as("p95_value"),
         round(element_at(col("pq"), 3), 4).as("p99_value"))
       .orderBy("event_type")
+  }
 }
