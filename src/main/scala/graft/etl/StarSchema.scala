@@ -134,8 +134,15 @@ object StarSchema {
                 attrs: Seq[String], keyName: String, asOf: String): DataFrame = {
     val outCols = (keyName +: (businessKey ++ attrs)) ++
       Seq("valid_from", "valid_to", "is_current")
-    val current = dim.filter(col("is_current"))
-    val history = dim.filter(!col("is_current"))
+    // The dim side is read by three otherwise-independent jobs — the
+    // merge join, the 1-row max-key aggregate, and the history branch
+    // of the final union. When the caller derives it inline (rather
+    // than reading a stored table) each of those replays the whole
+    // dim-build lineage; pin it once — it is dimension-sized by
+    // definition.
+    val dimM = dim.localCheckpoint(eager = false)
+    val current = dimM.filter(col("is_current"))
+    val history = dimM.filter(!col("is_current"))
     val snap = snapshot.select((businessKey ++ attrs).map(col): _*).distinct()
 
     val attrDiffers: Column = attrs
@@ -151,7 +158,7 @@ object StarSchema {
     val joined = current.as("cur").join(snap.as("snap"),
       businessKey.map(k => col(s"cur.$k") <=> col(s"snap.$k")).reduce(_ && _),
       "full_outer")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     // current rows absent from the snapshot, or with identical attrs: keep
     val untouched = joined
