@@ -140,6 +140,8 @@ object SparkEntry {
       TextAnalysis.fingerprint(Tables(s, d, "documents"))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(Tables(s, d, "documents"))),
     "corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables(s, d, "documents"))),
+    "doc_repetition" -> ((s, d) => TextAnalysis.repetition(Tables(s, d, "documents"))),
+    "decontaminate" -> ((s, d) => Corpus.decontaminate(Tables(s, d, "documents"))),
     // --- events: batch + streaming-twin (SURVEY.md §2) ---
     "events_sessionize" -> ((s, d) => Sessionize.sessions(Tables(s, d, "events"))),
     "events_hourly" -> ((s, d) =>
@@ -1049,6 +1051,52 @@ object SparkEntry {
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "dedup_embedding" -> embeddingNearDupSql,
     "doc_fingerprint" -> docFingerprintSql,
+    // Mirrors TextAnalysis.repetition (word 3-grams, non-distinct
+    // counts; short docs report zeros).
+    "doc_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+        |      FROM tk, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)),
+        |cnt AS (SELECT doc_id, s, COUNT(*) AS c FROM g GROUP BY doc_id, s),
+        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total_ngrams,
+        |          CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+        |          CAST(MAX(c) AS BIGINT) AS top_ngram_freq
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.total_ngrams, 0) AS total_ngrams,
+        |  COALESCE(a.distinct_ngrams, 0) AS distinct_ngrams,
+        |  COALESCE(a.top_ngram_freq, 0) AS top_ngram_freq,
+        |  CASE WHEN a.total_ngrams IS NULL THEN 0.0
+        |       ELSE ROUND(1.0 - CAST(a.distinct_ngrams AS DOUBLE) / a.total_ngrams, 4)
+        |  END AS repetition_ratio,
+        |  CASE WHEN a.total_ngrams IS NULL THEN 0.0
+        |       ELSE ROUND(CAST(a.top_ngram_freq AS DOUBLE) / a.total_ngrams, 4)
+        |  END AS top_ngram_ratio
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // Mirrors Corpus.decontaminate (md5-nibble split, word 8-grams,
+    // gram semi-join → anti-join): the clean train doc_ids.
+    "decontaminate" -> {
+      val gram8 = (0 until 8).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
+      s"""WITH lab AS (
+         |  SELECT doc_id, text,
+         |    (CASE WHEN ascii(substr(md5(text), 32, 1)) <= 57
+         |          THEN ascii(substr(md5(text), 32, 1)) - 48
+         |          ELSE ascii(substr(md5(text), 32, 1)) - 87 END) < 13 AS is_train
+         |  FROM documents),
+         |tg AS (
+         |  SELECT doc_id, $gram8 AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM lab WHERE is_train),
+         |       UNNEST(generate_series(1, len(tk) - 7)) AS u(i)),
+         |sg AS (
+         |  SELECT DISTINCT $gram8 AS g
+         |  FROM (SELECT string_split(text, ' ') AS tk FROM lab WHERE NOT is_train),
+         |       UNNEST(generate_series(1, len(tk) - 7)) AS u(i)),
+         |bad AS (SELECT DISTINCT tg.doc_id FROM tg JOIN sg USING (g))
+         |SELECT l.doc_id FROM lab l LEFT JOIN bad b USING (doc_id)
+         |WHERE l.is_train AND b.doc_id IS NULL
+         |ORDER BY l.doc_id""".stripMargin
+    },
     "dedup_simhash" -> simhashPairsSql,
     "dedup_minhash_lsh" -> minhashPairsSql,
     "events_approx_stats" -> approxStatsSql,

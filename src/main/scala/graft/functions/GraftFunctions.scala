@@ -34,6 +34,11 @@ object GraftFunctions {
     org.apache.spark.sql.graft.Bridge.column(
       SimHash64(org.apache.spark.sql.graft.Bridge.expression(text), n))
 
+  /** Column wrapper for [[RepetitionStats]]. */
+  def repetitionStats(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      RepetitionStats(org.apache.spark.sql.graft.Bridge.expression(text), n))
+
   /** Column wrapper for [[MinHashSig]]. */
   def minhashSig(text: Column, n: Int, k: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(
@@ -84,6 +89,15 @@ object GraftFunctions {
   private[functions] val simhashIdent = FunctionIdentifier("simhash64")
   private[functions] val simhashInfo = new ExpressionInfo(
     classOf[SimHash64].getName, "simhash64")
+  private[functions] def repetitionBuilder(args: Seq[Expression]): Expression =
+    args match {
+      case Seq(c, Literal(n: Int, _)) => RepetitionStats(c, n)
+      case _ => throw new IllegalArgumentException(
+        "repetition_stats(text, n_literal)")
+    }
+  private[functions] val repetitionIdent = FunctionIdentifier("repetition_stats")
+  private[functions] val repetitionInfo = new ExpressionInfo(
+    classOf[RepetitionStats].getName, "repetition_stats")
 
   /** Register into an already-built session (idempotent), so
     * `expr("rolling_fingerprint(text, 64)")` and spark.sql work.
@@ -99,6 +113,9 @@ object GraftFunctions {
       .createOrReplaceTempFunction("word_shingles", shinglesBuilder, "scala_udf")
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("simhash64", simhashBuilder, "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("repetition_stats", repetitionBuilder,
+        "scala_udf")
   }
 }
 
@@ -121,5 +138,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (GraftFunctions.simhashIdent, GraftFunctions.simhashInfo,
         GraftFunctions.simhashBuilder))
+    ext.injectFunction(
+      (GraftFunctions.repetitionIdent, GraftFunctions.repetitionInfo,
+        GraftFunctions.repetitionBuilder))
   }
 }

@@ -56,6 +56,39 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: drop train documents that share any
+    * word `n`-gram with the held-out test set (the standard guard
+    * against test-set leakage into LLM training data; long n-grams so
+    * topical overlap doesn't false-positive).
+    *
+    * The split reuses [[trainTestSplit]]'s content-hash nibble, so
+    * membership is deterministic and re-ingestion-stable. Scale shape:
+    * the test side is the small fraction — its DISTINCT n-gram set
+    * shards the semi-join by gram (an inverted-index probe, never doc ×
+    * doc), contaminated ids collapse via DISTINCT before the anti-join,
+    * and the corpus is scanned once per side with the n-gram kernel.
+    * Returns the clean train doc_ids.
+    */
+  def decontaminate(docs: DataFrame, n: Int = 8,
+                    trainSlots: Int = 13): DataFrame = {
+    val h = ascii(substring(md5(col("text")), 32, 1))
+    val nibble = when(h <= 57, h - 48).otherwise(h - 87)
+    val tagged = docs.select(col("doc_id"), col("text"),
+      (nibble < trainSlots).as("is_train"))
+    val trainGrams = tagged.filter(col("is_train"))
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("g"))
+    val testGrams = tagged.filter(!col("is_train"))
+      .select(explode(TextOps.shingles(col("text"), n)).as("g"))
+      .distinct()
+    val contaminated = trainGrams
+      .join(testGrams, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    tagged.filter(col("is_train"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Connected components over an undirected pair list via iterated
     * min-label propagation: every node repeatedly adopts the smallest
     * label among itself and its neighbors, converging in O(graph

@@ -118,6 +118,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition signals per document: n-gram totals,
+    * distincts, top-n-gram dominance, and the derived ratios. One
+    * native pass ([[graft.functions.RepetitionStats]]) where the
+    * declarative form would shuffle the n-gram table twice.
+    */
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame = {
+    val st = GraftFunctions.repetitionStats(col("text"), n)
+    docs.select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st.total_ngrams").as("total_ngrams"),
+        col("st.distinct_ngrams").as("distinct_ngrams"),
+        col("st.top_ngram_freq").as("top_ngram_freq"),
+        when(col("st.total_ngrams") === 0, 0.0)
+          .otherwise(round(lit(1.0) - col("st.distinct_ngrams").cast("double") /
+            col("st.total_ngrams"), 4)).as("repetition_ratio"),
+        when(col("st.total_ngrams") === 0, 0.0)
+          .otherwise(round(col("st.top_ngram_freq").cast("double") /
+            col("st.total_ngrams"), 4)).as("top_ngram_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** Winnowing-style document fingerprint via the native
     * [[graft.functions.RollingFingerprint]] codegen expression.
     */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Corpus pipelines: deterministic split, quality gate, components. */
 class CorpusSpec extends SparkSpec {
@@ -29,6 +30,23 @@ class CorpusSpec extends SparkSpec {
     val out = Corpus.qualityFilter(docs, minScore = 0.3).collect()
     assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
     assert(out.head.getAs[String]("predicted_lang") == "en")
+  }
+
+  test("decontaminate == brute-force 8-gram containment against test set") {
+    val docs = graft.core.Tables(spark, sf(), "documents")
+    val clean = Corpus.decontaminate(docs).collect().map(_.getLong(0)).toSet
+    // independent brute force: recompute split + gram sets driver-side
+    val h = ascii(substring(md5(col("text")), 32, 1))
+    val nibble = when(h <= 57, h - 48).otherwise(h - 87)
+    val rows = docs.select(col("doc_id"), (nibble < 13).as("is_train"),
+        TextOps.shingles(col("text"), 8).as("g")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_train"),
+        r.getAs[Seq[String]]("g").toSet))
+    val testGrams = rows.filter(!_._2).flatMap(_._3).toSet
+    val expected = rows.filter(_._2)
+      .filter(_._3.intersect(testGrams).isEmpty).map(_._1).toSet
+    assert(clean == expected && clean.nonEmpty)
+    assert(clean.size < rows.count(_._2)) // something was contaminated
   }
 
   test("connectedComponents labels every member with the component min") {

@@ -35,6 +35,23 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("en", "es", "und"))
   }
 
+  test("repetition: totals, distincts, dominance, short-doc zeros") {
+    val out = TextAnalysis.repetition(Seq(
+      (1L, "a b c a b c a b c"),   // 7 grams: abc(3) bca(2) cab(2)
+      (2L, "one two three four"),  // 2 distinct grams, no repeats
+      (3L, "x y")                  // shorter than n -> zeros
+    ).toDF("doc_id", "text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("total_ngrams") == 7L)
+    assert(out(1L).getAs[Long]("distinct_ngrams") == 3L)
+    assert(out(1L).getAs[Long]("top_ngram_freq") == 3L)
+    assert(out(1L).getAs[Double]("repetition_ratio") == math.rint((1.0 - 3.0 / 7) * 1e4) / 1e4)
+    assert(out(2L).getAs[Long]("total_ngrams") == 2L)
+    assert(out(2L).getAs[Double]("repetition_ratio") == 0.0)
+    assert(out(3L).getAs[Long]("total_ngrams") == 0L)
+    assert(out(3L).getAs[Double]("top_ngram_ratio") == 0.0)
+  }
+
   test("rolling fingerprint: deterministic, content-sensitive, window-local") {
     val df = Seq(
       (1L, "abcdefghijklmnopqrstuvwxyz0123456789 the quick brown fox jumps"),
