@@ -463,7 +463,9 @@ object SparkEntry {
     * arithmetic or single IEEE ops, so the estimates hash-check.
     */
   private def approxStatsSql: String = {
-    import graft.operators.Sessionize._
+    import graft.functions.Hll.{P => HllP, M => HllM, ValueBits => HllValueBits,
+      AlphaM2P => HllAlphaM2P, LcTable}
+    import graft.operators.Sessionize.SampleMod
     val m = graft.functions.SimHash64.Mod
     val (c1, c2) = (graft.functions.SimHash64.MixC1, graft.functions.SimHash64.MixC2)
     val mask = graft.functions.SimHash64.Mask

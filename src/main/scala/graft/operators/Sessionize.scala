@@ -15,25 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  // --- Deterministic-HLL parameters (see approxStats) ---------------
-  final val HllMod = graft.functions.SimHash64.Mod // 2^31 - 1
-  final val HllP = 9 // register-index bits
-  final val HllM = 1L << HllP // 512 registers
-  final val HllValueBits = 31 - HllP // 22 rho bits; rho ∈ [1, 23]
-  final val SampleMod = 8 // quantile sample: he % 8 == 0 (12.5%)
-  /** alpha_m · m² · 2^(valueBits+1): the raw-HLL estimate is this over
-    * the integer register sum ZN = Σ 2^(23-M_j) — a single IEEE
-    * division, identical in any engine.
-    */
-  final val HllAlphaM2P: Double =
-    (0.7213 / (1.0 + 1.079 / 512.0)) * (512.0 * 512.0 * 8388608.0)
-  /** Linear-counting estimates m·ln(m/V) for V = 1..512, computed ONCE
-    * on the JVM and embedded as literals in the oracle SQL — ln is the
-    * one operation libms disagree on (measured: 2/512 args differ
-    * between Math.log and glibc), so neither engine may recompute it.
-    */
-  final val LcTable: Array[Double] =
-    Array.tabulate(512)(i => 512.0 * math.log(512.0 / (i + 1)))
+  final val SampleMod = 8 // quantile sample: mixed event_id % 8 == 0 (12.5%)
 
   /** 30-minute-gap sessionization. A session starts where the gap to the
     * previous event of the same user exceeds `gapMinutes` (or at the
@@ -155,40 +137,17 @@ object Sessionize {
     * computed once here and embedded in the oracle as literals.
     */
   def approxStats(events: DataFrame): DataFrame = {
-    import Sessionize._
-    val m = HllM
-    // 31-bit avalanche of a BIGINT key, normalized to [0, Mod).
-    def mix31(c: org.apache.spark.sql.Column, s1: Int, s2: Int, s3: Int) = {
-      val norm = (c % HllMod + HllMod) % HllMod
-      def xsr(v: org.apache.spark.sql.Column, s: Int) =
-        v.bitwiseXOR(call_function("shiftright", v, lit(s)))
-      def mul(v: org.apache.spark.sql.Column, k: Long) =
-        (v * k).bitwiseAND(lit(graft.functions.SimHash64.Mask))
-      xsr(mul(xsr(mul(xsr(norm, s1), graft.functions.SimHash64.MixC1), s2),
-        graft.functions.SimHash64.MixC2), s3)
-    }
-    val hu = mix31(col("user_id"), 16, 13, 16)
-    val he = mix31(col("event_id"), 15, 14, 15)
-    val v = call_function("shiftright", hu, lit(HllP))
-    // rank of the highest set bit → rho ∈ [1, 23]; 0 → 23
-    val rho = (1 to HllValueBits).foldLeft(when(lit(false), 0)) {
-      (acc, r) => acc.when(v >= (1L << (HllValueBits - r)), r)
-    }.otherwise(HllValueBits + 1)
+    import graft.functions.Hll
+    val he = Hll.mix31(col("event_id"), 15, 14, 15)
     val rows = events.select(col("event_type"), col("value"),
-      hu.bitwiseAND(lit(m - 1L)).as("bucket"), rho.as("rho"),
+      Hll.bucket(col("user_id")).as("bucket"),
+      Hll.rho(col("user_id")).as("rho"),
       (he % SampleMod === 0).as("sampled"))
     val regs = rows.groupBy("event_type", "bucket")
       .agg(max("rho").as("mrho"))
     val hll = regs.groupBy("event_type").agg(
-      (sum(call_function("shiftleft", lit(1L), lit(HllValueBits + 1) - col("mrho"))) +
-        (lit(m) - count(lit(1))) * (1L << (HllValueBits + 1))).as("zn"),
-      (lit(m) - count(lit(1))).as("v_empty"))
-    val raw = lit(HllAlphaM2P) / col("zn")
-    // greatest(..,1): when v_empty = 0 the branch is unused but ANSI
-    // element_at still type-checks the index eagerly.
-    val est = when(col("v_empty") > 0 && raw <= lit(2.5 * m),
-        element_at(lit(LcTable), greatest(col("v_empty"), lit(1L)).cast("int")))
-      .otherwise(raw)
+      Hll.znAgg(col("mrho")).as("zn"), Hll.vEmptyAgg.as("v_empty"))
+    val est = Hll.estimate(col("zn"), col("v_empty"))
     val per = rows.groupBy("event_type").agg(
       count(lit(1)).as("n_events"),
       sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sample"),

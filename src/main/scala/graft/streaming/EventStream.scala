@@ -29,6 +29,48 @@ object EventStream {
         col("n_events"), col("total_value"))
   }
 
+  /** Streaming HLL register emission: per (1-hour window, event type,
+    * register) max-rho rows from graft's deterministic HLL
+    * ([[graft.functions.Hll]]).
+    *
+    * This is the production shape for streaming distinct-count at
+    * scale: the stream job's state and its output are FIXED-SIZE
+    * (≤ windows × types × 512 rows), and the emitted registers are
+    * mergeable downstream — any ad-hoc slice (a day, a type, the whole
+    * stream) is answered by max-merging registers and applying
+    * [[sketchEstimate]], without re-touching events. Because max is
+    * associative and idempotent, the merged estimate is IDENTICAL to a
+    * one-pass batch sketch over the same rows (spec-asserted exactly,
+    * and the batch twin is DuckDB-hash-checked via events_approx_stats).
+    * Needs only one streaming aggregation, so no multi-agg restriction
+    * applies; the watermark finalizes and drops old windows' registers.
+    */
+  def hourlyUserSketch(events: DataFrame,
+                       watermark: Option[String] = None): DataFrame = {
+    import graft.functions.Hll
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"),
+        Hll.bucket(col("user_id")).as("bucket"))
+      .agg(max(Hll.rho(col("user_id"))).as("mrho"))
+      .select(col("w.start").as("hour_ts"), col("event_type"),
+        col("bucket"), col("mrho"))
+  }
+
+  /** Merge emitted register rows over `groupCols` and estimate distinct
+    * users per group — the batch read-side of [[hourlyUserSketch]].
+    */
+  def sketchEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    import graft.functions.Hll
+    val merged = registers
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("mrho").as("mrho"))
+    merged.groupBy(groupCols.map(col): _*)
+      .agg(Hll.znAgg(col("mrho")).as("zn"), Hll.vEmptyAgg.as("v_empty"))
+      .select(groupCols.map(col) :+
+        round(Hll.estimate(col("zn"), col("v_empty")), 4).as("approx_users"): _*)
+  }
+
   /** Stream-static enrichment: events joined to a (small) static user
     * dimension, then windowed per tier.
     *

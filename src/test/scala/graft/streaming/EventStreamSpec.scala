@@ -64,6 +64,45 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed HLL registers merge to the exact one-pass batch estimate") {
+    // users deliberately spread across hours with overlap: merging
+    // per-hour registers must dedup across windows exactly
+    val evRows = (0 until 60).map { i =>
+      (Timestamp.valueOf(s"2024-01-01 0${i % 3}:0${i % 6}:00"),
+        (i % 17).toLong, i.toLong, "click", i * 1.5)
+    }
+    val df = evRows.toDF("ts", "user_id", "event_id", "event_type", "value")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Long, String, Double)]
+    val q = EventStream.hourlyUserSketch(
+      mem.toDF().toDF("ts", "user_id", "event_id", "event_type", "value"),
+      watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("sketch_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(evRows: _*)
+      q.processAllAvailable()
+      val registers = spark.table("sketch_test")
+      // per-window registers == batch registers of the same rows
+      val batchRegs = EventStream.hourlyUserSketch(df)
+        .orderBy("hour_ts", "event_type", "bucket").collect()
+      assert(registers.orderBy("hour_ts", "event_type", "bucket").collect()
+        .toSeq == batchRegs.toSeq)
+      // merged across ALL windows == the one-pass batch sketch of
+      // events_approx_stats (bit-identical, not approximately)
+      val merged = EventStream.sketchEstimate(registers, Seq("event_type"))
+        .collect().map(r => r.getAs[String]("event_type") ->
+          r.getAs[Double]("approx_users")).toMap
+      val onePass = graft.operators.Sessionize.approxStats(df)
+        .collect().map(r => r.getAs[String]("event_type") ->
+          r.getAs[Double]("approx_users")).toMap
+      assert(merged == onePass)
+      // and the estimate is actually close: 17 distinct users
+      assert(math.abs(merged("click") - 17.0) / 17.0 <= 0.10)
+    } finally q.stop()
+  }
+
   test("stream-static tier join matches batch, unknown users bucketed") {
     val evRows = Seq(
       (Timestamp.valueOf("2024-01-01 00:05:00"), 1L, 1.0),
