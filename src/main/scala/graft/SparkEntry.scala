@@ -142,6 +142,7 @@ object SparkEntry {
     "corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables(s, d, "documents"))),
     "doc_repetition" -> ((s, d) => TextAnalysis.repetition(Tables(s, d, "documents"))),
     "decontaminate" -> ((s, d) => Corpus.decontaminate(Tables(s, d, "documents"))),
+    "bigram_lift" -> ((s, d) => TextAnalysis.bigramLift(Tables(s, d, "documents"))),
     // --- events: batch + streaming-twin (SURVEY.md §2) ---
     "events_sessionize" -> ((s, d) => Sessionize.sessions(Tables(s, d, "events"))),
     "events_hourly" -> ((s, d) =>
@@ -1099,6 +1100,29 @@ object SparkEntry {
          |WHERE l.is_train AND b.doc_id IS NULL
          |ORDER BY l.doc_id""".stripMargin
     },
+    // Mirrors TextAnalysis.bigramLift (lift = PMI without the log — a
+    // pure ratio of exact counts, so no transcendental to disagree on).
+    "bigram_lift" ->
+      """WITH toks AS (
+        |  SELECT tok FROM documents, UNNEST(string_split(text, ' ')) AS s(tok)),
+        |uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |n1 AS (SELECT COUNT(*) AS n1 FROM toks),
+        |bi AS (
+        |  SELECT tk[i] AS tok_a, tk[i + 1] AS tok_b
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents),
+        |       UNNEST(generate_series(1, len(tk) - 1)) AS u(i)),
+        |bc AS (SELECT tok_a, tok_b, COUNT(*) AS n_pair FROM bi GROUP BY tok_a, tok_b),
+        |n2 AS (SELECT COUNT(*) AS n2 FROM bi)
+        |SELECT bc.tok_a || ' ' || bc.tok_b AS bigram,
+        |  CAST(bc.n_pair AS BIGINT) AS n_pair,
+        |  ROUND((CAST(bc.n_pair AS DOUBLE) / n2.n2) /
+        |        ((CAST(ua.c AS DOUBLE) / n1.n1) * (CAST(ub.c AS DOUBLE) / n1.n1)),
+        |        4) AS lift
+        |FROM bc
+        |JOIN uni ua ON bc.tok_a = ua.tok
+        |JOIN uni ub ON bc.tok_b = ub.tok, n1, n2
+        |WHERE bc.n_pair >= 5
+        |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
     "dedup_simhash" -> simhashPairsSql,
     "dedup_minhash_lsh" -> minhashPairsSql,
     "events_approx_stats" -> approxStatsSql,

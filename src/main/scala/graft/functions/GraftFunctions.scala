@@ -25,9 +25,10 @@ object GraftFunctions {
         org.apache.spark.sql.graft.Bridge.expression(b)))
 
   /** Column wrapper for [[WordShingles]]. */
-  def wordShingles(text: Column, n: Int): Column =
+  def wordShingles(text: Column, n: Int, keepDuplicates: Boolean = false): Column =
     org.apache.spark.sql.graft.Bridge.column(
-      WordShingles(org.apache.spark.sql.graft.Bridge.expression(text), n))
+      WordShingles(org.apache.spark.sql.graft.Bridge.expression(text), n,
+        keepDuplicates))
 
   /** Column wrapper for [[SimHash64]] (word n-gram shingle features). */
   def simhash64(text: Column, n: Int = 3): Column =

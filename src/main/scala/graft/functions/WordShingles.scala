@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word n-gram shingles ("a b c" style) of a
-  * space-tokenized document, in first-occurrence order.
+/** Word n-gram shingles ("a b c" style) of a space-tokenized document
+  * — distinct in first-occurrence order by default, or every
+  * occurrence in position order (`keepDuplicates = true`, for
+  * frequency-weighted uses like collocation counting).
   *
   * Native Catalyst expression with `doGenCode`. The equivalent
   * declarative form — `array_distinct(filter(transform(sequence(...),
@@ -23,7 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * trailing empties kept) so results are identical to the declarative
   * form on any input.
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int,
+                        keepDuplicates: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -33,10 +37,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
       s"word_shingles needs a string input, got ${child.dataType.simpleString}")
 
   override protected def nullSafeEval(input: Any): Any =
-    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+    WordShingles.compute(input.asInstanceOf[UTF8String], n, keepDuplicates)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.compute($c, $n)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WordShingles.compute($c, $n, $keepDuplicates)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -45,10 +50,16 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object WordShingles {
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  def compute(text: UTF8String, n: Int): ArrayData = compute(text, n, false)
+
+  def compute(text: UTF8String, n: Int, keepDuplicates: Boolean): ArrayData = {
     val toks = text.toString.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val seen =
+      if (keepDuplicates) null
+      else new java.util.LinkedHashSet[String](toks.length * 2)
+    val dup =
+      if (keepDuplicates) new java.util.ArrayList[String](toks.length) else null
     val sb = new java.lang.StringBuilder
     var i = 0
     while (i <= toks.length - n) {
@@ -59,11 +70,12 @@ object WordShingles {
         sb.append(toks(i + j))
         j += 1
       }
-      seen.add(sb.toString)
+      if (keepDuplicates) dup.add(sb.toString) else seen.add(sb.toString)
       i += 1
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
+    val src: java.util.Collection[String] = if (keepDuplicates) dup else seen
+    val out = new Array[Any](src.size)
+    val it = src.iterator()
     var k = 0
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(out)

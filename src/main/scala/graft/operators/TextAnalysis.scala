@@ -118,6 +118,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Collocation extraction for vocabulary prep: top-k bigrams by
+    * lift P(ab) / (P(a)·P(b)) — pointwise mutual information without
+    * the log, so the score stays a pure ratio of exact counts and the
+    * oracle replays it bit-for-bit (see SURVEY.md §4 on avoiding
+    * transcendentals in hash-compared output). `minCount` guards the
+    * classic PMI rare-pair instability.
+    *
+    * Scale shape: two corpus-scan aggregates (unigrams, bigrams — the
+    * bigram explode uses the shingle kernel with duplicates kept), the
+    * 1-row totals broadcast, and the unigram joins shuffle only the
+    * bigram-vocabulary-sized count table, never the corpus.
+    */
+  def bigramLift(docs: DataFrame, minCount: Long = 5, k: Int = 20): DataFrame = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val n1 = toks.agg(count(lit(1)).as("n1"))
+    val bi = docs.select(explode(
+      GraftFunctions.wordShingles(col("text"), 2, keepDuplicates = true))
+      .as("bigram"))
+    val biCounts = bi.groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+      .withColumn("tok_a", split(col("bigram"), " ").getItem(0))
+      .withColumn("tok_b", split(col("bigram"), " ").getItem(1))
+    val n2 = bi.agg(count(lit(1)).as("n2"))
+    biCounts.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("tok").as("tok_a"), col("c").as("c_a")), "tok_a")
+      .join(uni.select(col("tok").as("tok_b"), col("c").as("c_b")), "tok_b")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("bigram"), col("n_pair"),
+        round((col("n_pair").cast("double") / col("n2")) /
+          ((col("c_a").cast("double") / col("n1")) *
+            (col("c_b").cast("double") / col("n1"))), 4).as("lift"))
+      .orderBy(col("lift").desc, col("bigram")).limit(k)
+  }
+
   /** Gopher-style repetition signals per document: n-gram totals,
     * distincts, top-n-gram dominance, and the derived ratios. One
     * native pass ([[graft.functions.RepetitionStats]]) where the

@@ -172,6 +172,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 2, s"expected 2 document scans, saw $n:\n$plan")
   }
 
+  test("repetition stats stay a pure scan projection (no hash exchange, no join)") {
+    val plan = finalPlan(graft.operators.TextAnalysis.repetition(
+      graft.core.Tables(spark, sf(), "documents")))
+    assert(!plan.contains("hashpartitioning"),
+      s"per-row kernel must not shuffle the n-gram table:\n$plan")
+    assert(!plan.contains("Join"), s"repetition must not join:\n$plan")
+    val scans = "Scan parquet".r.findAllMatchIn(plan).length
+    assert(scans == 1, s"expected 1 corpus scan, saw $scans:\n$plan")
+  }
+
+  test("decontaminate: 3 bounded corpus scans, hash joins only") {
+    val plan = finalPlan(Corpus.decontaminate(
+      graft.core.Tables(spark, sf(), "documents")))
+    val scans = "Scan parquet".r.findAllMatchIn(plan).length
+    assert(scans == 3, s"expected 3 corpus scans (train grams, test grams, " +
+      s"train ids), saw $scans:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"gram containment must stay an equi-join:\n$plan")
+  }
+
   test("every contract query stays free of cartesian products") {
     // the 1-row dim_source cross join broadcasts; a CartesianProduct node
     // anywhere means an equi-join lost its keys

@@ -25,6 +25,13 @@ class WordShinglesSpec extends SparkSpec {
     }
   }
 
+  test("keepDuplicates preserves every occurrence in position order") {
+    val r = Seq("a b a b a").toDF("text")
+      .select(GraftFunctions.wordShingles(col("text"), 2, keepDuplicates = true))
+      .collect().head.getSeq[String](0)
+    assert(r == Seq("a b", "b a", "a b", "b a"))
+  }
+
   test("word_shingles is available in SQL after register()") {
     GraftFunctions.register(spark)
     val r = spark.sql("SELECT word_shingles('a b c d', 2) AS s").collect()

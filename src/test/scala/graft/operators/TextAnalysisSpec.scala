@@ -35,6 +35,19 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("en", "es", "und"))
   }
 
+  test("bigramLift ranks the always-together pair above independent pairs") {
+    // "x y" always co-occur (5 times, only with each other); filler
+    // tokens pair broadly, so lift(x y) must rank top
+    val docs = (1L to 5L).map(i =>
+      (i, s"x y common$i filler filler x y " + ("the a of in " * 3).trim))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLift(docs, minCount = 5, k = 5).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[String]("bigram") == "x y")
+    val lifts = out.map(_.getAs[Double]("lift")).toSeq
+    assert(lifts == lifts.sorted.reverse)
+  }
+
   test("repetition: totals, distincts, dominance, short-doc zeros") {
     val out = TextAnalysis.repetition(Seq(
       (1L, "a b c a b c a b c"),   // 7 grams: abc(3) bca(2) cab(2)
