@@ -156,4 +156,50 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"trial $trial")
     }
   }
+
+  test("avalanche mixer is a bijection with balanced output bits") {
+    import graft.functions.SimHash64
+    val rnd = new Random(707)
+    val inputs = Array.fill(200000)(math.abs(rnd.nextLong()) % SimHash64.Mod)
+    val mixed = inputs.map(SimHash64.mix(_, 16, 13, 16))
+    // bijective per construction → zero NEW collisions beyond input dups
+    assert(mixed.distinct.length == inputs.distinct.length)
+    // every output bit near 50% — the property the quadratic finalizer
+    // failed (quadratic residues + 2-to-1 folding skew the bits)
+    for (b <- 0 until 31) {
+      val ones = mixed.count(h => ((h >>> b) & 1L) == 1L).toDouble / mixed.length
+      assert(math.abs(ones - 0.5) < 0.01, s"bit $b biased: $ones")
+    }
+    // small inputs (the short-token case) spread over the full range
+    val small = (0L until 256L).map(SimHash64.mix(_, 16, 13, 16))
+    assert(small.count(_ > SimHash64.Mod / 2) > 80,
+      "small inputs not spread across the range")
+  }
+
+  test("minhash signature match-rate estimates true Jaccard (universal family)") {
+    import graft.functions.MinHashSig
+    val rnd = new Random(808)
+    for (trial <- 1 to 5) {
+      // two token sets with controlled overlap, realistic word shapes
+      val shared = List.fill(30 + rnd.nextInt(40))(
+        rnd.alphanumeric.take(3 + rnd.nextInt(6)).mkString)
+      def own = List.fill(10 + rnd.nextInt(30))(
+        rnd.alphanumeric.take(3 + rnd.nextInt(6)).mkString)
+      val (a, b) = ((shared ++ own).distinct, (shared ++ own).distinct)
+      val docA = a.mkString(" ")
+      val docB = b.mkString(" ")
+      val k = 128
+      val sigA = MinHashSig.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(docA), 1, k)
+      val sigB = MinHashSig.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(docB), 1, k)
+      val matches = (0 until k).count(i => sigA.getInt(i) == sigB.getInt(i))
+      val est = matches.toDouble / k
+      val sa = a.toSet; val sb = b.toSet
+      val truth = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      // k=128 → σ = sqrt(J(1-J)/k) ≤ 0.045; allow 3.5σ
+      assert(math.abs(est - truth) <= 0.16,
+        s"trial $trial: minhash est $est vs true jaccard $truth")
+    }
+  }
 }
