@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes raw to stdout (no "[info] " prefix) so the
+// driver can json-parse Bench's single output line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No trailing "[success] Total time" line after Bench's JSON.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for large text corpora.
@@ -60,17 +59,27 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.6,
                    maxDf: Int = 100): DataFrame = {
     // Shingle ONCE (native kernel). Doc sizes ride along from size(sh)
-    // — no sizes join — and df comes from one window over the same
-    // shingle-partitioned exchange the self-join needs, so both join
-    // sides are identical subtrees and ReusedExchange computes the
-    // postings list once.
+    // — no sizes join.
     val posts = docs
       .select(col("doc_id"), TextOps.shingles(col("text"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("sz"),
         explode(col("sh")).as("shingle"))
-    val rare = posts
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
-      .filter(col("df") <= maxDf)
+    // The df cut must never materialize a hot shingle's posting list in
+    // one task: a window (or join) partitioned by shingle would funnel
+    // a stopword-gram's billions of postings through a single
+    // partition. Instead df comes from a hash aggregate — partial
+    // combine counts hot keys map-side without moving their rows — and
+    // only the shingles ABOVE the cut (a stopword-sized set, tiny by
+    // construction) broadcast into an anti-join, so hot postings are
+    // dropped at the map side and never shuffle at all. The rare-only
+    // posting lists then self-join with bounded (≤ maxDf) key fan-out,
+    // and both sides are identical subtrees so ReusedExchange computes
+    // them once.
+    val hot = posts.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("shingle")
+    val rare = posts.join(broadcast(hot), Seq("shingle"), "left_anti")
     rare.as("a")
       .join(rare.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -85,10 +85,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"probe join must broadcast:\n$plan")
   }
 
-  test("ngram inverted-index self-join reuses one postings exchange") {
-    val plan = finalPlan(Dedup.ngramJaccard(graft.core.Tables(spark, sf(), "documents")))
-    assert(plan.contains("ReusedExchange"),
-      s"self-join sides diverged — postings computed twice:\n$plan")
+  test("ngram postings: hot-shingle cut broadcasts, self-join reuses the exchange") {
+    // At test scale AQE broadcasts the small self-join side (also fine);
+    // force the shuffle path to audit the 100 TB shape.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val plan = finalPlan(
+        Dedup.ngramJaccard(graft.core.Tables(spark, sf(), "documents")))
+      assert(plan.contains("ReusedExchange"),
+        s"self-join sides diverged — postings computed twice:\n$plan")
+      assert(!plan.contains("Window"),
+        s"df must come from an aggregate, not a shingle window:\n$plan")
+      // With the default cut nothing is hot at test scale, and AQE's
+      // empty-relation propagation then erases the anti-join outright
+      // (the at-scale no-op costs nothing) — so audit the SUBMITTED
+      // physical plan: the cut must be a broadcast ANTI join (hot
+      // postings dropped map-side), never a shingle window/shuffle.
+      val cut = Dedup.ngramJaccard(graft.core.Tables(spark, sf(), "documents"))
+        .queryExecution.executedPlan.toString
+      assert(cut.contains("BroadcastHashJoin") && cut.contains("LeftAnti"),
+        s"hot-shingle cut is not a broadcast anti-join:\n$cut")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
   }
 
   test("LSH banding self-joins reuse the signature exchange on the shuffle path") {
