@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.etl.{Cube, Dashboard, WeatherMart}
+import graft.etl.{Cube, Dashboard, Ingest, WeatherMart}
 import graft.operators.{AsOfJoin, Corpus, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -54,6 +54,11 @@ object SparkEntry {
   private def raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stg_load" -> ((s, d) => WeatherMart.staging(s, d)
       .orderBy("l_orderkey", "l_linenumber")),
+    // file-drop Extract: parquet truth → CSV/JSON → explicit-schema
+    // quarantining read; oracle reads the parquet, so a hash match
+    // proves the ingest is lossless and quarantine stayed empty
+    "csv_ingest" -> ((s, d) => Ingest.csvRoundTrip(s, d)),
+    "json_ingest" -> ((s, d) => Ingest.jsonRoundTrip(s, d)),
     // classic pricing-summary shape (TPC-H Q1 analog): one wide partial
     // aggregate over the fact scan, grouped by two low-cardinality flags
     "pricing_summary" -> ((s, d) => Tables(s, d, "lineitem")
@@ -645,6 +650,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "stg_load" ->
       s"SELECT * FROM ($stgSql) ORDER BY l_orderkey, l_linenumber",
+    "csv_ingest" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "json_ingest" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 4) AS sum_qty,
