@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.etl.{Cube, Dashboard, Ingest, WeatherMart}
-import graft.operators.{AsOfJoin, Corpus, Dedup, Multimodal, RangeJoin, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Corpus, Dedup, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,6 +21,14 @@ object SparkEntry {
 
   private val factOrder = Seq("location_key", "date_key", "l_orderkey",
     "l_linenumber", "avg_temp_f", "precipitation_in", "snowfall_in")
+
+  /** Mixture-sampling rates (sample_mixture). Dyadic rationals only:
+    * exactly representable as doubles, so the Spark literal and the
+    * DuckDB CASE literal denote the SAME value and the u < rate cut
+    * agrees bit-for-bit.
+    */
+  private val MixtureRates = Map(
+    "src0" -> 0.25, "src3" -> 0.375, "src7" -> 0.625, "src12" -> 0.875)
 
   /** Dump DATE columns as ISO strings: pandas renders Spark's date32 and
     * DuckDB's DATE differently ("1995-01-02" vs "1995-01-02 00:00:00"),
@@ -223,6 +231,10 @@ object SparkEntry {
         round(max("p_retailprice"), 4).as("max_price"))
       .orderBy("p_brand")),
     // --- corpus pipelines (SURVEY.md §2) ---
+    "sample_source_quota" -> ((s, d) => Sampling.sourceQuota(Tables(s, d, "documents"))),
+    "sample_mixture" -> ((s, d) => Sampling.mixture(Tables(s, d, "documents"),
+      MixtureRates)),
+    "shard_pack" -> ((s, d) => Sampling.shardPack(Tables(s, d, "documents"))),
     "train_test_split" -> ((s, d) => Corpus.trainTestSplit(Tables(s, d, "documents"))),
     "quality_filter" -> ((s, d) => Corpus.qualityFilter(Tables(s, d, "documents"))),
     // one-row funnel over the whole prep pipeline: raw -> exact-unique
@@ -876,6 +888,45 @@ object SparkEntry {
          |     ON q.doc_id = k.doc_id
          |   WHERE l.predicted_lang = 'en' AND q.quality_score >= 0.5)
          |    AS n_pass_quality_gate""".stripMargin,
+    // Mirrors Sampling.sourceQuota (k=10): per-source top-k by content
+    // hash (md5 hex strings compare identically in both engines).
+    "sample_source_quota" ->
+      """SELECT source, CAST(rk AS BIGINT) AS rank, doc_id FROM (
+        |  SELECT source, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 10 ORDER BY source, rank""".stripMargin,
+    // Mirrors Sampling.mixture: uniform draw = first 8 md5 hex chars /
+    // 2^32 (exact: a <2^32 integer divided by a power of two), rates
+    // are dyadic literals shared with the Spark side via MixtureRates.
+    "sample_mixture" -> {
+      val rateCase = MixtureRates.toSeq.sorted.map { case (src, r) =>
+        s"WHEN source = '$src' THEN CAST($r AS DOUBLE)"
+      }.mkString("CASE ", " ", " ELSE CAST(1.0 AS DOUBLE) END")
+      s"""WITH u AS (
+         |  SELECT source, n_chars,
+         |    ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0 AS u
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+         |FROM u WHERE u < $rateCase
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
+    // Mirrors Sampling.shardPack (budget 4096): exclusive prefix-sum of
+    // token counts in doc_id order, integer-div'd into shard ids.
+    "shard_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, SUM(n_tokens) OVER (
+        |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT CAST((cum - n_tokens) // 4096 AS BIGINT) AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
     // Mirrors Corpus.trainTestSplit: md5 last-nibble split (13/16 train),
     // stratified by token-length band.
     "train_test_split" ->

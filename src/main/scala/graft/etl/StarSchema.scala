@@ -53,11 +53,17 @@ object StarSchema {
     * (bounded by buckets× the average for id-like keys); that trades a
     * bounded imbalance for determinism and zero driver collection.
     */
-  def globalRank(src: DataFrame, orderBy: Seq[String], keyName: String,
-                 buckets: Int = 64): DataFrame = {
+  /** Order-preserving deterministic bucketing on the first order column
+    * (shared by [[globalRank]] and [[globalPrefixSum]]): numeric →
+    * fixed-width buckets from exact min/max; string → first-character
+    * bucket. No sampling (unlike `repartitionByRange`), so every
+    * subtree that recomputes the bucketing agrees on it.
+    */
+  private def orderBucket(src: DataFrame, orderKey: String,
+                          buckets: Int): DataFrame => DataFrame = {
     import org.apache.spark.sql.types.{NumericType, StringType}
-    val k = col(orderBy.head)
-    val bucket = src.schema(orderBy.head).dataType match {
+    val k = col(orderKey)
+    src.schema(orderKey).dataType match {
       case _: NumericType =>
         // exact min/max (deterministic, unlike range-partitioner sampling)
         val stats = src.agg(min(k).cast("double").as("__lo"),
@@ -73,6 +79,11 @@ object StarSchema {
       case _ =>
         (df: DataFrame) => df.withColumn("__bkt", lit(0))
     }
+  }
+
+  def globalRank(src: DataFrame, orderBy: Seq[String], keyName: String,
+                 buckets: Int = 64): DataFrame = {
+    val bucket = orderBucket(src, orderBy.head, buckets)
     val local = bucket(src).withColumn("__rn",
       row_number().over(
         Window.partitionBy("__bkt").orderBy(orderBy.map(col): _*)))
@@ -84,6 +95,30 @@ object StarSchema {
     local.join(broadcast(offsets), "__bkt")
       .withColumn(keyName, (col("__off") + col("__rn")).cast("long"))
       .drop("__bkt", "__rn", "__off")
+  }
+
+  /** Global INCLUSIVE prefix sum of `valueCol` under the total order
+    * `orderBy` — the running-total twin of [[globalRank]], with the
+    * same two-phase shape: partitioned running sums within
+    * order-preserving buckets, then a broadcast of per-bucket totals'
+    * cumulative offsets. `orderBy` must be a total order (unique key
+    * tuple); the window frame is ROWS-based so peers never collapse.
+    */
+  def globalPrefixSum(src: DataFrame, orderBy: Seq[String], valueCol: String,
+                      outName: String, buckets: Int = 64): DataFrame = {
+    val bucket = orderBucket(src, orderBy.head, buckets)
+    val local = bucket(src).withColumn("__ps",
+      sum(col(valueCol)).over(
+        Window.partitionBy("__bkt").orderBy(orderBy.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = local.groupBy("__bkt").agg(sum(col(valueCol)).as("__tot"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a.__bkt").as("__bkt"))
+      .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), "__bkt")
+      .withColumn(outName, (col("__off") + col("__ps")).cast("long"))
+      .drop("__bkt", "__ps", "__off")
   }
 
   /** SCD Type-1 dimension: ROW_NUMBER surrogate key over the distinct

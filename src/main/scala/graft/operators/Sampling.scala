@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.etl.StarSchema
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation: per-source quota
+  * caps, mixture-weighted downsampling, and token-budget shard packing.
+  *
+  * Every sampler is CONTENT-KEYED (md5 of the text), never random:
+  * re-running the pipeline on a re-ingested, re-partitioned copy of the
+  * corpus must select the same documents — `rand()` cannot promise
+  * that, a content hash can.
+  */
+object Sampling {
+
+  /** Cap each source's contribution at `k` documents: the k with the
+    * smallest content hash (a deterministic uniform draw). The rank
+    * filter is a per-group top-k, so WindowGroupLimit keeps only k rows
+    * per source inside the shuffle instead of ranking every row.
+    */
+  def sourceQuota(docs: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("__h"), col("doc_id"))
+    docs.select(col("source"), col("doc_id"), md5(col("text")).as("__h"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("source", "rank", "doc_id")
+      .orderBy("source", "rank")
+  }
+
+  /** Uniform-in-[0,1) draw from the first 8 hex chars of md5(text) —
+    * 32 bits of hash mapped to u = h / 2^32.
+    */
+  private def uniformDraw = conv(substring(md5(col("text")), 1, 8), 16, 10)
+    .cast("long") / lit(4294967296L)
+
+  /** Mixture-weighted downsampling: keep a document iff its uniform
+    * content-hash draw falls below its source's mixture rate (sources
+    * missing from `rates` default to 1.0 = keep all). This is how a
+    * training mix reweights domains — a pure narrow filter: one scan,
+    * no shuffle, and the SAME documents survive on any cluster layout.
+    * Returns per-source survivor counts (the mix report).
+    */
+  def mixture(docs: DataFrame, rates: Map[String, Double]): DataFrame = {
+    val rate = rates.foldLeft(lit(1.0)) { case (acc, (src, r)) =>
+      when(col("source") === src, r).otherwise(acc)
+    }
+    docs.filter(uniformDraw < rate)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"))
+      .orderBy("source")
+  }
+
+  /** Token-budget shard packing: assign documents (in doc_id order) to
+    * consecutive training shards of ~`budget` tokens each — shard =
+    * floor(exclusive-prefix-tokens / budget). The prefix sum is
+    * [[StarSchema.globalPrefixSum]] (two-phase, bucketed), so packing a
+    * trillion-token corpus never funnels through one task. Returns the
+    * per-shard manifest.
+    */
+  def shardPack(docs: DataFrame, budget: Long = 4096L): DataFrame = {
+    val withTokens = docs.select(col("doc_id"),
+      TextAnalysis.nTokensExpr(col("text")).as("n_tokens"))
+    StarSchema.globalPrefixSum(withTokens, Seq("doc_id"), "n_tokens", "cum")
+      // exclusive prefix div budget, in exact integer arithmetic
+      .withColumn("shard", expr(s"(cum - n_tokens) div ${budget}L"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+      .orderBy("shard")
+  }
+}

@@ -85,6 +85,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"probe join must broadcast:\n$plan")
   }
 
+  test("sampling plans: quota pushes top-k into the shuffle, pack has no global window") {
+    val docs = graft.core.Tables(spark, sf(), "documents")
+    val quota = finalPlan(operators.Sampling.sourceQuota(docs))
+    assert(quota.contains("WindowGroupLimit"),
+      s"quota ranks every row instead of top-k per source:\n$quota")
+    val pack = finalPlan(operators.Sampling.shardPack(docs))
+    // every Window must be partitioned (the bucketed prefix-sum) — an
+    // unpartitioned one would funnel the corpus through a single task
+    "Window \\[[^\\]]*windowspecdefinition\\(".r.findAllMatchIn(pack).foreach { m =>
+      assert(pack.substring(m.start, math.min(pack.length, m.end + 40))
+        .contains("__bkt"), s"global window in shard pack:\n$pack")
+    }
+    val mix = finalPlan(operators.Sampling.mixture(docs, Map("src1" -> 0.5)))
+    assert(!mix.contains("Window"), s"mixture must be a pure filter+agg:\n$mix")
+  }
+
   test("ngram postings: hot-shingle cut broadcasts, self-join reuses the exchange") {
     // At test scale AQE broadcasts the small self-join side (also fine);
     // force the shuffle path to audit the 100 TB shape.

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.etl.StarSchema
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables(spark, sf(), "documents")
+
+  test("sourceQuota keeps exactly k docs per source with dense ranks") {
+    val out = Sampling.sourceQuota(docs, k = 10).collect()
+    val bySource = out.groupBy(_.getString(0))
+    assert(bySource.size == 20)
+    bySource.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 10L))
+    }
+  }
+
+  test("samplers are invariant under repartitioning (content-keyed, not random)") {
+    val shuffled = docs.repartition(7, col("text"))
+    assert(Sampling.sourceQuota(docs).collect().toSeq ==
+      Sampling.sourceQuota(shuffled).collect().toSeq)
+    val rates = Map("src1" -> 0.5, "src2" -> 0.25)
+    assert(Sampling.mixture(docs, rates).collect().toSeq ==
+      Sampling.mixture(shuffled, rates).collect().toSeq)
+  }
+
+  test("mixture keeps everything at rate 1.0 and nothing at rate 0.0") {
+    val n = docs.filter(col("source") === "src5").count()
+    val all = Sampling.mixture(docs, Map.empty)
+      .filter(col("source") === "src5").collect()
+    assert(all.head.getLong(1) == n)
+    val none = Sampling.mixture(docs, Map("src5" -> 0.0)).collect()
+    assert(!none.exists(_.getString(0) == "src5"))
+  }
+
+  test("shardPack conserves docs and tokens, shards are consecutive and bounded") {
+    val budget = 4096L
+    val out = Sampling.shardPack(docs, budget).collect()
+    val shards = out.map(_.getLong(0)).toSeq
+    assert(shards == (0L until shards.length).toSeq)
+    val withTok = docs.select(TextAnalysis.nTokensExpr(col("text")).as("nt"))
+    assert(out.map(_.getLong(1)).sum == docs.count())
+    assert(out.map(_.getLong(2)).sum ==
+      withTok.agg(sum("nt")).head.getLong(0))
+    val maxDoc = withTok.agg(max("nt")).head.getLong(0)
+    // a shard closes once it crosses the budget, so it can overshoot by
+    // at most one document
+    out.foreach(r => assert(r.getLong(2) < budget + maxDoc))
+  }
+
+  test("globalPrefixSum equals the unpartitioned running sum, any bucket count") {
+    val rnd = new scala.util.Random(42)
+    import spark.implicits._
+    val data = Seq.fill(500)((rnd.nextInt(100000), rnd.nextInt(50).toLong))
+      .distinctBy(_._1).toDF("k", "v")
+    val expected = data
+      .withColumn("cum", sum("v").over(Window.orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+    for (buckets <- Seq(1, 7, 64)) {
+      val got = StarSchema.globalPrefixSum(data, Seq("k"), "v", "cum", buckets)
+        .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
+      assert(got == expected, s"buckets=$buckets")
+    }
+  }
+}
