@@ -252,6 +252,8 @@ object SparkEntry {
     }),
     "dedup_cluster" -> ((s, d) => Corpus.connectedComponents(
       Dedup.ngramJaccard(Tables(s, d, "documents")), "doc_a", "doc_b")),
+    "doc_chunk" -> ((s, d) => Corpus.chunk(Tables(s, d, "documents"))),
+    "doc_novelty" -> ((s, d) => Corpus.noveltyScore(Tables(s, d, "documents"))),
   )
 
   // ---------------------------------------------------------------------
@@ -888,6 +890,29 @@ object SparkEntry {
          |     ON q.doc_id = k.doc_id
          |   WHERE l.predicted_lang = 'en' AND q.quality_score >= 0.5)
          |    AS n_pass_quality_gate""".stripMargin,
+    // Mirrors Corpus.chunk (50-token chunks, stride 40): starts from
+    // generate_series; DuckDB list slice w[a:b] is 1-based inclusive.
+    "doc_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, CAST((i - 1) // 40 AS BIGINT) AS chunk_id,
+        |  CAST(least(50, len(w) - i + 1) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(w[i:least(i + 49, len(w))], ' ') AS chunk_text
+        |FROM t, UNNEST(generate_series(1, greatest(len(w), 1), 40)) AS g(i)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    // Mirrors Corpus.noveltyScore: corpus-wide bigram instance support,
+    // per-doc rare-instance rate. Integer counts + one end division.
+    "doc_novelty" ->
+      """WITH inst AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |       UNNEST(generate_series(1, len(w) - 1)) AS g(i)),
+        |sup AS (SELECT bg, COUNT(*) AS sup FROM inst GROUP BY bg)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN sup <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  ROUND(CAST(SUM(CASE WHEN sup <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 4) AS rare_rate
+        |FROM inst JOIN sup USING (bg)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Mirrors Sampling.sourceQuota (k=10): per-source top-k by content
     // hash (md5 hex strings compare identically in both engines).
     "sample_source_quota" ->

@@ -89,6 +89,48 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Fixed-size chunking with overlap — the pretraining/RAG step that
+    * turns documents into ~`size`-token training rows, each chunk
+    * starting `stride` tokens after the last (so consecutive chunks
+    * share `size - stride` tokens of context). Pure per-row explode:
+    * one scan, no shuffle, 1→⌈n/stride⌉ rows per doc.
+    */
+  def chunk(docs: DataFrame, chunkSize: Int = 50, stride: Int = 40): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+          lit(stride))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        least(lit(chunkSize.toLong), size(col("w")).cast("long") - col("col"))
+          .as("n_chunk_tokens"),
+        array_join(slice(col("w"), col("col") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Per-document novelty/fluency signals from corpus-wide bigram
+    * support: how many of a doc's bigram instances are corpus-rare
+    * (support ≤ `rareMax`), and the mean support. High rare-rate docs
+    * are novel (or garbled); near-zero rare-rate docs are boilerplate.
+    * All-integer aggregation with single end divisions, so the oracle
+    * replays it exactly. Scale shape: instances shuffle once on the
+    * bigram key (the support join), then once on doc_id — both
+    * hash-partitioned, no hot single task.
+    */
+  def noveltyScore(docs: DataFrame, rareMax: Int = 2): DataFrame = {
+    val inst = docs.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.wordShingles(
+        col("text"), 2, keepDuplicates = true)).as("bg"))
+    val support = inst.groupBy("bg").agg(count(lit(1)).as("sup"))
+    inst.join(support, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("sup") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_rate",
+        round(col("n_rare").cast("double") / col("n_bigrams"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over an undirected pair list via iterated
     * min-label propagation: every node repeatedly adopts the smallest
     * label among itself and its neighbors, converging in O(graph

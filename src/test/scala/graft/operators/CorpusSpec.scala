@@ -49,6 +49,35 @@ class CorpusSpec extends SparkSpec {
     assert(clean.size < rows.count(_._2)) // something was contaminated
   }
 
+  test("chunk covers every token with the declared size/stride geometry") {
+    val docs = Seq((1L, (1 to 95).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val out = Corpus.chunk(docs, chunkSize = 50, stride = 40).collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    // 95 tokens → starts 0, 40, 80 → sizes 50, 50, 15
+    assert(d1.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 50L), (1L, 50L), (2L, 15L)))
+    assert(d1.head.getString(3).startsWith("t1 t2 ") &&
+      d1.last.getString(3) == (81 to 95).map(i => s"t$i").mkString(" "))
+    // overlap: chunk 1 begins at token 41
+    assert(d1(1).getString(3).startsWith("t41 "))
+    // short doc → one whole-doc chunk
+    assert(out.filter(_.getLong(0) == 2L).map(r =>
+      (r.getLong(1), r.getLong(2), r.getString(3))).toSeq == Seq((0L, 3L, "a b c")))
+  }
+
+  test("noveltyScore counts corpus-rare bigram instances per doc") {
+    // "x y" appears 3 times across docs (support 3 > 2); every other
+    // bigram is unique (support 1 ≤ 2)
+    val docs = Seq((1L, "x y p q"), (2L, "x y r"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = Corpus.noveltyScore(docs, rareMax = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 2L, 0.6667))) // x-y common; y-p, p-q rare
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 0L, 0.0)))
+  }
+
   test("connectedComponents labels every member with the component min") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L))
       .toDF("doc_a", "doc_b")
