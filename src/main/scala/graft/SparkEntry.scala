@@ -172,6 +172,8 @@ object SparkEntry {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")),
     "events_approx_stats" -> ((s, d) => Sessionize.approxStats(Tables(s, d, "events"))),
+    "events_funnel" -> ((s, d) => Sessionize.funnel(Tables(s, d, "events"))),
+    "events_retention" -> ((s, d) => Sessionize.retention(Tables(s, d, "events"))),
     // --- orders/customer analytics (big⋈big shuffle-join path) ---
     "orders_monthly_status" -> ((s, d) => Tables(s, d, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
@@ -890,6 +892,39 @@ object SparkEntry {
          |     ON q.doc_id = k.doc_id
          |   WHERE l.predicted_lang = 'en' AND q.quality_score >= 0.5)
          |    AS n_pass_quality_gate""".stripMargin,
+    // Mirrors Sessionize.funnel: running stage minima over the same
+    // user window, staged CTEs for the inter-stage dependencies.
+    "events_funnel" -> {
+      val w = "PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING"
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'signup' THEN us END)
+         |  OVER ($w) AS s_us FROM e),
+         |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+         |    AND s_us IS NOT NULL THEN us END) OVER ($w) AS c_us FROM w1),
+         |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+         |    AND c_us IS NOT NULL THEN us END) OVER ($w) AS p_us FROM w2),
+         |u AS (SELECT user_id, bool_or(s_us IS NOT NULL) AS su,
+         |    bool_or(c_us IS NOT NULL) AS cl, bool_or(p_us IS NOT NULL) AS pu
+         |  FROM w3 GROUP BY user_id)
+         |SELECT COUNT(*) AS n_users,
+         |  CAST(SUM(CASE WHEN su THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         |  CAST(SUM(CASE WHEN cl THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_click_after_signup,
+         |  CAST(SUM(CASE WHEN pu THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_purchase_after_click
+         |FROM u""".stripMargin
+    },
+    // Mirrors Sessionize.retention: first-activity-date cohorts,
+    // distinct active users per cohort per day offset.
+    "events_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+        |  CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_k,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_k""".stripMargin,
     // Mirrors Corpus.chunk (50-token chunks, stride 40): starts from
     // generate_series; DuckDB list slice w[a:b] is 1-based inclusive.
     "doc_chunk" ->

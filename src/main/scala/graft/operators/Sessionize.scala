@@ -44,6 +44,56 @@ object Sessionize {
       .orderBy("user_id", "session_seq")
   }
 
+  /** Ordered signup→click→purchase conversion funnel. A click counts
+    * only at-or-after the user's first signup; a purchase only
+    * at-or-after that first qualifying click. Everything rides ONE
+    * user_id exchange: three Window passes over the same partition+sort
+    * compute the running stage timestamps, then a per-user aggregate
+    * collapses to stage flags. Epoch-micro timestamps keep the
+    * comparisons integer-exact.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("s_us",
+        min(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("c_us",
+        min(when(col("event_type") === "click" && col("s_us").isNotNull,
+          col("us"))).over(w))
+      .withColumn("p_us",
+        min(when(col("event_type") === "purchase" && col("c_us").isNotNull,
+          col("us"))).over(w))
+    staged.groupBy("user_id")
+      .agg(max(col("s_us").isNotNull).as("signed_up"),
+        max(col("c_us").isNotNull).as("clicked"),
+        max(col("p_us").isNotNull).as("purchased"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("signed_up"), 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("clicked"), 1L).otherwise(0L)).as("n_click_after_signup"),
+        sum(when(col("purchased"), 1L).otherwise(0L)).as("n_purchase_after_click"))
+  }
+
+  /** Daily cohort retention: users cohorted by first-activity date;
+    * day-k retention = distinct users of that cohort active k days
+    * later. The user→cohort map is user-grain (large at 100 TB), so it
+    * joins back to activity co-partitioned on user_id — the join reuses
+    * the cohort aggregate's exchange instead of broadcasting — before
+    * the final cohort×k aggregate.
+    */
+  def retention(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohorts = activity.groupBy("user_id").agg(min("day").as("cohort_day"))
+    activity.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day"))
+        .cast("long").as("day_k"))
+      .agg(count_distinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_day", "day_k")
+  }
+
   /** Top-N users by total event value (2-decimal-exact cents sum). */
   def topUsers(events: DataFrame, n: Int = 10): DataFrame =
     events.groupBy("user_id")

@@ -90,4 +90,44 @@ class SessionizeSpec extends SparkSpec {
     val exact = ev.select(countDistinct("user_id")).head().getLong(0).toDouble
     assert(math.abs(merged - exact) / exact <= 0.05, s"estimate off: $merged vs $exact")
   }
+
+  test("funnel only counts stages in signup→click→purchase order") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, 10L, "signup", t(1)), (2L, 10L, "click", t(2)),
+      (3L, 10L, "purchase", t(3)),
+      // user 2: click BEFORE signup, purchase after a later click — the
+      // pre-signup click must not qualify, the post-signup one does
+      (4L, 20L, "click", t(1)), (5L, 20L, "signup", t(2)),
+      (6L, 20L, "click", t(4)), (7L, 20L, "purchase", t(5)),
+      // user 3: purchase before any click — never converts
+      (8L, 30L, "signup", t(1)), (9L, 30L, "purchase", t(2)),
+      // user 4: no signup at all
+      (10L, 40L, "click", t(1)), (11L, 40L, "purchase", t(2)))
+      .toDF("event_id", "user_id", "event_type", "ts")
+      .withColumn("value", lit(1.0))
+    val r = Sessionize.funnel(ev).head()
+    assert(r.getAs[Long]("n_users") == 4L)
+    assert(r.getAs[Long]("n_signup") == 3L)         // users 1, 2, 3
+    assert(r.getAs[Long]("n_click_after_signup") == 2L)   // users 1, 2
+    assert(r.getAs[Long]("n_purchase_after_click") == 2L) // users 1, 2
+  }
+
+  test("retention cohorts by first day and counts day-k actives") {
+    import java.sql.Timestamp
+    def d(day: Int, h: Int = 1) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, 10L, d(1)), (2L, 10L, d(1, 5)), (3L, 10L, d(3)), // cohort 1/1, active k=0,2
+      (4L, 20L, d(1)), (5L, 20L, d(2)),                     // cohort 1/1, k=0,1
+      (6L, 30L, d(2)))                                      // cohort 1/2, k=0
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+    val got = Sessionize.retention(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L)))
+  }
 }
