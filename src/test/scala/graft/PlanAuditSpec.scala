@@ -85,6 +85,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"probe join must broadcast:\n$plan")
   }
 
+  test("funnel rides a single user exchange: windows AND the user aggregate reuse it") {
+    val plan = finalPlan(Sessionize.funnel(graft.core.Tables(spark, sf(), "events")))
+    val n = "hashpartitioning\\(user_id".r.findAllMatchIn(plan).length
+    assert(n == 1, s"expected exactly 1 user_id exchange, saw $n:\n$plan")
+  }
+
   test("sampling plans: quota pushes top-k into the shuffle, pack has no global window") {
     val docs = graft.core.Tables(spark, sf(), "documents")
     val quota = finalPlan(operators.Sampling.sourceQuota(docs))
