@@ -137,6 +137,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) =>
       Similarity.embeddingNearDup(Tables(s, d, "embeddings"))),
     // --- similarity search (SURVEY.md §2) ---
+    "embedding_normalize" -> ((s, d) =>
+      Similarity.normalize(Tables(s, d, "embeddings"))),
     "ann_bruteforce" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10))
@@ -1246,6 +1248,16 @@ object SparkEntry {
     "dedup_simhash" -> simhashPairsSql,
     "dedup_minhash_lsh" -> minhashPairsSql,
     "events_approx_stats" -> approxStatsSql,
+    // Mirrors Similarity.normalize: index-ordered double MAC + one
+    // correctly-rounded sqrt + one division per element — every step
+    // bit-stable across engines, so the floats hash-match at round(4).
+    "embedding_normalize" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS l2 FROM t)
+        |SELECT vec_id, CAST(i AS BIGINT) AS pos,
+        |  ROUND(e[i] / l2, 4) + 0.0 AS unit_val
+        |FROM n, UNNEST(generate_series(1, len(e))) AS g(i)
+        |ORDER BY vec_id, pos""".stripMargin,
     // DuckDB's list_cosine_similarity over DOUBLE[] performs the same
     // double-precision MAC as graft's VectorDot, so even round-4 values
     // hash-match. Mirrors Similarity.bruteForceTopK (probes vec_id<10, k=5).

@@ -29,6 +29,63 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.vectorCosine(a, b)
 
+  /** Unit-normalize embeddings, emitted in exploded (vec_id, pos, val)
+    * form. Every step is per-row and bit-stable across engines: the
+    * norm is the index-ordered double MAC + one correctly-rounded sqrt,
+    * each element widens float→double exactly, and one division +
+    * round(4) per element — so even this floating-point kernel
+    * hash-checks against the oracle. Pure projection: no shuffle.
+    * (Exploded output: scalar rows hash-compare portably; downstream
+    * consumers regroup with sort_array(collect_list((pos, val))).)
+    */
+  def normalize(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("l2"))
+      .select(col("vec_id"), posexplode(col("embedding")), col("l2"))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+        round(col("col").cast("double") / col("l2"), 4).as("unit_val"))
+      .orderBy("vec_id", "pos")
+
+  /** One Lloyd iteration per call: refine IVF coarse centroids by
+    * k-means over the corpus. Assignment reuses the broadcast-centroid
+    * nearest-cell scan; the update is a (cell, dim) hash aggregate over
+    * the exploded vectors — two shuffles per round, both partitioned,
+    * none corpus-funneling. Float means are order-dependent in the last
+    * ulp, so this is deliberately NOT an oracle query — the spec checks
+    * the k-means invariant (mean intra-cell similarity non-decreasing)
+    * with a tolerance instead.
+    */
+  def kmeansRefine(corpus: DataFrame, centroids: DataFrame,
+                   iters: Int = 2): DataFrame = {
+    var cur = centroids
+    for (_ <- 1 to iters) {
+      val assigned = corpus.crossJoin(broadcast(cur))
+        .select(col("vec_id"), col("embedding"), col("cell_id"),
+          cosine(col("embedding"), col("centroid")).as("sim"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell_id"))))
+        .filter(col("r") === 1)
+      cur = assigned
+        .select(col("cell_id"), posexplode(col("embedding")))
+        .groupBy("cell_id", "pos").agg(avg(col("col")).as("m"))
+        .groupBy("cell_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          _.getField("m").cast("float")).as("centroid"))
+        .localCheckpoint()
+    }
+    cur
+  }
+
+  /** Mean nearest-centroid cosine over the corpus — the (negated)
+    * k-means objective, for convergence checks.
+    */
+  def assignmentQuality(corpus: DataFrame, centroids: DataFrame): Double =
+    corpus.crossJoin(broadcast(centroids))
+      .groupBy("vec_id")
+      .agg(max(cosine(col("embedding"), col("centroid"))).as("best"))
+      .agg(avg("best")).head().getDouble(0)
+
   /** Brute-force cosine top-k: the exact baseline.
     *
     * The (small) probe set is broadcast against the full corpus — one

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.sum
 
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
@@ -27,6 +28,35 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.embeddingNearDup(corpus, minCosine = 0.9).collect()
     val pairs = out.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("normalize emits unit vectors (norm 1 after regrouping)") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val out = Similarity.normalize(emb)
+    assert(out.count() == emb.count() * 64)
+    // sum of squares per vector ≈ 1 (rounding each element to 4dp
+    // perturbs the sum by at most 64 * (1e-4)^2 + cross terms)
+    val norms = out.groupBy("vec_id")
+      .agg(sum($"unit_val" * $"unit_val").as("ss")).collect()
+    norms.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-2,
+      s"vec ${r.getLong(0)} not unit: ${r.getDouble(1)}"))
+  }
+
+  test("kmeansRefine never degrades the assignment objective") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val init = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("cell_id"), $"embedding".as("centroid"))
+    val q0 = Similarity.assignmentQuality(emb, init)
+    val refined1 = Similarity.kmeansRefine(emb, init, iters = 1)
+    val q1 = Similarity.assignmentQuality(emb, refined1)
+    val refined2 = Similarity.kmeansRefine(emb, refined1, iters = 1)
+    val q2 = Similarity.assignmentQuality(emb, refined2)
+    assert(q1 >= q0 - 1e-9 && q2 >= q1 - 1e-9, s"objective degraded: $q0 $q1 $q2")
+    assert(q1 > q0 + 1e-4, s"first Lloyd step should visibly improve: $q0 -> $q1")
+    // centroids keep the cell count and dimensionality
+    val rows = refined2.collect()
+    assert(rows.length == init.count().toInt)
+    assert(rows.forall(_.getAs[Seq[Float]]("centroid").length == 64))
   }
 
   test("ivfTopK returns k ranked neighbors per probe on the real table") {
