@@ -175,6 +175,20 @@ object SparkEntry {
       .orderBy("event_type")),
     "events_approx_stats" -> ((s, d) => Sessionize.approxStats(Tables(s, d, "events"))),
     "events_funnel" -> ((s, d) => Sessionize.funnel(Tables(s, d, "events"))),
+    "events_winsorize" -> ((s, d) => Sessionize.winsorize(Tables(s, d, "events"))),
+    // referential-integrity audit: orphan FKs both directions via
+    // anti-joins (co-partitioned at scale — no broadcast assumption on
+    // the customer side, which grows with the data)
+    "ri_check" -> ((s, d) => {
+      val o = Tables(s, d, "orders").select("o_custkey")
+      val c = Tables(s, d, "customer").select("c_custkey")
+      o.agg(count(lit(1)).as("n_orders")).crossJoin(
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan_orders")))
+        .crossJoin(c.agg(count(lit(1)).as("n_customers")))
+        .crossJoin(c.join(o, o("o_custkey") === c("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_inactive_customers")))
+    }),
     "events_retention" -> ((s, d) => Sessionize.retention(Tables(s, d, "events"))),
     // --- orders/customer analytics (big⋈big shuffle-join path) ---
     "orders_monthly_status" -> ((s, d) => Tables(s, d, "orders")
@@ -917,6 +931,31 @@ object SparkEntry {
          |    AS n_purchase_after_click
          |FROM u""".stripMargin
     },
+    // Mirrors Sessionize.winsorize: quantile_cont == Spark's exact
+    // percentile (verified interpolation parity).
+    "events_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.01) AS p_lo,
+        |    quantile_cont(value, 0.99) AS p_hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_lo,
+        |  CAST(SUM(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped_hi,
+        |  ROUND(SUM(least(greatest(value, p_lo), p_hi)) * 100, 0) / 100.0
+        |    AS winsorized_total
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "ri_check" ->
+      """SELECT (SELECT COUNT(*) FROM orders) AS n_orders,
+        |  (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |    AS n_orphan_orders,
+        |  (SELECT COUNT(*) FROM customer) AS n_customers,
+        |  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+        |    AS n_inactive_customers""".stripMargin,
     // Mirrors Sessionize.retention: first-activity-date cohorts,
     // distinct active users per cohort per day offset.
     "events_retention" ->

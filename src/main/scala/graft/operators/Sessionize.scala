@@ -94,6 +94,30 @@ object Sessionize {
       .orderBy("cohort_day", "day_k")
   }
 
+  /** Winsorization: clip each type's values to its exact [p01, p99]
+    * band — the standard outlier guard before training on a metric.
+    * Two passes over events (bounds aggregate, then clip+re-aggregate);
+    * the per-type bounds table is tiny and broadcasts. Exact
+    * percentiles match DuckDB's quantile_cont interpolation, so the
+    * whole thing hash-checks; swap approx_percentile in where a sketch
+    * is acceptable to drop the second shuffle's sort.
+    */
+  def winsorize(events: DataFrame, lo: Double = 0.01,
+                hi: Double = 0.99): DataFrame = {
+    val bounds = events.groupBy("event_type")
+      .agg(expr(s"percentile(value, $lo)").as("p_lo"),
+        expr(s"percentile(value, $hi)").as("p_hi"))
+    events.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("value"), col("p_lo"), col("p_hi"),
+        least(greatest(col("value"), col("p_lo")), col("p_hi")).as("w"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") < col("p_lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
+        sum(when(col("value") > col("p_hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
+        (round(sum("w") * 100, 0) / 100.0).as("winsorized_total"))
+      .orderBy("event_type")
+  }
+
   /** Top-N users by total event value (2-decimal-exact cents sum). */
   def topUsers(events: DataFrame, n: Int = 10): DataFrame =
     events.groupBy("user_id")
