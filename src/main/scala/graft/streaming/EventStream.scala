@@ -29,6 +29,26 @@ object EventStream {
         col("n_events"), col("total_value"))
   }
 
+  /** Session aggregation via Spark's native `session_window` — the
+    * merging-window state machine the engine maintains for streams
+    * (vs [[graft.operators.Sessionize.sessions]]' LAG formulation,
+    * which is the batch-window shape). Same gap semantics up to the
+    * boundary case (session_window starts a new session at gap ==
+    * `gap`, the LAG form at gap > `gap` — sets differ only on exact-
+    * gap ties, measure-zero on real timestamps; cross-validated in
+    * the spec). One code path for batch and streaming.
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum("value") * 100, 0) / 100.0).as("total_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Streaming HLL register emission: per (1-hour window, event type,
     * register) max-rho rows from graft's deterministic HLL
     * ([[graft.functions.Hll]]).

@@ -38,6 +38,42 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window agrees with the LAG sessionizer on real events") {
+    val ev = graft.core.Tables(spark, sf(), "events")
+    val native = EventStream.sessionWindows(ev)
+      .select(col("user_id"), unix_micros(col("session_start")).as("us"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val lag = graft.operators.Sessionize.sessions(ev)
+      .orderBy("user_id", "start_us").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSeq
+    assert(native == lag)
+  }
+
+  test("session_window runs as a stream and matches its own batch result") {
+    val batch = EventStream.sessionWindows(
+      rows.map { case (ts, t, v) => (ts, 1L, t, v) }
+        .toDF("ts", "user_id", "event_type", "value"))
+      .orderBy("user_id", "session_start").collect()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = EventStream.sessionWindows(
+      mem.toDF().toDF("ts", "user_id", "event_type", "value"),
+      watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("sw_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.map { case (ts, t, v) => (ts, 1L, t, v) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sw_test")
+        .orderBy("user_id", "session_start").collect()
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("append mode finalizes windows past the watermark and drops late data") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Double)]
