@@ -97,6 +97,18 @@ object SparkEntry {
     "dim_precip_type" -> ((s, d) => WeatherMart.dimPrecipType(s, d)),
     "dim_source" -> ((s, _) => WeatherMart.dimSource(s)),
     "normalized_3nf" -> ((s, d) => WeatherMart.normalizedLocation(s, d)),
+    // the reference's other two 3NF tables (NORMALIZED.DATE /
+    // NORMALIZED.WEATHER_DAY, ETL_GlobalWeather_DB.sql:148-175):
+    // surrogate-free date attributes and the natural-key measure table
+    "normalized_date" -> ((s, d) => WeatherMart.dimDate(s, d)
+      .select(col("full_date").as("date_valid"), col("year"), col("month"),
+        col("day"), col("day_of_year"), col("week_of_year"), col("day_of_week"))
+      .orderBy("date_valid")),
+    "normalized_weather_day" -> ((s, d) => WeatherMart.staging(s, d)
+      .select(col("date_valid"), col("loc_ref").as("postal_code"),
+        col("avg_temp_f"), col("precipitation_in"), col("snowfall_in"))
+      .orderBy("date_valid", "postal_code", "avg_temp_f",
+        "precipitation_in", "snowfall_in")),
     // set difference: snapshot rows not present in the current dim
     // naturals = the day's changed + brand-new locations (EXCEPT is a
     // distinct-aggregating shuffle — same cost shape as a groupBy)
@@ -768,6 +780,20 @@ object SparkEntry {
         |  'testdata' AS dataset_name, 'parquet' AS ingest_method""".stripMargin,
     "normalized_3nf" ->
       s"SELECT * FROM ($locNaturalSql) ORDER BY postal_code",
+    "normalized_date" ->
+      """SELECT CAST(dk AS VARCHAR) AS date_valid,
+        |  CAST(year(dk) AS BIGINT) AS year,
+        |  CAST(month(dk) AS BIGINT) AS month,
+        |  CAST(day(dk) AS BIGINT) AS day,
+        |  CAST(dayofyear(dk) AS BIGINT) AS day_of_year,
+        |  CAST(weekofyear(dk) AS BIGINT) AS week_of_year,
+        |  CAST(isodow(dk) AS BIGINT) AS day_of_week
+        |FROM (SELECT DISTINCT CAST(l_shipdate AS DATE) AS dk FROM lineitem)
+        |ORDER BY date_valid""".stripMargin,
+    "normalized_weather_day" ->
+      s"""SELECT date_valid, loc_ref AS postal_code, avg_temp_f,
+         |  precipitation_in, snowfall_in
+         |FROM ($stgSql) ORDER BY 1, 2, 3, 4, 5""".stripMargin,
     // Mirrors the location_drift query (snapshot EXCEPT naturals); snap
     // derivation matches WeatherMart.locationSnapshot.
     "location_drift" ->
