@@ -176,6 +176,59 @@ class PropertySpec extends SparkSpec {
       "small inputs not spread across the range")
   }
 
+  test("funnel == brute-force ordered-stage scan on arbitrary event streams") {
+    val rnd = new Random(909)
+    for (trial <- 1 to 6) {
+      val types = Seq("signup", "click", "purchase", "view")
+      val evs = (1 to 200 + rnd.nextInt(200)).map { i =>
+        (i.toLong, rnd.nextInt(12).toLong, types(rnd.nextInt(types.length)),
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L),
+          1.0)
+      }
+      val df = evs.toDF("event_id", "user_id", "event_type", "ts", "value")
+      val r = graft.operators.Sessionize.funnel(df).head()
+      // brute force: per user, one ordered walk — a stage flag flips
+      // once its predecessor has flipped at-or-before this row (the
+      // running-min window semantics, one type per row)
+      val want = evs.groupBy(_._2).values.map { rows =>
+        var s, c, p = false
+        rows.sortBy(e => (e._4.getTime, e._1)).foreach { e =>
+          if (e._3 == "signup") s = true
+          if (e._3 == "click" && s) c = true
+          if (e._3 == "purchase" && c) p = true
+        }
+        (s, c, p)
+      }.toSeq
+      assert(r.getAs[Long]("n_users") == want.length.toLong, s"trial $trial users")
+      assert(r.getAs[Long]("n_signup") == want.count(_._1).toLong, s"trial $trial signup")
+      assert(r.getAs[Long]("n_click_after_signup") == want.count(_._2).toLong,
+        s"trial $trial click")
+      assert(r.getAs[Long]("n_purchase_after_click") == want.count(_._3).toLong,
+        s"trial $trial purchase")
+    }
+  }
+
+  test("shardPack == single-window prefix packing on arbitrary corpora") {
+    val rnd = new Random(1010)
+    for (trial <- 1 to 5) {
+      val docs = (1 to 100 + rnd.nextInt(300)).map { i =>
+        (i.toLong, List.fill(1 + rnd.nextInt(30))("w").mkString(" "))
+      }
+      val budget = 16L + rnd.nextInt(64)
+      val got = graft.operators.Sampling
+        .shardPack(docs.toDF("doc_id", "text"), budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      var cum = 0L
+      val shardOf = docs.map { case (_, text) =>
+        val nt = text.split(" ", -1).length.toLong
+        val shard = cum / budget; cum += nt; (shard, nt)
+      }
+      val want = shardOf.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (s, g) => (s, g.size.toLong, g.map(_._2).sum) }
+      assert(got == want, s"trial $trial budget $budget")
+    }
+  }
+
   test("minhash signature match-rate estimates true Jaccard (universal family)") {
     import graft.functions.MinHashSig
     val rnd = new Random(808)
