@@ -41,4 +41,40 @@ class StreamSinkSpec extends SparkSpec {
       assert(spark.read.parquet(s"$dir/batch=*").count() == 3)
     } finally q.stop()
   }
+
+  test("file-source incremental ingest processes each drop exactly once (AvailableNow)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft_ingest_incr").toString
+    val (in, out, ckpt) = (s"$root/landing", s"$root/mart", s"$root/ckpt")
+
+    def drop(ids: Range): Unit = ids.map(i => (i.toLong, i * 1.5))
+      .toDF("id", "value").write.mode("append").parquet(in)
+    // one incremental run: start where the checkpoint left off, process
+    // every file not yet seen, stop — the queue-less nightly-load shape
+    // (same transform code a 24/7 stream would run)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, value DOUBLE").parquet(in)
+        .withColumn("doubled", col("value") * 2)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).format("parquet")
+        .option("path", out).start()
+      q.awaitTermination()
+    }
+
+    drop(1 to 5)
+    runOnce()
+    assert(spark.read.parquet(out).count() == 5)
+    drop(6 to 8)
+    runOnce()
+    val rows = spark.read.parquet(out)
+    // 8 rows total: the second run ingested ONLY the new drop (the
+    // checkpoint remembers processed files), the first 5 not re-read
+    assert(rows.count() == 8)
+    assert(rows.select("id").as[Long].collect().toSet == (1L to 8L).toSet)
+    // re-running with nothing new is a no-op
+    runOnce()
+    assert(spark.read.parquet(out).count() == 8)
+  }
 }
