@@ -84,9 +84,16 @@ object StarSchema {
   def globalRank(src: DataFrame, orderBy: Seq[String], keyName: String,
                  buckets: Int = 64): DataFrame = {
     val bucket = orderBucket(src, orderBy.head, buckets)
+    // The locally-ranked frame feeds BOTH the per-bucket counts and the
+    // final offset join; without pinning, each consumer replays the
+    // whole upstream lineage (source scan + distinct + the min/max
+    // stats subtree). Materialize it once — it is exactly one pass of
+    // the input plus two small integer columns, and the offsets pass
+    // cannot start before the ranks exist anyway.
     val local = bucket(src).withColumn("__rn",
       row_number().over(
         Window.partitionBy("__bkt").orderBy(orderBy.map(col): _*)))
+      .localCheckpoint(eager = false)
     val counts = local.groupBy("__bkt").agg(count(lit(1)).as("__cnt"))
     val offsets = counts.as("a")
       .join(counts.as("b"), col("b.__bkt") < col("a.__bkt"), "left")
@@ -107,10 +114,12 @@ object StarSchema {
   def globalPrefixSum(src: DataFrame, orderBy: Seq[String], valueCol: String,
                       outName: String, buckets: Int = 64): DataFrame = {
     val bucket = orderBucket(src, orderBy.head, buckets)
+    // Same double-consumer shape as [[globalRank]] — pin one pass.
     val local = bucket(src).withColumn("__ps",
       sum(col(valueCol)).over(
         Window.partitionBy("__bkt").orderBy(orderBy.map(col): _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(eager = false)
     val totals = local.groupBy("__bkt").agg(sum(col(valueCol)).as("__tot"))
     val offsets = totals.as("a")
       .join(totals.as("b"), col("b.__bkt") < col("a.__bkt"), "left")
