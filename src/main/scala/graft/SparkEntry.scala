@@ -284,6 +284,11 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables(s, d, "documents")), "doc_a", "doc_b")),
     "doc_chunk" -> ((s, d) => Corpus.chunk(Tables(s, d, "documents"))),
     "doc_novelty" -> ((s, d) => Corpus.noveltyScore(Tables(s, d, "documents"))),
+    "tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTop(Tables(s, d, "documents"))),
+    // --- warehouse lifecycle: time-series completion + CDC compaction ---
+    "gap_fill" -> ((s, d) => graft.etl.TimeSeries.gapFill(s, d)),
+    "cdc_apply" -> ((s, d) => graft.etl.Cdc.ordersSnapshot(s, d)),
+    "events_anomaly" -> ((s, d) => Sessionize.anomalies(Tables(s, d, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -1365,5 +1370,76 @@ object SparkEntry {
         |SELECT probe_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
         |  ROUND(cs, 4) AS cos_sim
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // Mirrors TimeSeries.gapFill: BIGINT cent sums per (loc, day), a
+    // generate_series calendar spine, and IGNORE NULLS forward fill.
+    "gap_fill" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey AS loc_ref, CAST(l_shipdate AS DATE) AS d,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS temp_c,
+        |    COUNT(*) AS n_obs
+        |  FROM lineitem GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT loc_ref,
+        |    CAST(UNNEST(generate_series(MIN(d), MAX(d), INTERVAL 1 DAY)) AS DATE) AS cal_date
+        |  FROM daily GROUP BY loc_ref),
+        |j AS (
+        |  SELECT cal.loc_ref, cal.cal_date,
+        |    CAST(daily.temp_c AS DOUBLE) / (daily.n_obs * 100) AS day_temp
+        |  FROM cal LEFT JOIN daily
+        |    ON cal.loc_ref = daily.loc_ref AND cal.cal_date = daily.d)
+        |SELECT loc_ref, CAST(cal_date AS VARCHAR) AS cal_date,
+        |  ROUND(LAST_VALUE(day_temp IGNORE NULLS) OVER (
+        |    PARTITION BY loc_ref ORDER BY cal_date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS temp_filled,
+        |  day_temp IS NULL AS is_gap
+        |FROM j ORDER BY loc_ref, cal_date""".stripMargin,
+    // Mirrors Cdc.ordersSnapshot: I/U/D feed, latest seq per key wins.
+    "cdc_apply" ->
+      """WITH feed AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS seq, 'I' AS op FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, round(o_totalprice + 1.0, 2), 2, 'U'
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 3, 'D'
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq DESC, op DESC) AS rn FROM feed)
+        |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        |FROM latest WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin,
+    // Mirrors Sessionize.anomalies: the 3-sigma cut as an exact integer
+    // inequality — HUGEINT here, DECIMAL(38,0) on the Spark side.
+    "events_anomaly" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS vc
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n, SUM(vc) AS s, SUM(vc * vc) AS q
+        |  FROM v GROUP BY 1)
+        |SELECT event_id, v.event_type, value,
+        |  CASE WHEN CAST(vc AS HUGEINT) * n - s > 0 THEN 'high' ELSE 'low' END AS side
+        |FROM v JOIN st ON v.event_type = st.event_type
+        |WHERE (CAST(vc AS HUGEINT) * n - s) * (CAST(vc AS HUGEINT) * n - s)
+        |  > (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * 9
+        |ORDER BY event_id""".stripMargin,
+    // Mirrors TextAnalysis.tfidfTop: rational idf (tf·N/df), top-3 per doc.
+    "tfidf_topterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t AS term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, tf.term, tf, df,
+        |    CAST(tf * n_docs AS DOUBLE) / df AS score
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rn FROM scored)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  ROUND(score, 4) AS score
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, score DESC, term""".stripMargin,
   )
 }

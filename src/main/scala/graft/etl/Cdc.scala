@@ -1,0 +1,56 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture application: compact an ordered I/U/D change feed
+  * into the current snapshot (latest operation per key wins; deletes drop
+  * the key). This is the incremental-load primitive the reference's
+  * full-rebuild CTAS pipeline (ETL_GlobalWeather_DB.sql §3.2) grows into
+  * once the source emits deltas instead of full extracts.
+  *
+  * Scale shape: ONE shuffle on the business key; the per-key window
+  * reads a handful of versions per key (feed depth, not table size), and
+  * WindowGroupLimit prunes losers before they reach the sort at scale.
+  * No MERGE target scan is needed when the snapshot itself is the result.
+  */
+object Cdc {
+
+  /** Latest-wins compaction. `feed` must carry `seq` (monotone per key)
+    * and `op` ('I' | 'U' | 'D'); ties on seq are broken by op descending
+    * (U beats I) so the feed order is total.
+    */
+  def applyChanges(feed: DataFrame, key: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("seq").desc, col("op").desc)
+    feed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("op") =!= "D")
+      .drop("__rn", "seq", "op")
+  }
+
+  /** Deterministic demo feed over orders: the full extract as inserts
+    * (seq 1), a price-correction update for every 3rd key (seq 2), and a
+    * cancellation delete for every 10th key (seq 3).
+    */
+  def ordersFeed(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.core.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val inserts = base
+      .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+    val updates = base.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + 1.0, 2))
+      .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+    val deletes = base.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .withColumn("seq", lit(3L)).withColumn("op", lit("D"))
+    inserts.unionByName(updates).unionByName(deletes)
+  }
+
+  /** The compacted snapshot for the demo feed, verify-ordered. */
+  def ordersSnapshot(spark: SparkSession, dir: String): DataFrame =
+    applyChanges(ordersFeed(spark, dir), Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy("o_orderkey")
+}

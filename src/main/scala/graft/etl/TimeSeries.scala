@@ -1,0 +1,60 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series completion over the measurement table: the warehouse op the
+  * reference's daily weather feed implies but Snowflake left to the BI
+  * layer — a gap-free calendar per location with missing days forward-
+  * filled from the last observation.
+  *
+  * Scale shape: ONE fact-sized shuffle (the daily pre-aggregate on
+  * (location, day) — map-side partial aggs shrink it first). Everything
+  * after runs on the dimension-sized daily table: the per-location
+  * calendar spine comes from a 100-row min/max aggregate, and the
+  * forward-fill window partitions by location (bounded cardinality, no
+  * global window). At 100 TB the fact scan dominates; densification cost
+  * is proportional to locations × days, which is mart-sized.
+  *
+  * Determinism: daily means are computed as BIGINT cent-sums divided
+  * per-row (one correctly-rounded IEEE division — engine-independent),
+  * so the forward-filled series hash-matches the DuckDB oracle exactly.
+  */
+object TimeSeries {
+
+  /** Densify (loc, day) to a gap-free calendar and forward-fill the daily
+    * mean temperature. `is_gap` marks synthesized days.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = WeatherMart.staging(spark, dir)
+      .groupBy(col("loc_ref"), col("date_valid"))
+      .agg(
+        sum(round(col("avg_temp_f") * 100, 0).cast("long")).as("temp_c"),
+        count(lit(1)).as("n_obs"))
+
+    // per-location calendar spine: tiny (one row per location) →
+    // sequence+explode is dimension-sized work. Renamed columns avoid
+    // the self-join ambiguity (spine derives from daily).
+    val spine = daily.groupBy("loc_ref")
+      .agg(min("date_valid").as("d0"), max("date_valid").as("d1"))
+      .select(col("loc_ref").as("cal_loc"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("cal_date"))
+
+    val joined = spine.join(daily,
+      col("cal_loc") === col("loc_ref") &&
+        col("cal_date") === col("date_valid"), "left")
+      .select(col("cal_loc").as("loc_ref"), col("cal_date"),
+        (col("temp_c").cast("double") / (col("n_obs") * 100)).as("day_temp"))
+
+    val w = Window.partitionBy("loc_ref").orderBy("cal_date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.select(
+      col("loc_ref"), col("cal_date"),
+      round(last(col("day_temp"), ignoreNulls = true).over(w), 4)
+        .as("temp_filled"),
+      col("day_temp").isNull.as("is_gap"))
+      .orderBy("loc_ref", "cal_date")
+  }
+}

@@ -236,4 +236,37 @@ object Sessionize {
         round(element_at(col("pq"), 3), 4).as("p99_value"))
       .orderBy("event_type")
   }
+
+  /** Per-type 3-sigma outliers, decided in EXACT integer arithmetic.
+    *
+    * Floating z-scores are summation-order-dependent (a distributed
+    * stddev and a single-threaded one disagree in the last ulp), so the
+    * outlier cut is evaluated as the equivalent integer inequality over
+    * cent values:  (v·n − S)² > 9·(n·Q − S²)  with S=Σv, Q=Σv² as
+    * BIGINT cent sums and the squares widened to DECIMAL(38,0) — every
+    * term exact, so the flag (and therefore the result set) is
+    * engine-independent and hash-checks against the oracle's HUGEINT
+    * replay. `side` reports the deviation direction.
+    *
+    * Scale shape: one partial-aggregating shuffle for the 4-row stats
+    * table, broadcast back over the scan; the outlier filter itself is
+    * a codegen'd per-row predicate.
+    */
+  def anomalies(events: DataFrame): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val stats = events
+      .select(col("event_type"), cents.as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(col("v") * col("v")).as("q"))
+    val dec = "decimal(38,0)"
+    val dev = cents.cast(dec) * col("n").cast(dec) - col("s").cast(dec)
+    val varN2 = col("n").cast(dec) * col("q").cast(dec) -
+      col("s").cast(dec) * col("s").cast(dec)
+    events.join(broadcast(stats), "event_type")
+      .filter(dev * dev > varN2 * 9)
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(dev > 0, lit("high")).otherwise(lit("low")).as("side"))
+      .orderBy("event_id")
+  }
 }

@@ -216,4 +216,36 @@ object TextAnalysis {
       .agg(count_distinct(col("token")).as("vocab_size"))
     base.crossJoin(vocab)
   }
+
+  /** Per-document top-k terms by tf-idf, with a RATIONAL idf: score =
+    * tf · N / df (the log dropped, like [[bigramLift]] drops it from
+    * PMI) so the ranking is a pure BIGINT ratio — one correctly-rounded
+    * IEEE division per (doc, term), identical in every engine, and the
+    * whole query hash-checks.
+    *
+    * Scale shape: explode → partial-aggregated shuffle on (doc, term)
+    * for tf; the df table re-aggregates that (vocab-sized result) and
+    * broadcasts back; the per-doc rank window gets WindowGroupLimit, so
+    * the doc-partitioned exchange carries ≤k rows per document.
+    */
+  def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
 }

@@ -1,0 +1,87 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.operators.{Sessionize, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-lifecycle additions: calendar gap-fill, CDC latest-wins
+  * compaction, integer-exact anomaly cut, rational tf-idf ranking.
+  */
+class LifecycleSpec extends SparkSpec {
+
+  test("gapFill densifies to a gap-free per-location calendar and forward-fills") {
+    val out = TimeSeries.gapFill(spark, sf()).cache()
+    try {
+      // gap-free: per location, rows == span between min and max date
+      val spans = out.groupBy("loc_ref")
+        .agg(count(lit(1)).as("n"),
+          (datediff(max("cal_date"), min("cal_date")) + 1).as("span"))
+        .filter(col("n") =!= col("span"))
+      assert(spans.count() === 0)
+      // forward fill: no nulls anywhere (first row of each loc is observed)
+      assert(out.filter(col("temp_filled").isNull).count() === 0)
+      // synthesized days exist and carry the previous observed value
+      val oneGap = out.filter(col("is_gap")).limit(1).collect()
+      assert(oneGap.nonEmpty)
+      val g = oneGap.head
+      val prev = out
+        .filter(col("loc_ref") === g.getAs[Long]("loc_ref") &&
+          !col("is_gap") && col("cal_date") < g.getAs[java.sql.Date]("cal_date"))
+        .orderBy(col("cal_date").desc).limit(1).collect().head
+      assert(prev.getAs[Double]("temp_filled") === g.getAs[Double]("temp_filled"))
+    } finally out.unpersist()
+  }
+
+  test("cdc applyChanges keeps the latest op per key and drops deletes") {
+    val snap = Cdc.ordersSnapshot(spark, sf()).cache()
+    try {
+      val orders = Tables(spark, sf(), "orders")
+      val nAll = orders.count()
+      val nDeleted = orders.filter(pmod(col("o_orderkey"), lit(10)) === 0).count()
+      assert(snap.count() === nAll - nDeleted)
+      // every 3rd (and not 10th) key carries the +1.00 correction,
+      // everything else keeps its insert-time price
+      val mismatch = snap.join(
+        orders.select(col("o_orderkey"), col("o_totalprice").as("base_price")),
+        "o_orderkey")
+        .filter(
+          when(pmod(col("o_orderkey"), lit(3)) === 0,
+            col("o_totalprice") =!= round(col("base_price") + 1.0, 2))
+            .otherwise(col("o_totalprice") =!= round(col("base_price"), 2)))
+      assert(mismatch.count() === 0)
+      assert(snap.filter(pmod(col("o_orderkey"), lit(3)) === 0).count() > 0)
+    } finally snap.unpersist()
+  }
+
+  test("anomalies agrees with a double-precision z-score away from the boundary") {
+    val ev = Tables(spark, sf(), "events")
+    val out = Sessionize.anomalies(ev)
+    // reference: plain floating z-score with a safety margin — every
+    // |z| > 3.01 must be flagged, nothing with |z| < 2.99 may be
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_pop("value").as("sd"))
+    val z = ev.join(stats, "event_type")
+      .withColumn("z", (col("value") - col("mu")) / col("sd"))
+    val must = z.filter(abs(col("z")) > 3.01).select("event_id")
+    val mustNot = z.filter(abs(col("z")) < 2.99).select("event_id")
+    assert(must.except(out.select("event_id")).count() === 0)
+    assert(out.select("event_id").intersect(mustNot).count() === 0)
+  }
+
+  test("tfidfTop ranks rare-but-frequent terms above ubiquitous ones") {
+    val docs = Tables(spark, sf(), "documents")
+    val out = TextAnalysis.tfidfTop(docs).cache()
+    try {
+      // exactly k rows per doc (ties broken, no doc lost)
+      val perDoc = out.groupBy("doc_id").count()
+      assert(perDoc.filter(col("count") =!= 3).count() === 0)
+      assert(perDoc.count() === docs.count())
+      // score really is tf*N/df rounded to 4
+      val n = docs.count().toDouble
+      val bad = out.filter(
+        abs(col("score") - round(col("tf") * n / col("df"), 4)) > 1e-9)
+      assert(bad.count() === 0)
+    } finally out.unpersist()
+  }
+}
