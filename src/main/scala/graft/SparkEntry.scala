@@ -57,7 +57,9 @@ object SparkEntry {
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     raw ++ Map[String, (SparkSession, String) => DataFrame](
       "stg_load" -> ((s, d) => WeatherMart.staging(s, d)),
-      "fact_build" -> ((s, d) => WeatherMart.fact(s, d)))
+      "fact_build" -> ((s, d) => WeatherMart.fact(s, d)),
+      "gap_fill" -> ((s, d) => graft.etl.TimeSeries.gapFill(s, d, ordered = false)),
+      "cdc_apply" -> ((s, d) => graft.etl.Cdc.ordersSnapshot(s, d, ordered = false)))
 
   private def raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stg_load" -> ((s, d) => WeatherMart.staging(s, d)

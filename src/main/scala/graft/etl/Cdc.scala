@@ -48,9 +48,11 @@ object Cdc {
   }
 
   /** The compacted snapshot for the demo feed, verify-ordered. */
-  def ordersSnapshot(spark: SparkSession, dir: String): DataFrame =
-    applyChanges(ordersFeed(spark, dir), Seq("o_orderkey"))
+  def ordersSnapshot(spark: SparkSession, dir: String,
+                     ordered: Boolean = true): DataFrame = {
+    val snap = applyChanges(ordersFeed(spark, dir), Seq("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderstatus"),
         round(col("o_totalprice"), 2).as("o_totalprice"))
-      .orderBy("o_orderkey")
+    if (ordered) snap.orderBy("o_orderkey") else snap
+  }
 }
