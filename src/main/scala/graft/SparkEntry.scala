@@ -291,6 +291,10 @@ object SparkEntry {
     "gap_fill" -> ((s, d) => graft.etl.TimeSeries.gapFill(s, d)),
     "cdc_apply" -> ((s, d) => graft.etl.Cdc.ordersSnapshot(s, d)),
     "events_anomaly" -> ((s, d) => Sessionize.anomalies(Tables(s, d, "events"))),
+    "events_sliding" -> ((s, d) =>
+      EventStream.slidingByType(Tables(s, d, "events"))
+        .orderBy("win_start", "event_type")),
+    "events_props_parse" -> ((s, d) => Sessionize.propsBreakdown(Tables(s, d, "events"))),
   )
 
   // ---------------------------------------------------------------------
@@ -1443,5 +1447,27 @@ object SparkEntry {
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |  ROUND(score, 4) AS score
         |FROM r WHERE rn <= 3 ORDER BY doc_id, score DESC, term""".stripMargin,
+    // Mirrors EventStream.slidingByType: 1h windows sliding 15min —
+    // every event lands in exactly 4 epoch-aligned windows, replayed
+    // here by exploding i in 0..3.
+    "events_sliding" ->
+      """WITH e AS (
+        |  SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 900) * 900 - i * 900)
+        |           AS TIMESTAMP) AS win_start,
+        |    event_type, value
+        |  FROM events, UNNEST(generate_series(0, 3)) AS u(i))
+        |SELECT CAST(win_start AS VARCHAR) AS win_start, event_type,
+        |  COUNT(*) AS n_events, ROUND(SUM(value) * 100, 0) / 100.0 AS total_value
+        |FROM e GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // Mirrors Sessionize.propsBreakdown; the JSON field is replayed
+    // with a regex so the check is independent of JSON machinery.
+    "events_props_parse" ->
+      """WITH k AS (
+        |  SELECT CAST(regexp_extract(props, '[0-9]+') AS INTEGER) AS k, value
+        |  FROM events)
+        |SELECT CAST(FLOOR(k / 10) AS BIGINT) AS k_band, COUNT(*) AS n_events,
+        |  MIN(k) AS min_k, MAX(k) AS max_k,
+        |  ROUND(SUM(value) * 100, 0) / 100.0 AS total_value
+        |FROM k GROUP BY 1 ORDER BY k_band""".stripMargin,
   )
 }

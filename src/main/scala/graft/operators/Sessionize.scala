@@ -237,6 +237,26 @@ object Sessionize {
       .orderBy("event_type")
   }
 
+  /** Semi-structured extraction: parse the `props` JSON column with a
+    * declared schema (`from_json` — no inference pass over the corpus)
+    * and aggregate by a derived attribute band. The parse is a per-row
+    * codegen'd expression over the scan; one shuffle for the 10-row
+    * band aggregate. The oracle replays the extraction with a regex,
+    * independently of any JSON machinery.
+    */
+  def propsBreakdown(events: DataFrame): DataFrame =
+    events
+      .select(
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"),
+        col("value"))
+      .groupBy(floor(col("k") / 10).cast("long").as("k_band"))
+      .agg(count(lit(1)).as("n_events"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        (round(sum("value") * 100, 0) / 100.0).as("total_value"))
+      .orderBy("k_band")
+
   /** Per-type 3-sigma outliers, decided in EXACT integer arithmetic.
     *
     * Floating z-scores are summation-order-dependent (a distributed

@@ -29,6 +29,22 @@ object EventStream {
         col("n_events"), col("total_value"))
   }
 
+  /** Sliding event-time windows (1h length, 15min slide): every event
+    * lands in length/slide = 4 overlapping windows. Spark expands the
+    * slide inline (no self-join) and the aggregate shuffles once on
+    * (window, type) with map-side partials — the moving-average shape
+    * dashboards want, identical code batch or streaming.
+    */
+  def slidingByType(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum("value") * 100, 0) / 100.0).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Session aggregation via Spark's native `session_window` — the
     * merging-window state machine the engine maintains for streams
     * (vs [[graft.operators.Sessionize.sessions]]' LAG formulation,

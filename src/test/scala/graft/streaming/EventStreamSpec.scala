@@ -38,6 +38,28 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingByType in streaming mode matches batch and lands 4 windows per event") {
+    val batch = EventStream.slidingByType(
+      rows.toDF("ts", "event_type", "value"))
+      .orderBy("win_start", "event_type").collect()
+    // each event lands in exactly length/slide = 4 windows
+    assert(batch.map(_.getAs[Long]("n_events")).sum == 4L * rows.size)
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = EventStream.slidingByType(
+      mem.toDF().toDF("ts", "event_type", "value"), watermark = Some("2 hours"))
+    val q = stream.writeStream
+      .format("memory").queryName("sliding_test").outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sliding_test")
+        .orderBy("win_start", "event_type").collect()
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("native session_window agrees with the LAG sessionizer on real events") {
     val ev = graft.core.Tables(spark, sf(), "events")
     val native = EventStream.sessionWindows(ev)
