@@ -25,6 +25,12 @@ object TimeSeries {
 
   /** Densify (loc, day) to a gap-free calendar and forward-fill the daily
     * mean temperature. `is_gap` marks synthesized days.
+    *
+    * No calendar-spine join: each observed day OWNS the gap days up to
+    * the next observation (`lead` + `sequence` explode), which carries
+    * the forward-filled value with it for free. One exchange total (the
+    * daily aggregate's (loc, day) shuffle, which the lead window then
+    * re-uses by partitioning on loc) vs the join formulation's three.
     */
   def gapFill(spark: SparkSession, dir: String,
               ordered: Boolean = true): DataFrame = {
@@ -34,28 +40,17 @@ object TimeSeries {
         sum(round(col("avg_temp_f") * 100, 0).cast("long")).as("temp_c"),
         count(lit(1)).as("n_obs"))
 
-    // per-location calendar spine: tiny (one row per location) →
-    // sequence+explode is dimension-sized work. Renamed columns avoid
-    // the self-join ambiguity (spine derives from daily).
-    val spine = daily.groupBy("loc_ref")
-      .agg(min("date_valid").as("d0"), max("date_valid").as("d1"))
-      .select(col("loc_ref").as("cal_loc"),
-        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
-          .as("cal_date"))
-
-    val joined = spine.join(daily,
-      col("cal_loc") === col("loc_ref") &&
-        col("cal_date") === col("date_valid"), "left")
-      .select(col("cal_loc").as("loc_ref"), col("cal_date"),
-        (col("temp_c").cast("double") / (col("n_obs") * 100)).as("day_temp"))
-
-    val w = Window.partitionBy("loc_ref").orderBy("cal_date")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = joined.select(
-      col("loc_ref"), col("cal_date"),
-      round(last(col("day_temp"), ignoreNulls = true).over(w), 4)
-        .as("temp_filled"),
-      col("day_temp").isNull.as("is_gap"))
+    val w = Window.partitionBy("loc_ref").orderBy("date_valid")
+    val filled = daily
+      .withColumn("next_d", lead(col("date_valid"), 1).over(w))
+      .select(col("loc_ref"), col("date_valid"),
+        (col("temp_c").cast("double") / (col("n_obs") * 100)).as("day_temp"),
+        explode(sequence(col("date_valid"),
+          coalesce(date_sub(col("next_d"), 1), col("date_valid")),
+          expr("interval 1 day"))).as("cal_date"))
+      .select(col("loc_ref"), col("cal_date"),
+        round(col("day_temp"), 4).as("temp_filled"),
+        (col("cal_date") =!= col("date_valid")).as("is_gap"))
     // the global sort exists only for a deterministic verify dump — a
     // materialized calendar table would not pay it
     if (ordered) filled.orderBy("loc_ref", "cal_date") else filled
