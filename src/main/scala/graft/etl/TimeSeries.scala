@@ -28,9 +28,12 @@ object TimeSeries {
     *
     * No calendar-spine join: each observed day OWNS the gap days up to
     * the next observation (`lead` + `sequence` explode), which carries
-    * the forward-filled value with it for free. One exchange total (the
-    * daily aggregate's (loc, day) shuffle, which the lead window then
-    * re-uses by partitioning on loc) vs the join formulation's three.
+    * the forward-filled value with it for free. The fact pays one
+    * well-distributed (loc, day) aggregate shuffle; the lead window
+    * then re-shuffles only the mart-sized daily table by loc. (Keying
+    * the fact shuffle by loc alone would merge the two exchanges but
+    * funnel each location's entire history through one task — wrong
+    * trade at 100 TB with bounded location cardinality.)
     */
   def gapFill(spark: SparkSession, dir: String,
               ordered: Boolean = true): DataFrame = {

@@ -237,6 +237,38 @@ class PlanAuditSpec extends SparkSpec {
       s"gram containment must stay an equi-join:\n$plan")
   }
 
+  test("gap fill: no spine join; fact shuffles once, window re-shuffles only the daily table") {
+    val plan = finalPlan(graft.etl.TimeSeries.gapFill(spark, sf(), ordered = false))
+    // exactly 2 exchanges: the (loc, day) fact aggregate + the loc-keyed
+    // window over the already-aggregated daily rows (keying the fact
+    // shuffle by loc alone would funnel a location's history through
+    // one task — see TimeSeries.gapFill's scaladoc)
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(n == 2, s"expected 2 hash exchanges, saw $n:\n$plan")
+    assert(!plan.contains("Join"), s"spine join crept back in:\n$plan")
+  }
+
+  test("tf-idf: df broadcasts back, per-doc rank pushes k into the shuffle") {
+    val docs = graft.core.Tables(spark, sf(), "documents")
+    val plan = finalPlan(graft.operators.TextAnalysis.tfidfTop(docs))
+    assert(plan.contains("WindowGroupLimit"), s"rank not pushed down:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"df join didn't broadcast:\n$plan")
+  }
+
+  test("sliding windows expand inline: no self-join, single (window,type) aggregate exchange") {
+    val ev = graft.core.Tables(spark, sf(), "events")
+    val plan = finalPlan(graft.streaming.EventStream.slidingByType(ev))
+    assert(!plan.contains("Join"), s"slide expansion became a join:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side partials:\n$plan")
+  }
+
+  test("anomaly cut: stats broadcast back over the scan, no fact-side shuffle") {
+    val ev = graft.core.Tables(spark, sf(), "events")
+    val plan = finalPlan(Sessionize.anomalies(ev))
+    assert(plan.contains("BroadcastHashJoin"), s"stats join didn't broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("every contract query stays free of cartesian products") {
     // the 1-row dim_source cross join broadcasts; a CartesianProduct node
     // anywhere means an equi-join lost its keys
