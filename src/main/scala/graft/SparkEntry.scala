@@ -295,6 +295,8 @@ object SparkEntry {
       EventStream.slidingByType(Tables(s, d, "events"))
         .orderBy("win_start", "event_type")),
     "events_props_parse" -> ((s, d) => Sessionize.propsBreakdown(Tables(s, d, "events"))),
+    "doc_normalize" -> ((s, d) => TextAnalysis.normalize(Tables(s, d, "documents"))),
+    "agg_incremental_merge" -> ((s, d) => graft.etl.Incremental.mergedMonthlyOrders(s, d)),
   )
 
   // ---------------------------------------------------------------------
@@ -1469,5 +1471,31 @@ object SparkEntry {
         |  MIN(k) AS min_k, MAX(k) AS max_k,
         |  ROUND(SUM(value) * 100, 0) / 100.0 AS total_value
         |FROM k GROUP BY 1 ORDER BY k_band""".stripMargin,
+    // Mirrors TextAnalysis.normalize: canonical form + stopword strip,
+    // token filter replayed with a list lambda, md5 must agree.
+    "doc_normalize" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS n_tokens_raw,
+        |    list_filter(
+        |      string_split(trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+        |      t -> t NOT IN ('the', 'a', 'of', 'and', 'to')) AS kept
+        |  FROM documents)
+        |SELECT doc_id, n_tokens_raw,
+        |  CAST(len(kept) AS BIGINT) AS n_tokens_norm,
+        |  md5(array_to_string(kept, ' ')) AS norm_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // Oracle for Incremental.mergedMonthlyOrders: the DIRECT recompute
+    // over the same coverage — merge(state, delta) must hash-equal it.
+    "agg_incremental_merge" ->
+      """SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month,
+        |  o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS total_price
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1998-06-16 00:00:00'
+        |GROUP BY 1, 2 ORDER BY month, o_orderstatus""".stripMargin,
   )
 }

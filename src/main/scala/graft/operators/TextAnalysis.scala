@@ -217,6 +217,26 @@ object TextAnalysis {
     base.crossJoin(vocab)
   }
 
+  /** Corpus normalization: lowercase, strip non-alphanumerics, collapse
+    * whitespace, drop stopwords — the canonical-form pass that runs
+    * before dedup/fingerprinting so cosmetic variants hash identically.
+    * Pure per-row expressions (scan-speed, zero shuffles); the oracle
+    * replays the token filter with a list lambda and the canonical
+    * md5 must agree byte-for-byte.
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    val canonical = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val kept = filter(split(canonical, " "),
+      t => !t.isin(Markers.head._2.map(lit(_)): _*))
+    docs.withColumn("__kept", kept).select(
+      col("doc_id"),
+      nTokensExpr(col("text")).as("n_tokens_raw"),
+      size(col("__kept")).cast("long").as("n_tokens_norm"),
+      md5(array_join(col("__kept"), " ")).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document top-k terms by tf-idf, with a RATIONAL idf: score =
     * tf · N / df (the log dropped, like [[bigramLift]] drops it from
     * PMI) so the ranking is a pure BIGINT ratio — one correctly-rounded

@@ -69,6 +69,43 @@ class LifecycleSpec extends SparkSpec {
     assert(out.select("event_id").intersect(mustNot).count() === 0)
   }
 
+  test("incremental merge equals the direct recompute over the same coverage") {
+    val merged = Incremental.mergedMonthlyOrders(spark, sf()).collect().toSeq
+    val direct = Tables(spark, sf(), "orders")
+      .filter(col("o_orderdate") < lit("1998-06-16"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("double") / 100.0)
+          .as("total_price"))
+      .orderBy("month", "o_orderstatus").collect().toSeq
+    assert(merged == direct)
+  }
+
+  test("normalize strips stopwords and is idempotent on already-canonical text") {
+    val docs = Tables(spark, sf(), "documents")
+    val out = TextAnalysis.normalize(docs).cache()
+    try {
+      assert(out.count() === docs.count())
+      // stopword-bearing docs must shrink; none may grow
+      assert(out.filter(col("n_tokens_norm") > col("n_tokens_raw")).count() === 0)
+      assert(out.filter(col("n_tokens_norm") < col("n_tokens_raw")).count() > 0)
+      // canonicalizing the canonical form is a fixpoint: re-normalizing
+      // the kept-token join must reproduce the same md5
+      import spark.implicits._
+      val redo = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) =>
+          val kept = t.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+            .replaceAll(" +", " ").trim.split(" ")
+            .filterNot(Set("the", "a", "of", "and", "to")).mkString(" ")
+          (id, kept)
+        }.toDF("doc_id", "norm_text")
+      val joined = out.join(redo, "doc_id")
+        .filter(md5(col("norm_text")) =!= col("norm_md5"))
+      assert(joined.count() === 0)
+    } finally out.unpersist()
+  }
+
   test("tfidfTop ranks rare-but-frequent terms above ubiquitous ones") {
     val docs = Tables(spark, sf(), "documents")
     val out = TextAnalysis.tfidfTop(docs).cache()
