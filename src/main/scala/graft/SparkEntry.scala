@@ -80,17 +80,13 @@ object SparkEntry {
         (round(sum("l_extendedprice") * 100, 0) / count(lit(1)) / 100.0).as("avg_price"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")),
-    // generic data-profiling: null + exact distinct counts per column in
-    // one aggregate (exact count_distinct expands k× — fine for a
-    // profiling job; swap approx_count_distinct for the 100 TB variant)
-    "table_profile" -> ((s, d) => {
-      val cols = Seq("l_suppkey", "l_quantity", "l_discount", "l_returnflag")
-      Tables(s, d, "lineitem").agg(
-        count(lit(1)).as("n_rows"),
-        cols.flatMap(c => Seq(
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
-          count_distinct(col(c)).as(s"distinct_$c"))): _*)
-    }),
+    // generic data-profiling (etl.Profile): the oracle checks the EXACT
+    // variant; the scale default is approx_count_distinct (no Expand,
+    // fixed-size HLL++ state), spec-bounded against exact in ProfileSpec
+    "table_profile" -> ((s, d) => graft.etl.Profile.tableProfile(
+      Tables(s, d, "lineitem"),
+      Seq("l_suppkey", "l_quantity", "l_discount", "l_returnflag"),
+      exact = true)),
     "dim_date" -> ((s, d) => WeatherMart.dimDate(s, d).orderBy("date_key")),
     "dim_location" -> ((s, d) => WeatherMart.dimLocation(s, d).orderBy("location_key")),
     "dim_scd2_merge" -> ((s, d) => WeatherMart.dimLocationMerged(s, d)
@@ -106,11 +102,16 @@ object SparkEntry {
       .select(col("full_date").as("date_valid"), col("year"), col("month"),
         col("day"), col("day_of_year"), col("week_of_year"), col("day_of_week"))
       .orderBy("date_valid")),
+    // column-complete per ETL_GlobalWeather_DB.sql:160-175: every
+    // measure the test schema maps rides along (band_q = l_quantity,
+    // the banding measure; the reference's other 9 measure columns
+    // have no counterpart column in the harness tables — SURVEY §1)
     "normalized_weather_day" -> ((s, d) => WeatherMart.staging(s, d)
       .select(col("date_valid"), col("loc_ref").as("postal_code"),
-        col("avg_temp_f"), col("precipitation_in"), col("snowfall_in"))
+        col("avg_temp_f"), col("precipitation_in"), col("snowfall_in"),
+        col("band_q"))
       .orderBy("date_valid", "postal_code", "avg_temp_f",
-        "precipitation_in", "snowfall_in")),
+        "precipitation_in", "snowfall_in", "band_q")),
     // set difference: snapshot rows not present in the current dim
     // naturals = the day's changed + brand-new locations (EXCEPT is a
     // distinct-aggregating shuffle — same cost shape as a groupBy)
@@ -805,8 +806,8 @@ object SparkEntry {
         |ORDER BY date_valid""".stripMargin,
     "normalized_weather_day" ->
       s"""SELECT date_valid, loc_ref AS postal_code, avg_temp_f,
-         |  precipitation_in, snowfall_in
-         |FROM ($stgSql) ORDER BY 1, 2, 3, 4, 5""".stripMargin,
+         |  precipitation_in, snowfall_in, band_q
+         |FROM ($stgSql) ORDER BY 1, 2, 3, 4, 5, 6""".stripMargin,
     // Mirrors the location_drift query (snapshot EXCEPT naturals); snap
     // derivation matches WeatherMart.locationSnapshot.
     "location_drift" ->
@@ -1401,7 +1402,9 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS temp_filled,
         |  day_temp IS NULL AS is_gap
         |FROM j ORDER BY loc_ref, cal_date""".stripMargin,
-    // Mirrors Cdc.ordersSnapshot: I/U/D feed, latest seq per key wins.
+    // Mirrors Cdc.ordersSnapshot: I/U/D feed, latest seq per key wins;
+    // seq ties break on explicit op priority D > U > I (a lost delete
+    // resurrects a row; a lost update is merely re-deliverable).
     "cdc_apply" ->
       """WITH feed AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS seq, 'I' AS op FROM orders
@@ -1413,7 +1416,9 @@ object SparkEntry {
         |  FROM orders WHERE o_orderkey % 10 = 0),
         |latest AS (
         |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
-        |    ORDER BY seq DESC, op DESC) AS rn FROM feed)
+        |    ORDER BY seq DESC,
+        |      CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC) AS rn
+        |  FROM feed)
         |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
         |FROM latest WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin,
     // Mirrors Sessionize.anomalies: the 3-sigma cut as an exact integer
@@ -1451,11 +1456,14 @@ object SparkEntry {
         |FROM r WHERE rn <= 3 ORDER BY doc_id, score DESC, term""".stripMargin,
     // Mirrors EventStream.slidingByType: 1h windows sliding 15min —
     // every event lands in exactly 4 epoch-aligned windows, replayed
-    // here by exploding i in 0..3.
+    // here by exploding i in 0..3. make_timestamp(micros) builds a
+    // NAIVE timestamp straight from the epoch — unlike
+    // CAST(to_timestamp(..) AS TIMESTAMP), which renders through the
+    // DuckDB session TZ and only matched because both engines ran UTC.
     "events_sliding" ->
       """WITH e AS (
-        |  SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 900) * 900 - i * 900)
-        |           AS TIMESTAMP) AS win_start,
+        |  SELECT make_timestamp(CAST((FLOOR(epoch(ts) / 900) * 900 - i * 900)
+        |           * 1000000 AS BIGINT)) AS win_start,
         |    event_type, value
         |  FROM events, UNNEST(generate_series(0, 3)) AS u(i))
         |SELECT CAST(win_start AS VARCHAR) AS win_start, event_type,

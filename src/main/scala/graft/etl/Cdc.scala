@@ -18,12 +18,17 @@ import org.apache.spark.sql.functions._
 object Cdc {
 
   /** Latest-wins compaction. `feed` must carry `seq` (monotone per key)
-    * and `op` ('I' | 'U' | 'D'); ties on seq are broken by op descending
-    * (U beats I) so the feed order is total.
+    * and `op` ('I' | 'U' | 'D'); ties on seq are broken by an explicit
+    * op priority D > U > I — a delete racing an update at the same seq
+    * wins (the conservative read for a compactor: a lost delete
+    * resurrects a row; a lost update is re-deliverable), and the feed
+    * order is total either way.
     */
   def applyChanges(feed: DataFrame, key: Seq[String]): DataFrame = {
+    val opPriority = when(col("op") === "D", 2)
+      .when(col("op") === "U", 1).otherwise(0)
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("seq").desc, col("op").desc)
+      .orderBy(col("seq").desc, opPriority.desc)
     feed.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("op") =!= "D")
       .drop("__rn", "seq", "op")

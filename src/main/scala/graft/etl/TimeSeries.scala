@@ -42,20 +42,41 @@ object TimeSeries {
       .agg(
         sum(round(col("avg_temp_f") * 100, 0).cast("long")).as("temp_c"),
         count(lit(1)).as("n_obs"))
+    val filled = fillDaily(daily)
+    // the global sort exists only for a deterministic verify dump — a
+    // materialized calendar table would not pay it
+    if (ordered) filled.orderBy("loc_ref", "cal_date") else filled
+  }
 
+  /** Densify + forward-fill a (loc_ref, date_valid, temp_c, n_obs)
+    * daily table.
+    *
+    * Skew guard: a single `sequence(date, next_date)` explode would let
+    * one dormant location (say a 10-year gap) own a task-sized row. The
+    * explode is two-level instead — gap → ≤`chunkDays`-day chunks →
+    * days — so no single row fans out more than
+    * max(⌈gap/chunkDays⌉, chunkDays) ≈ √gap at the default, and the
+    * chunk rows redistribute across tasks before the day-level expand.
+    * Output rows are identical to the single-explode form
+    * (spec-asserted in LifecycleSpec; the oracle hash pins it too).
+    */
+  private[graft] def fillDaily(daily: DataFrame,
+                               chunkDays: Int = 128): DataFrame = {
     val w = Window.partitionBy("loc_ref").orderBy("date_valid")
-    val filled = daily
+    daily
       .withColumn("next_d", lead(col("date_valid"), 1).over(w))
       .select(col("loc_ref"), col("date_valid"),
         (col("temp_c").cast("double") / (col("n_obs") * 100)).as("day_temp"),
-        explode(sequence(col("date_valid"),
-          coalesce(date_sub(col("next_d"), 1), col("date_valid")),
+        coalesce(date_sub(col("next_d"), 1), col("date_valid")).as("gap_end"))
+      .select(col("loc_ref"), col("date_valid"), col("day_temp"), col("gap_end"),
+        explode(sequence(col("date_valid"), col("gap_end"),
+          expr(s"interval $chunkDays day"))).as("chunk_start"))
+      .select(col("loc_ref"), col("date_valid"), col("day_temp"),
+        explode(sequence(col("chunk_start"),
+          least(date_add(col("chunk_start"), chunkDays - 1), col("gap_end")),
           expr("interval 1 day"))).as("cal_date"))
       .select(col("loc_ref"), col("cal_date"),
         round(col("day_temp"), 4).as("temp_filled"),
         (col("cal_date") =!= col("date_valid")).as("is_gap"))
-    // the global sort exists only for a deterministic verify dump — a
-    // materialized calendar table would not pay it
-    if (ordered) filled.orderBy("loc_ref", "cal_date") else filled
   }
 }

@@ -69,9 +69,23 @@ object Bpe {
   def encode(word: String, merges: Seq[(String, String)]): Seq[String] =
     merges.foldLeft(word.split("").toVector)(mergeOnce)
 
-  /** End-to-end: train `k` merges from a document corpus. */
-  def train(docs: DataFrame, k: Int): Seq[(String, String)] = {
-    val freqs = wordFreqs(docs).collect()
+  /** End-to-end: train `k` merges from a document corpus.
+    *
+    * The driver collect is bounded two ways: words below `minCount`
+    * are dropped (a web-scale corpus has billions of once-seen
+    * "words" — typos, URLs, hex ids — that can't win a merge anyway),
+    * and at most `maxVocab` surviving words are kept (highest count
+    * first, ties broken lexicographically so the cut is deterministic).
+    * So the collected table is ≤ maxVocab rows regardless of corpus
+    * size — standard tokenizer-trainer practice.
+    */
+  def train(docs: DataFrame, k: Int, minCount: Long = 1,
+            maxVocab: Int = 1000000): Seq[(String, String)] = {
+    val freqs = wordFreqs(docs)
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("word"))
+      .limit(maxVocab)
+      .collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     trainMerges(freqs, k)
   }

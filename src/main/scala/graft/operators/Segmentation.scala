@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Customer-base segmentation: RFM (recency / frequency / monetary)
+  * quartile banding — the classic mart-level scoring a warehouse
+  * derives from its order fact.
+  *
+  * Bands are VALUE-based (metric vs the exact corpus quartiles), not
+  * ntile-based: equal metric values always land in the same band, so
+  * the segmentation is stable under re-ingestion and re-partitioning —
+  * the same property the content-hash split chooses over random
+  * assignment. Quartile fractions are dyadic and the metrics are
+  * integers (days / counts / cents), so the interpolated cuts are
+  * exactly representable doubles and every engine computes the same
+  * bands (the oracle hash-checks the whole segmentation).
+  *
+  * Scale shape: one custkey aggregate over orders (partial-agg
+  * friendly), one single-row quartile aggregate over the CUSTOMER-
+  * dimension-sized result broadcast back, then a |4³|-row segment
+  * aggregate. The fact is scanned once.
+  */
+object Segmentation {
+
+  /** Per-customer RFM metrics as exact integers: days since last order
+    * at `asOf`, order count, lifetime cents.
+    */
+  def rfmMetrics(orders: DataFrame, asOf: String): DataFrame =
+    orders.groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit(asOf).cast("date"), max(to_date(col("o_orderdate"))))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("monetary_c"))
+
+  private def band(metric: Column, q1: Column, q2: Column, q3: Column): Column =
+    when(metric <= q1, 1L).when(metric <= q2, 2L)
+      .when(metric <= q3, 3L).otherwise(4L)
+
+  /** Segment counts: every (r_band, f_band, m_band) cell with its
+    * customer count and total monetary value. Band 1 = lowest metric
+    * value (so r_band 1 = most recent, m_band 4 = biggest spenders).
+    */
+  def rfmSegments(orders: DataFrame, asOf: String = "1998-08-01"): DataFrame = {
+    val m = rfmMetrics(orders, asOf)
+    val cutCols = Seq("recency_days", "frequency", "monetary_c").flatMap(c =>
+      Seq(0.25, 0.5, 0.75).zipWithIndex.map { case (q, i) =>
+        expr(s"percentile($c, $q)").as(s"${c}_q${i + 1}")
+      })
+    val cuts = m.agg(cutCols.head, cutCols.tail: _*)
+    m.crossJoin(broadcast(cuts))
+      .select(
+        band(col("recency_days"), col("recency_days_q1"),
+          col("recency_days_q2"), col("recency_days_q3")).as("r_band"),
+        band(col("frequency"), col("frequency_q1"),
+          col("frequency_q2"), col("frequency_q3")).as("f_band"),
+        band(col("monetary_c"), col("monetary_c_q1"),
+          col("monetary_c_q2"), col("monetary_c_q3")).as("m_band"),
+        col("monetary_c"))
+      .groupBy("r_band", "f_band", "m_band")
+      .agg(count(lit(1)).as("n_customers"),
+        (sum("monetary_c").cast("double") / 100.0).as("total_monetary"))
+      .orderBy("r_band", "f_band", "m_band")
+  }
+}

@@ -257,6 +257,69 @@ object Sessionize {
         (round(sum("value") * 100, 0) / 100.0).as("total_value"))
       .orderBy("k_band")
 
+  /** Gaps-and-islands: per-user consecutive-active-day streaks. The
+    * classic pattern — distinct activity days, then `day − row_number`
+    * is constant exactly within a consecutive run, so one groupBy
+    * collapses each island.
+    *
+    * Scale shape: one (user, day) distinct shuffle (partial-agg
+    * friendly), then a per-user window over day-counts (bounded rows
+    * per user: days, not events) — no global window anywhere.
+    */
+  def activityStreaks(events: DataFrame): DataFrame = {
+    val days = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy("user_id").orderBy("d")
+    days
+      .withColumn("__island", date_sub(col("d"), row_number().over(w)))
+      .groupBy("user_id", "__island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        max("len").as("longest_streak"),
+        sum("len").as("active_days"))
+      .orderBy("user_id")
+  }
+
+  /** Argmax-row retrieval: each user's single highest-value event with
+    * its full row — the "latest/largest record per key" pattern. Total
+    * order (value DESC, event_id) makes the winner deterministic under
+    * value ties; WindowGroupLimit prunes losers map-side so the
+    * exchange carries ~1 row per user.
+    */
+  def topEventPerUser(events: DataFrame): DataFrame =
+    events
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("value").desc, col("event_id"))))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy("user_id")
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: counts and row-normalized probabilities of
+    * `prev_type → curr_type` steps — the sequence-modeling prep that
+    * also powers next-event prediction baselines and funnel discovery.
+    *
+    * Scale shape: one user_id exchange for the LAG, then the matrix is
+    * |types|²-sized — the per-prev totals broadcast back for the
+    * probability column. The probability is a single long/long IEEE
+    * division (engine-exact).
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("curr_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy("prev_type").agg(sum("n").as("__tot"))
+    steps.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("curr_type"), col("n"),
+        round(col("n").cast("double") / col("__tot"), 4).as("p"))
+      .orderBy("prev_type", "curr_type")
+  }
+
   /** Per-type 3-sigma outliers, decided in EXACT integer arithmetic.
     *
     * Floating z-scores are summation-order-dependent (a distributed
@@ -278,7 +341,10 @@ object Sessionize {
       .select(col("event_type"), cents.as("v"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("v").as("s"),
-        sum(col("v") * col("v")).as("q"))
+        // each v² fits a long, but Σv² over a 100 TB partition does
+        // not — widen the TERMS to decimal(38,0) so the sum is exact
+        // at any row count (matching the oracle's HUGEINT)
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("q"))
     val dec = "decimal(38,0)"
     val dev = cents.cast(dec) * col("n").cast(dec) - col("s").cast(dec)
     val varN2 = col("n").cast(dec) * col("q").cast(dec) -

@@ -186,6 +186,24 @@ object Similarity {
     }
   }
 
+  /** SemDeDup-style semantic deduplication: resolve the embedding
+    * near-dup pair graph ([[embeddingNearDup]]) into clusters
+    * (connected components) and keep ONE representative per cluster
+    * (the minimum vec_id — deterministic). Returns the DROP list:
+    * (vec_id, keeper_id) for every vector whose cluster keeps someone
+    * else; vectors outside any pair are implicitly kept.
+    *
+    * Scale shape: inherits the LSH-bucketed pair mining (never
+    * all-pairs) and the checkpointed min-label propagation — near-dup
+    * clusters are shallow, so the loop converges in 2-3 rounds.
+    */
+  def semanticDedup(corpus: DataFrame, minCosine: Double = 0.35): DataFrame =
+    Corpus.connectedComponents(
+      embeddingNearDup(corpus, minCosine), "vec_a", "vec_b")
+      .filter(col("doc_id") =!= col("component_id"))
+      .select(col("doc_id").as("vec_id"), col("component_id").as("keeper_id"))
+      .orderBy("vec_id")
+
   def embeddingNearDup(corpus: DataFrame, minCosine: Double = 0.35,
                        bands: Int = 8, rowsPerBand: Int = 6,
                        dims: Int = 64): DataFrame = {

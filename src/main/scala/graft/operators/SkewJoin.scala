@@ -46,11 +46,20 @@ object SkewJoin {
   /** Top-frequency key cut: drop keys whose row count exceeds `maxDf`
     * — the stopword guard used by the inverted-index joins, exposed as
     * a reusable primitive.
+    *
+    * NOT a window: `count().over(partitionBy(key))` would funnel every
+    * row of the hottest key through one task — the exact failure this
+    * primitive exists to guard. Instead the counts come from a
+    * partial-aggregating hash groupBy (map-side combine shrinks the hot
+    * key to one row per task before the shuffle) and the few hot keys
+    * are broadcast back as an anti-join, so the full rows of a hot key
+    * are never co-located anywhere.
     */
   def dropHotKeys(df: DataFrame, key: Column, maxDf: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.withColumn("__df", count(lit(1)).over(Window.partitionBy(key)))
-      .filter(col("__df") <= maxDf)
-      .drop("__df")
+    val hot = df.select(key.as("__hot_k")).groupBy("__hot_k")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select("__hot_k")
+    df.join(broadcast(hot), key === col("__hot_k"), "left_anti")
   }
 }

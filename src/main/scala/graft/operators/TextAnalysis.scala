@@ -195,6 +195,59 @@ object TextAnalysis {
       .orderBy(col("term_freq").desc, col("token"))
       .limit(k)
 
+  /** Language-model n-gram count table (KenLM-style prep): word
+    * n-grams with instance and document counts, pruned to
+    * `minCount`+ instances — the distributed reduction an n-gram LM
+    * trainer consumes.
+    *
+    * Scale shape: two partial-aggregating shuffles, no Expand — the
+    * (doc, gram) pre-aggregate collapses within-doc repeats first, so
+    * the gram-level pass computes the doc frequency as a plain COUNT
+    * (never a count-distinct over the instance stream). The minCount
+    * prune bounds the output the way tokenizer/LM pipelines do.
+    */
+  def ngramCounts(docs: DataFrame, n: Int = 3, minCount: Long = 3): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(GraftFunctions.wordShingles(col("text"), n,
+          keepDuplicates = true)).as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("__in_doc"))
+      .groupBy("gram")
+      .agg(sum("__in_doc").as("n_instances"), count(lit(1)).as("n_docs"))
+      .filter(col("n_instances") >= minCount)
+      .orderBy("gram")
+
+  /** Vocabulary coverage curve: what fraction of all corpus token
+    * instances the top-k most frequent words cover, for each requested
+    * k — the tokenizer-budget planning metric.
+    *
+    * Scale shape: one token shuffle for the frequency table, ranked by
+    * [[graft.etl.StarSchema.globalRank]] (no unpartitioned window over
+    * a possibly-billion-word vocabulary), then everything after the
+    * `rank <= max(ks)` cut is CONSTANT-bounded (≤ max(ks) rows), so the
+    * single cumulative window is fine at any corpus size. Coverage is
+    * one long/long division, rounded once.
+    */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(5, 10, 25)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = docs.select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val total = freqs.agg(sum("n").as("__total"))
+    val ranked = graft.etl.StarSchema
+      .globalRank(freqs.withColumn("__neg", -col("n")), Seq("__neg", "word"), "rank")
+      .filter(col("rank") <= ks.max.toLong)
+    val w = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("cum_tokens", sum("n").over(w))
+      .filter(col("rank").isin(ks.map(_.toLong): _*))
+      .crossJoin(broadcast(total))
+      .select(col("rank").as("top_k"), col("cum_tokens"),
+        round(col("cum_tokens").cast("double") / col("__total"), 6).as("coverage"))
+      .orderBy("top_k")
+  }
+
   /** One-row corpus profile: document count, token totals, length
     * moments, distinct-vocabulary size. Two single-row aggregates
     * (length moments over the doc scan; exact count-distinct over the

@@ -33,6 +33,42 @@ class LifecycleSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("gapFill's chunked explode reproduces the single-explode rows exactly") {
+    import spark.implicits._
+    // one location with a 1000-day dormancy: the single-sequence form
+    // would fan one row out 1000×; chunked (7-day chunks here) must
+    // yield the identical row set
+    val daily = Seq(
+      (1L, "2020-01-01", 1000L, 1L),
+      (1L, "2022-09-27", 2000L, 1L), // 1000 days later
+      (2L, "2020-01-01", 1500L, 1L))
+      .toDF("loc_ref", "d", "temp_c", "n_obs")
+      .select(col("loc_ref"), col("d").cast("date").as("date_valid"),
+        col("temp_c"), col("n_obs"))
+    val chunked = TimeSeries.fillDaily(daily, chunkDays = 7)
+      .orderBy("loc_ref", "cal_date").collect().toSeq
+    val single = TimeSeries.fillDaily(daily, chunkDays = 100000)
+      .orderBy("loc_ref", "cal_date").collect().toSeq
+    assert(chunked == single)
+    assert(chunked.size === 1001 + 1) // densified span + loc 2's lone day
+    // and the default chunk bound holds on the real pipeline (hash-pinned
+    // by the oracle): chunkDays=128 caps any one row's fan-out at
+    // max(⌈gap/128⌉, 128) — √gap-shaped instead of gap-shaped
+  }
+
+  test("cdc same-seq delete beats the update (explicit op priority)") {
+    import spark.implicits._
+    val feed = Seq(
+      (1L, "x", 1L, "I"),
+      (1L, "y", 2L, "U"),
+      (1L, "z", 2L, "D"), // same seq as the update: D must win → key gone
+      (2L, "a", 1L, "I"))
+      .toDF("k", "v", "seq", "op")
+    val snap = Cdc.applyChanges(feed, Seq("k"))
+    assert(snap.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((2L, "a")))
+  }
+
   test("cdc applyChanges keeps the latest op per key and drops deletes") {
     val snap = Cdc.ordersSnapshot(spark, sf()).cache()
     try {
@@ -87,9 +123,15 @@ class LifecycleSpec extends SparkSpec {
     val out = TextAnalysis.normalize(docs).cache()
     try {
       assert(out.count() === docs.count())
-      // stopword-bearing docs must shrink; none may grow
-      assert(out.filter(col("n_tokens_norm") > col("n_tokens_raw")).count() === 0)
-      assert(out.filter(col("n_tokens_norm") < col("n_tokens_raw")).count() > 0)
+      // stopword drop can only shrink the CANONICAL token count (the raw
+      // space-count is not comparable: 'a,b,c' canonicalizes into MORE
+      // tokens than raw, so raw-vs-norm no-growth is corpus-dependent)
+      val canonical = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val nCanon = size(split(canonical, " ")).cast("long")
+      val withCanon = out.join(docs.select(col("doc_id"), nCanon.as("n_canon")), "doc_id")
+      assert(withCanon.filter(col("n_tokens_norm") > col("n_canon")).count() === 0)
+      assert(withCanon.filter(col("n_tokens_norm") < col("n_canon")).count() > 0)
       // canonicalizing the canonical form is a fixpoint: re-normalizing
       // the kept-token join must reproduce the same md5
       import spark.implicits._

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+class BloomJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bloomSemiJoin is row-identical to the plain semi-join (no false negatives)") {
+    val orders = Tables(spark, sf(), "orders")
+    val high = Tables(spark, sf(), "customer")
+      .filter(col("c_acctbal") > 9000).select("c_custkey")
+    val plain = orders.join(high.select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_semi")
+      .orderBy("o_orderkey").collect().toSeq
+    val bloomed = BloomJoin.bloomSemiJoin(orders, "o_custkey", high, "c_custkey")
+      .orderBy("o_orderkey").collect().toSeq
+    assert(bloomed == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("the pre-filter prunes most non-matching rows before the join") {
+    val big = (1L to 10000L).map(k => (k, s"row$k")).toDF("k", "payload")
+    val keys = Seq(5L, 500L, 5000L).toDF("id")
+    val bits = BloomJoin.buildBits(keys, "id")
+    val passed = big.filter(BloomJoin.mightContain(col("k"), bits)).count()
+    // 3 true keys; fpp at m=16384, n=3, k=3 is ~0 — allow a generous margin
+    assert(passed >= 3 && passed <= 50, s"bloom passed $passed of 10000")
+  }
+
+  test("buildBits is deterministic and engine-replayable (affine family, no JVM hash)") {
+    val keys = Seq(1L, 2L, 3L).toDF("id")
+    val a = BloomJoin.buildBits(keys, "id")
+    val b = BloomJoin.buildBits(keys.repartition(3), "id")
+    assert(a.toSeq == b.toSeq)
+  }
+}

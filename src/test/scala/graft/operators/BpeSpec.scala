@@ -40,6 +40,20 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(docs, k = 20) == merges)
   }
 
+  test("minCount caps the collected vocabulary and ignores rare noise words") {
+    val docs = (Seq.fill(10)("big corpus word") ++ Seq("typo0 typo1 typo2"))
+      .toDF("text")
+    // minCount=2 drops the three once-seen typos before the collect
+    val merges = Bpe.train(docs, k = 2, minCount = 2)
+    // trained only on {big, corpus, word}×10 — the first merges must come
+    // from those words, identical to training on the clean corpus alone
+    val clean = Bpe.train(Seq.fill(10)("big corpus word").toDF("text"), k = 2)
+    assert(merges == clean)
+    // maxVocab keeps the highest-count words (deterministic cut)
+    val capped = Bpe.train(docs, k = 1, minCount = 1, maxVocab = 3)
+    assert(capped == clean.take(1))
+  }
+
   test("word frequencies reduce the corpus before any merge runs") {
     val docs = Seq("a b a", "b a").toDF("text")
     val f = Bpe.wordFreqs(docs).collect()

@@ -29,4 +29,22 @@ class SkewJoinSpec extends SparkSpec {
       .select("k").collect().map(_.getString(0)).sorted
     assert(kept.toSeq == Seq("a", "b", "c"))
   }
+
+  test("dropHotKeys never co-locates a hot key: no window, counts via hash-agg + broadcast anti-join") {
+    val df = ((1 to 100).map(_ => "hot") ++ Seq("a", "b", "c")).toDF("k")
+    val out = SkewJoin.dropHotKeys(df, col("k"), maxDf = 10)
+    out.collect() // drive AQE to the final plan
+    val plan = {
+      val s = out.queryExecution.executedPlan.toString
+      s.indexOf("== Initial Plan ==") match {
+        case -1 => s
+        case i  => s.substring(0, i)
+      }
+    }
+    assert(!plan.contains("Window"),
+      s"hot-key count funnels through a window:\n$plan")
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"hot keys not broadcast anti-joined:\n$plan")
+  }
 }
