@@ -69,7 +69,36 @@ object Bench {
     // optional comma-separated name filter for local iteration; the
     // driver sets no filter and measures everything
     val onlyEnv = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val qs0 = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+
+    // Stretch surface: the five dashboards re-read from the
+    // MATERIALIZED mart — the read path the architecture advertises
+    // (year-partitioned fact, pruned scans) — vs their inline twins
+    // that rebuild the star schema per query. Materialization itself
+    // is untimed setup.
+    val martDir = sys.env.getOrElse("SPARK_GRAFT_MART_DIR",
+      System.getProperty("java.io.tmpdir") + "/graft_bench_mart")
+    val martQs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      try {
+        graft.etl.Mart.materialize(spark, sfDir, martDir)
+        import graft.etl.{Dashboard, Mart}
+        def mt(n: String) = Mart.table(spark, martDir, n)
+        Seq(
+          "q1_mart" -> ((_: SparkSession, _: String) =>
+            Dashboard.avgByDate(mt(Mart.FactTable), mt("dim_date"))),
+          "q2_mart" -> ((_: SparkSession, _: String) =>
+            Dashboard.topNByLocation(mt(Mart.FactTable), mt("dim_location"), 15)),
+          "q3_mart" -> ((_: SparkSession, _: String) =>
+            Dashboard.avgByClass(mt(Mart.FactTable))),
+          "q4_mart" -> ((_: SparkSession, _: String) =>
+            Dashboard.bandCounts(mt(Mart.FactTable))),
+          "q5_mart" -> ((_: SparkSession, _: String) =>
+            Dashboard.pctPositiveByDate(mt(Mart.FactTable))))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] mart materialize failed: ${e.getMessage}")
+        Seq.empty
+      }
+
+    val qs0 = (SparkEntry.benchQueries.toSeq ++ martQs).sortBy(_._1)
       .filter { case (n, _) => onlyEnv.forall(_.contains(n)) }
 
     // Cheap fixed-plan sentinel, timed once per round: its median across
@@ -140,18 +169,36 @@ object Bench {
         .bigDecimal.stripTrailingZeros.toPlainString
       if (s == "-0") "0" else s
     }
-    def line(dec: Int): String = {
-      val qs = timed.map { case (n, t) => "\"" + n + "\":" + fmt(t, dec) }
+    def line(entries: Seq[(String, Double)], f: Double => String): String = {
+      val qs = entries.map { case (n, t) => "\"" + n + "\":" + f(t) }
         .mkString("{", ",", "}")
       val failedPart =
         if (failed.isEmpty) ""
         else failed.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$failedPart,"sf":"$sfShort"}"""
     }
-    val budget = 1880
-    val out = Seq(3, 2, 1).map(line).find(_.length <= budget).getOrElse(line(1))
+    // The driver's capture is the last 2000 chars of stdout and (per the
+    // r2 artifact) ends exactly at the line's final char, so the hard
+    // cap is ~1999 after println's newline; 1985 leaves a safety margin
+    // while still fitting the full 93-entry surface at 1-decimal.
+    val budget = 1985
+    // precision ladder: uniform 3/2 decimals, then magnitude-adaptive
+    // (sub-second resolution only where it matters), then uniform 1,
+    // then 1-under-10s / integer-above
+    val levels: Seq[Double => String] = Seq(
+      t => fmt(t, 3), t => fmt(t, 2),
+      t => if (t < 10) fmt(t, 2) else fmt(t, 1), t => fmt(t, 1),
+      t => if (t < 10) fmt(t, 1) else fmt(t, 0))
+    // Guaranteed-fit fallback: the five *_mart stretch twins leave the
+    // line (their timings stay in the stderr detail) before any core
+    // query would be cut.
+    val entryTiers: Seq[Seq[(String, Double)]] =
+      Seq(timed, timed.filterNot(_._1.endsWith("_mart")))
+    val candidates = for (es <- entryTiers; f <- levels) yield line(es, f)
+    val out = candidates.find(_.length <= budget).getOrElse(candidates.last)
     if (out.length > budget)
       System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds tail budget $budget")
+    System.err.println(s"[bench] JSON line length: ${out.length}")
     println(out)
     spark.stop()
   }

@@ -298,6 +298,28 @@ object SparkEntry {
     "events_props_parse" -> ((s, d) => Sessionize.propsBreakdown(Tables(s, d, "events"))),
     "doc_normalize" -> ((s, d) => TextAnalysis.normalize(Tables(s, d, "documents"))),
     "agg_incremental_merge" -> ((s, d) => graft.etl.Incremental.mergedMonthlyOrders(s, d)),
+    // --- round 3: sequence analytics, LM prep, runtime filters,
+    // segmentation, semantic dedup ---
+    "events_streaks" -> ((s, d) => Sessionize.activityStreaks(Tables(s, d, "events"))),
+    "events_argmax" -> ((s, d) => Sessionize.topEventPerUser(Tables(s, d, "events"))),
+    "events_transitions" -> ((s, d) => Sessionize.transitions(Tables(s, d, "events"))),
+    "ngram_lm" -> ((s, d) => TextAnalysis.ngramCounts(Tables(s, d, "documents"))),
+    "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(Tables(s, d, "documents"))),
+    // bloom-prefiltered exact semi-join: the oracle is the PLAIN
+    // semi-join — a hash match proves the bloom is result-invisible
+    "bloom_semi" -> ((s, d) => {
+      val high = Tables(s, d, "customer")
+        .filter(col("c_acctbal") > 9000).select("c_custkey")
+      graft.operators.BloomJoin
+        .bloomSemiJoin(Tables(s, d, "orders"), "o_custkey", high, "c_custkey")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          (round(sum("o_totalprice") * 100, 0) / 100.0).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+    "customer_rfm" -> ((s, d) =>
+      graft.operators.Segmentation.rfmSegments(Tables(s, d, "orders"))),
+    "semdedup" -> ((s, d) => Similarity.semanticDedup(Tables(s, d, "embeddings"))),
   )
 
   // ---------------------------------------------------------------------
@@ -654,7 +676,10 @@ object SparkEntry {
     * shortest-round-trip Double printing parses back to the identical
     * double, so both engines compute bit-equal dot products.
     */
-  private def embeddingNearDupSql: String = {
+  private def embeddingNearDupSql: String =
+    s"$embeddingNearDupBody\nORDER BY vec_a, vec_b"
+
+  private def embeddingNearDupBody: String = {
     val (bands, rows, minCosine) = (8, 6, 0.35)
     val branches = (0 until bands).map { b =>
       val bucket = (0 until rows).map { i =>
@@ -676,8 +701,7 @@ object SparkEntry {
        |FROM cand
        |JOIN c ca ON vec_a = ca.vec_id
        |JOIN c cb ON vec_b = cb.vec_id
-       |WHERE list_cosine_similarity(ca.emb, cb.emb) >= $minCosine
-       |ORDER BY vec_a, vec_b""".stripMargin
+       |WHERE list_cosine_similarity(ca.emb, cb.emb) >= $minCosine""".stripMargin
   }
 
   /** Fact CTE — mirrors WeatherMart.fact. */
@@ -1454,6 +1478,126 @@ object SparkEntry {
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |  ROUND(score, 4) AS score
         |FROM r WHERE rn <= 3 ORDER BY doc_id, score DESC, term""".stripMargin,
+    // Mirrors Sessionize.activityStreaks: gaps-and-islands, the island
+    // key is day − row_number (constant within a consecutive run).
+    "events_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |isl AS (
+        |  SELECT user_id, d - CAST(row_number() OVER (
+        |    PARTITION BY user_id ORDER BY d) AS INTEGER) AS island
+        |  FROM days),
+        |st AS (SELECT user_id, island, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS longest_streak,
+        |  CAST(SUM(len) AS BIGINT) AS active_days
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Mirrors Sessionize.topEventPerUser: argmax row per user, ties to
+    // the smallest event_id.
+    "events_argmax" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // Mirrors Sessionize.transitions: per-user LAG sequence, counts +
+    // row-normalized probability (one long/long division, round 4).
+    "events_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS curr_type, COUNT(*) AS n
+        |      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.curr_type, c.n,
+        |  ROUND(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 4) AS p
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY prev_type, curr_type""".stripMargin,
+    // Mirrors TextAnalysis.ngramCounts (word trigrams, minCount=3):
+    // (doc, gram) pre-aggregate, then instance-sum + doc COUNT.
+    "ngram_lm" ->
+      """WITH g AS (
+        |  SELECT doc_id, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |       UNNEST(generate_series(1, len(tk) - 2)) AS u(i)),
+        |dg AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2)
+        |SELECT gram, CAST(SUM(n) AS BIGINT) AS n_instances, COUNT(*) AS n_docs
+        |FROM dg GROUP BY gram HAVING SUM(n) >= 3 ORDER BY gram""".stripMargin,
+    // Mirrors TextAnalysis.vocabCoverage (ks = 5, 10, 25): rank by
+    // (freq DESC, word), cumulative token share at each k.
+    "vocab_coverage" ->
+      """WITH f AS (
+        |  SELECT tok AS word, COUNT(*) AS n
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS s(tok) GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS total FROM f),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank FROM f),
+        |c AS (
+        |  SELECT rank, SUM(n) OVER (ORDER BY rank
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM r WHERE rank <= 25)
+        |SELECT CAST(rank AS BIGINT) AS top_k,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  ROUND(CAST(cum_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
+        |FROM c, tot WHERE rank IN (5, 10, 25) ORDER BY top_k""".stripMargin,
+    // Oracle for bloom_semi is the PLAIN semi-join — the bloom
+    // pre-filter has no false negatives and the exact join removes its
+    // false positives, so a hash match proves result-invisibility.
+    "bloom_semi" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice) * 100, 0) / 100.0 AS total_price
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Mirrors Segmentation.rfmSegments (asOf 1998-08-01): integer
+    // metrics, dyadic quantile cuts (exactly representable doubles in
+    // both engines), value-based bands.
+    "customer_rfm" ->
+      """WITH m AS (
+        |  SELECT o_custkey,
+        |    CAST(DATE '1998-08-01' - MAX(CAST(o_orderdate AS DATE)) AS BIGINT)
+        |      AS recency_days,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS monetary_c
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT
+        |    quantile_cont(recency_days, 0.25) AS r1,
+        |    quantile_cont(recency_days, 0.5) AS r2,
+        |    quantile_cont(recency_days, 0.75) AS r3,
+        |    quantile_cont(frequency, 0.25) AS f1,
+        |    quantile_cont(frequency, 0.5) AS f2,
+        |    quantile_cont(frequency, 0.75) AS f3,
+        |    quantile_cont(monetary_c, 0.25) AS m1,
+        |    quantile_cont(monetary_c, 0.5) AS m2,
+        |    quantile_cont(monetary_c, 0.75) AS m3
+        |  FROM m)
+        |SELECT
+        |  CAST(CASE WHEN recency_days <= r1 THEN 1 WHEN recency_days <= r2 THEN 2
+        |       WHEN recency_days <= r3 THEN 3 ELSE 4 END AS BIGINT) AS r_band,
+        |  CAST(CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
+        |       WHEN frequency <= f3 THEN 3 ELSE 4 END AS BIGINT) AS f_band,
+        |  CAST(CASE WHEN monetary_c <= m1 THEN 1 WHEN monetary_c <= m2 THEN 2
+        |       WHEN monetary_c <= m3 THEN 3 ELSE 4 END AS BIGINT) AS m_band,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(monetary_c) AS DOUBLE) / 100.0 AS total_monetary
+        |FROM m, q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // Mirrors Similarity.semanticDedup: the embedding near-dup pairs
+    // (hyperplane literals, same as dedup_embedding) closed transitively
+    // by recursive CTE; drop list = members that are not their
+    // component's min id.
+    "semdedup" ->
+      s"""WITH RECURSIVE
+         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM ($embeddingNearDupBody)
+         |          UNION ALL
+         |          SELECT vec_b AS src, vec_a AS dst FROM ($embeddingNearDupBody)),
+         |reach(src, dst) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS vec_id, MIN(dst) AS keeper_id
+         |FROM reach GROUP BY src HAVING src <> MIN(dst)
+         |ORDER BY vec_id""".stripMargin,
     // Mirrors EventStream.slidingByType: 1h windows sliding 15min —
     // every event lands in exactly 4 epoch-aligned windows, replayed
     // here by exploding i in 0..3. make_timestamp(micros) builds a

@@ -131,20 +131,25 @@ object Corpus {
       .orderBy("doc_id")
   }
 
-  /** Connected components over an undirected pair list via iterated
-    * min-label propagation: every node repeatedly adopts the smallest
-    * label among itself and its neighbors, converging in O(graph
-    * diameter) rounds to component_id = min doc_id of the component.
+  /** Connected components over an undirected pair list via min-label
+    * propagation WITH pointer jumping: each round every node first
+    * adopts the smallest label among itself and its neighbors, then
+    * every label is replaced by its label's label (path halving). The
+    * jump step squares the distance a minimum travels per round, so
+    * convergence is O(log diameter) rounds — a 1M-node chain converges
+    * in ~20 rounds where plain propagation would need 1M. (Plain
+    * propagation burned exactly this way at sf0.1: an LSH near-dup
+    * graph grew a >20-hop chain and the 20-round cap left labels short
+    * of the component min.)
     *
     * This is the one deliberately ITERATIVE operator in the library —
     * like GraphX/Pregel, each round is a distributed shuffle join and
     * the driver only checks a converged/not-converged bit.
     * `localCheckpoint` caps lineage so round N's plan does not replay
-    * rounds 1..N-1. Near-duplicate graphs are shallow (dupes of a doc
-    * are dupes of each other), so rounds ≈ 2-3 in practice.
+    * rounds 1..N-1.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 40): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
@@ -158,17 +163,25 @@ object Corpus {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      // one checkpointed frame per round serves BOTH the convergence
-      // check and the next round's labels
-      val updated = edges.join(labels, edges("dst") === labels("id"))
+      // 1. neighbor-min step: comp'(x) = min(comp(x), min over
+      //    neighbors y of comp(y))
+      val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("nid")).agg(min("comp").as("nbr_comp"))
         .join(labels, col("nid") === labels("id"), "right")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-          (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed"))
+        .select(col("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("mid"))
+      // 2. pointer jump: comp''(x) = comp'(comp'(x)). Every label value
+      //    is a member of the same component (labels only ever hold
+      //    node ids reached by a path), so the lookup always hits and
+      //    is never larger than the label it replaces.
+      val jumped = prop.as("x")
+        .join(prop.select(col("id").as("jid"), col("mid").as("jcomp")).as("j"),
+          col("x.mid") === col("jid"))
+        .select(col("x.id"), col("x.old"), col("jcomp").as("comp"),
+          (col("jcomp") < col("x.old")).as("changed"))
         .localCheckpoint()
-      converged = updated.filter(col("changed")).isEmpty
-      labels = updated.select("id", "comp")
+      converged = jumped.filter(col("changed")).isEmpty
+      labels = jumped.select("id", "comp")
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))

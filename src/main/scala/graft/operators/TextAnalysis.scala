@@ -224,26 +224,31 @@ object TextAnalysis {
     *
     * Scale shape: one token shuffle for the frequency table, ranked by
     * [[graft.etl.StarSchema.globalRank]] (no unpartitioned window over
-    * a possibly-billion-word vocabulary), then everything after the
-    * `rank <= max(ks)` cut is CONSTANT-bounded (≤ max(ks) rows), so the
-    * single cumulative window is fine at any corpus size. Coverage is
-    * one long/long division, rounded once.
+    * a possibly-billion-word vocabulary), then the cumulative sums at
+    * each k come from ONE conditional aggregate over the `rank ≤
+    * max(ks)` cut — no WindowExec anywhere in the plan, not even a
+    * constant-bounded one. ks above the vocabulary size are dropped
+    * (no rank-k word exists to anchor them). Coverage is one long/long
+    * division, rounded once.
     */
   def vocabCoverage(docs: DataFrame, ks: Seq[Int] = Seq(5, 10, 25)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val freqs = docs.select(explode(TextOps.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
     val total = freqs.agg(sum("n").as("__total"))
     val ranked = graft.etl.StarSchema
       .globalRank(freqs.withColumn("__neg", -col("n")), Seq("__neg", "word"), "rank")
       .filter(col("rank") <= ks.max.toLong)
-    val w = Window.orderBy("rank")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked
-      .withColumn("cum_tokens", sum("n").over(w))
-      .filter(col("rank").isin(ks.map(_.toLong): _*))
+    val sortedKs = ks.sorted
+    val cums = sortedKs.map(k =>
+      sum(when(col("rank") <= k, col("n"))).as(s"__cum_$k")) :+
+      max(col("rank")).as("__max_rank")
+    val stackExpr = s"stack(${sortedKs.size}, " +
+      sortedKs.map(k => s"${k}L, __cum_$k").mkString(", ") + ") AS (top_k, cum_tokens)"
+    ranked.agg(cums.head, cums.tail: _*)
+      .select(col("__max_rank"), expr(stackExpr))
+      .filter(col("top_k") <= col("__max_rank"))
       .crossJoin(broadcast(total))
-      .select(col("rank").as("top_k"), col("cum_tokens"),
+      .select(col("top_k"), col("cum_tokens"),
         round(col("cum_tokens").cast("double") / col("__total"), 6).as("coverage"))
       .orderBy("top_k")
   }

@@ -92,4 +92,16 @@ class CorpusSpec extends SparkSpec {
     assert(out.length == 20)
     assert(out.forall(_.getAs[Long]("component_id") == 1L))
   }
+
+  test("connectedComponents converges on a 500-node chain within the " +
+       "round cap (pointer jumping — sf0.1 semdedup regression)") {
+    // Plain min-propagation needs ~500 rounds here; pointer jumping
+    // must close it in ≤ the default maxIters. Descending ids make the
+    // min sit at the FAR end of the chain from the seed direction.
+    val n = 500L
+    val chain = (1L until n).map(i => (n - i + 1, n - i)).toDF("doc_a", "doc_b")
+    val out = Corpus.connectedComponents(chain, "doc_a", "doc_b").collect()
+    assert(out.length == n)
+    assert(out.forall(_.getAs[Long]("component_id") == 1L))
+  }
 }
