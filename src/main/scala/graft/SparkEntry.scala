@@ -320,6 +320,51 @@ object SparkEntry {
     "customer_rfm" -> ((s, d) =>
       graft.operators.Segmentation.rfmSegments(Tables(s, d, "orders"))),
     "semdedup" -> ((s, d) => Similarity.semanticDedup(Tables(s, d, "embeddings"))),
+    // --- round 3b: star-join analytics, concentration, kNN graph ---
+    // TPC-H Q5-shaped multi-way star join: fact filtered by pushed-down
+    // date range, dims broadcast, revenue in exact cent·pct BIGINT
+    // units (extprice_cents × (100 − disc_pct)) divided once at the end
+    "revenue_by_nation" -> ((s, d) => {
+      val revU = round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
+      Tables(s, d, "lineitem").select(col("l_orderkey"), revU.as("rev_u"))
+        .join(Tables(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables(s, d, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg((sum("rev_u").cast("double") / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    // Year-over-year monthly revenue: the lag window partitions by
+    // month-of-year (12 partitions, never global) over the tiny
+    // pre-aggregated series; cents stay exact until the final division
+    "lineitem_yoy" -> ((s, d) => {
+      val monthly = Tables(s, d, "lineitem")
+        .groupBy(year(col("l_shipdate")).cast("long").as("yr"),
+          month(col("l_shipdate")).cast("long").as("mo"))
+        .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("rev_c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("mo").orderBy("yr")
+      monthly.withColumn("prev_c", lag("rev_c", 1).over(w))
+        .filter(col("prev_c").isNotNull) // first year has no comparison
+        .select(col("yr"), col("mo"),
+          (col("rev_c").cast("double") / 100.0).as("revenue"),
+          (col("prev_c").cast("double") / 100.0).as("prev_revenue"),
+          round((col("rev_c") - col("prev_c")).cast("double") /
+            col("prev_c").cast("double"), 4).as("yoy"))
+        .orderBy("yr", "mo")
+    }),
+    "orders_pareto" -> ((s, d) =>
+      graft.operators.Segmentation.paretoCoverage(Tables(s, d, "orders"))),
+    "knn_graph" -> ((s, d) => Similarity.knnGraph(Tables(s, d, "embeddings"))),
   )
 
   // ---------------------------------------------------------------------
@@ -677,10 +722,10 @@ object SparkEntry {
     * double, so both engines compute bit-equal dot products.
     */
   private def embeddingNearDupSql: String =
-    s"$embeddingNearDupBody\nORDER BY vec_a, vec_b"
+    s"${embeddingNearDupBody()}\nORDER BY vec_a, vec_b"
 
-  private def embeddingNearDupBody: String = {
-    val (bands, rows, minCosine) = (8, 6, 0.35)
+  private def embeddingNearDupBody(minCosine: Double = 0.35): String = {
+    val (bands, rows) = (8, 6)
     val branches = (0 until bands).map { b =>
       val bucket = (0 until rows).map { i =>
         val planeLit = graft.operators.Similarity.hyperplane(b * rows + i)
@@ -1588,9 +1633,9 @@ object SparkEntry {
     // component's min id.
     "semdedup" ->
       s"""WITH RECURSIVE
-         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM ($embeddingNearDupBody)
+         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM (${embeddingNearDupBody()})
          |          UNION ALL
-         |          SELECT vec_b AS src, vec_a AS dst FROM ($embeddingNearDupBody)),
+         |          SELECT vec_b AS src, vec_a AS dst FROM (${embeddingNearDupBody()})),
          |reach(src, dst) AS (
          |  SELECT DISTINCT src, src FROM edges
          |  UNION
@@ -1598,6 +1643,78 @@ object SparkEntry {
          |SELECT src AS vec_id, MIN(dst) AS keeper_id
          |FROM reach GROUP BY src HAVING src <> MIN(dst)
          |ORDER BY vec_id""".stripMargin,
+    // Mirrors the revenue_by_nation star join: revenue accumulated in
+    // exact cent·pct BIGINT units, one division at the end.
+    "revenue_by_nation" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) *
+        |      (100 - CAST(round(l_discount * 100, 0) AS BIGINT)) AS rev_u
+        |  FROM lineitem),
+        |o AS (SELECT o_orderkey, o_custkey FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |        AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT n_name, CAST(SUM(rev_u) AS DOUBLE) / 10000.0 AS revenue
+        |FROM li
+        |JOIN o ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    // Mirrors lineitem_yoy: monthly cents series, LAG partitioned by
+    // month-of-year, one rounded division for the growth rate.
+    "lineitem_yoy" ->
+      """WITH m AS (
+        |  SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+        |    CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS mo,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM lineitem GROUP BY 1, 2),
+        |l AS (SELECT yr, mo, rev_c,
+        |        lag(rev_c) OVER (PARTITION BY mo ORDER BY yr) AS prev_c
+        |      FROM m)
+        |SELECT yr, mo, CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(prev_c AS DOUBLE) / 100.0 AS prev_revenue,
+        |  ROUND(CAST(rev_c - prev_c AS DOUBLE) / CAST(prev_c AS DOUBLE), 4) AS yoy
+        |FROM l WHERE prev_c IS NOT NULL ORDER BY yr, mo""".stripMargin,
+    // Mirrors Segmentation.paretoCoverage: rank by (spend DESC,
+    // custkey), running cents total, min rank clearing each threshold.
+    "orders_pareto" ->
+      """WITH s AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS spend_c
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT spend_c, row_number() OVER (
+        |        ORDER BY spend_c DESC, o_custkey) AS rank FROM s),
+        |c AS (SELECT rank, SUM(spend_c) OVER (ORDER BY rank
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+        |      FROM r),
+        |t AS (SELECT SUM(spend_c) AS tot FROM s),
+        |th(threshold_pct) AS (VALUES (25), (50), (75), (90)),
+        |n AS (SELECT threshold_pct, MIN(rank) AS n_customers
+        |      FROM c, t, th WHERE cum_c * 100 >= tot * threshold_pct
+        |      GROUP BY 1)
+        |SELECT CAST(n.threshold_pct AS BIGINT) AS threshold_pct,
+        |  CAST(n.n_customers AS BIGINT) AS n_customers,
+        |  ROUND(CAST(c.cum_c AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+        |    AS covered_share
+        |FROM n JOIN c ON c.rank = n.n_customers, t
+        |ORDER BY threshold_pct""".stripMargin,
+    // Mirrors Similarity.knnGraph: LSH candidate pairs at minCosine
+    // 0.2, symmetrized, top-5 per vector by (rounded cosine DESC,
+    // neighbor id).
+    "knn_graph" ->
+      s"""WITH p AS (${embeddingNearDupBody(0.2)}),
+         |sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM p
+         |        UNION ALL
+         |        SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM p),
+         |r AS (SELECT vec_id, neighbor_id, cos_sim, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |      FROM sym)
+         |SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
     // Mirrors EventStream.slidingByType: 1h windows sliding 15min —
     // every event lands in exactly 4 epoch-aligned windows, replayed
     // here by exploding i in 0..3. make_timestamp(micros) builds a

@@ -147,12 +147,25 @@ object Corpus {
     * the driver only checks a converged/not-converged bit.
     * `localCheckpoint` caps lineage so round N's plan does not replay
     * rounds 1..N-1.
+    *
+    * Size-adaptive fast path: the edge list is already materialized
+    * (it is the checkpoint the loop needs anyway), so its count is
+    * free — and a dedup-pair graph is normally MUCH smaller than the
+    * corpus that produced it. At or below `localThreshold` edges the
+    * component resolution runs as a single-partition executor-side
+    * union-find (path compression + union-by-min: one stage, no loop,
+    * no driver collect — the bench measured the iterative path
+    * spending ~37s of driver round-trips on a 2k-edge graph). Above
+    * the threshold, the distributed loop handles graphs of any size.
+    * Both paths produce the identical (node → component-min) labeling.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 40): DataFrame = {
+                          maxIters: Int = 40,
+                          localThreshold: Long = 2000000L): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
+    if (edges.count() <= localThreshold) return localComponents(edges)
     // seed with min(self, direct neighbors) — one aggregate, and the
     // loop below only pays for graphs with diameter > 1
     var labels = edges
@@ -185,6 +198,45 @@ object Corpus {
       i += 1
     }
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact union-find over a subcritical (≤ threshold) symmetric edge
+    * list, in one executor task. Union-by-min + full path compression:
+    * every node's root IS its component minimum, independent of edge
+    * order, so the labeling is deterministic and identical to the
+    * iterative path's fixpoint.
+    */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val next = parent.getOrElse(c, c); parent(c) = r; c = next
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          } else if (!parent.contains(a)) parent(a) = ra
+        }
+        // every node seen (as key or as a lone root) labels to its root
+        val nodes = scala.collection.mutable.LongMap.empty[Long]
+        parent.keysIterator.foreach(k => nodes(k) = 0L)
+        parent.valuesIterator.foreach(v => nodes(v) = 0L)
+        nodes.keysIterator.map(n => (n, find(n)))
+      }
+      .toDF("doc_id", "component_id")
       .orderBy("doc_id")
   }
 }

@@ -63,4 +63,45 @@ object Segmentation {
         (sum("monetary_c").cast("double") / 100.0).as("total_monetary"))
       .orderBy("r_band", "f_band", "m_band")
   }
+
+  /** Pareto concentration curve: for each revenue threshold (25/50/75/
+    * 90 %), the minimum number of top-spending customers whose combined
+    * spend reaches it, plus the share they actually cover — the "how
+    * top-heavy is the customer base" planning query.
+    *
+    * Scale shape: one custkey aggregate over the fact, then rank and
+    * running total both come from the bucketed two-phase primitives
+    * ([[graft.etl.StarSchema.globalRank]] / `globalPrefixSum`) — a
+    * billion-customer spend table never funnels through one window
+    * task. The threshold probe is ONE conditional aggregate (min rank
+    * whose running total clears each cut) unstacked to |thresholds|
+    * rows, joined back to fetch the covered share. All arithmetic is
+    * exact BIGINT cents until the final share division.
+    */
+  def paretoCoverage(orders: DataFrame,
+                     thresholds: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    val spend = orders.groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("spend_c"))
+    val ranked = graft.etl.StarSchema.globalRank(
+      spend.withColumn("__neg", -col("spend_c")), Seq("__neg", "o_custkey"), "rank")
+    val cum = graft.etl.StarSchema.globalPrefixSum(
+      ranked, Seq("rank"), "spend_c", "cum_c")
+    val total = spend.agg(sum("spend_c").as("__tot"))
+    val sorted = thresholds.sorted
+    val probes = sorted.map(t =>
+      min(when(col("cum_c") * 100 >= col("__tot") * t, col("rank")))
+        .as(s"__r_$t"))
+    val stackExpr = s"stack(${sorted.size}, " +
+      sorted.map(t => s"${t}L, __r_$t").mkString(", ") +
+      ") AS (threshold_pct, n_customers)"
+    val hits = cum.crossJoin(broadcast(total))
+      .agg(probes.head, probes.tail: _*)
+      .select(expr(stackExpr))
+    cum.join(broadcast(hits), col("rank") === col("n_customers"))
+      .crossJoin(broadcast(total))
+      .select(col("threshold_pct"), col("n_customers"),
+        round(col("cum_c").cast("double") / col("__tot").cast("double"), 6)
+          .as("covered_share"))
+      .orderBy("threshold_pct")
+  }
 }

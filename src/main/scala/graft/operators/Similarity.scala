@@ -194,19 +194,56 @@ object Similarity {
     * else; vectors outside any pair are implicitly kept.
     *
     * Scale shape: inherits the LSH-bucketed pair mining (never
-    * all-pairs) and the checkpointed min-label propagation — near-dup
-    * clusters are shallow, so the loop converges in 2-3 rounds.
+    * all-pairs) and the pointer-jumping label propagation (O(log
+    * diameter) rounds even when LSH chains run long).
     */
   def semanticDedup(corpus: DataFrame, minCosine: Double = 0.35): DataFrame =
     Corpus.connectedComponents(
-      embeddingNearDup(corpus, minCosine), "vec_a", "vec_b")
+      nearDupPairs(corpus, minCosine), "vec_a", "vec_b")
       .filter(col("doc_id") =!= col("component_id"))
       .select(col("doc_id").as("vec_id"), col("component_id").as("keeper_id"))
       .orderBy("vec_id")
 
+  /** kNN graph: each vector's top-`k` most-similar neighbors among its
+    * LSH candidates (same banded hyperplane buckets as
+    * [[nearDupPairs]]). This is the per-document neighbor list a
+    * curriculum/retrieval pipeline materializes — APPROXIMATE by
+    * construction: a neighbor must share ≥1 of the 8 band buckets, so
+    * the candidate set is bucket-bounded, never all-pairs.
+    *
+    * Scale shape: symmetrizing the mined pairs is a union of two
+    * projections (no extra shuffle beyond the pair mining), and the
+    * top-k rank is a per-vec_id window that WindowGroupLimit prunes
+    * to k rows per key before the final exchange. Ties on the rounded
+    * cosine break by neighbor id — total order, hash-stable.
+    */
+  def knnGraph(corpus: DataFrame, k: Int = 5,
+               minCosine: Double = 0.2): DataFrame = {
+    val pairs = nearDupPairs(corpus, minCosine)
+    val sym = pairs
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"), col("cos_sim"))
+      .union(pairs
+        .select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"), col("cos_sim")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("vec_id", "rank")
+  }
+
   def embeddingNearDup(corpus: DataFrame, minCosine: Double = 0.35,
                        bands: Int = 8, rowsPerBand: Int = 6,
-                       dims: Int = 64): DataFrame = {
+                       dims: Int = 64): DataFrame =
+    nearDupPairs(corpus, minCosine, bands, rowsPerBand, dims)
+      .orderBy("vec_a", "vec_b")
+
+  /** [[embeddingNearDup]] without the hash-stability output sort —
+    * the form graph consumers (connected components, kNN ranking)
+    * compose with, since they re-shuffle anyway.
+    */
+  def nearDupPairs(corpus: DataFrame, minCosine: Double = 0.35,
+                   bands: Int = 8, rowsPerBand: Int = 6,
+                   dims: Int = 64): DataFrame = {
     val emb = corpus.select(col("vec_id"), col("embedding"))
     // bucket = the band's sign bits packed into an integer — exact
     // bucket identity (a hash here would only ADD murmur-collision
@@ -235,6 +272,5 @@ object Similarity {
         cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim"))
-      .orderBy("vec_a", "vec_b")
   }
 }

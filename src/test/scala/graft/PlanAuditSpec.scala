@@ -269,6 +269,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("revenue star join: date filter pushed to the orders scan, " +
+       "lineitem scan pruned to 3 columns, dims broadcast") {
+    val plan = finalPlan(SparkEntry.queries("revenue_by_nation")(spark, sf()))
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date range not pushed into the orders scan:\n$plan")
+    assert(plan.contains("struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+      s"lineitem scan reads more than the 3 needed columns:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"dims didn't broadcast:\n$plan")
+  }
+
+  test("pareto coverage: no window outside the bucketed two-phase " +
+       "primitives (their windows run inside checkpointed stages)") {
+    val plan = finalPlan(SparkEntry.queries("orders_pareto")(spark, sf()))
+    // globalRank/globalPrefixSum windows are __bkt-partitioned and
+    // materialize behind their localCheckpoint, so the composed plan
+    // must show NO Window node at all — one appearing here means the
+    // probe stage grew a (necessarily global) window over the ranked
+    // spend table
+    assert(!plan.contains("Window"), s"unexpected window node:\n$plan")
+  }
+
+  test("knn graph: per-vector top-k pushes k into the shuffle") {
+    val plan = finalPlan(SparkEntry.queries("knn_graph")(spark, sf()))
+    assert(plan.contains("WindowGroupLimit"), s"rank-k not pushed down:\n$plan")
+  }
+
+  test("yoy: one aggregate exchange + one month-partitioned window exchange") {
+    val plan = finalPlan(SparkEntry.queries("lineitem_yoy")(spark, sf()))
+    val n = "Exchange hashpartitioning".r.findAllMatchIn(plan).length
+    assert(n == 2, s"expected 2 hash exchanges, saw $n:\n$plan")
+  }
+
   test("every contract query stays free of cartesian products") {
     // the 1-row dim_source cross join broadcasts; a CartesianProduct node
     // anywhere means an equi-join lost its keys

@@ -98,10 +98,32 @@ class CorpusSpec extends SparkSpec {
     // Plain min-propagation needs ~500 rounds here; pointer jumping
     // must close it in ≤ the default maxIters. Descending ids make the
     // min sit at the FAR end of the chain from the seed direction.
+    // localThreshold=0 forces the distributed loop (a 500-edge graph
+    // would otherwise take the union-find fast path).
     val n = 500L
     val chain = (1L until n).map(i => (n - i + 1, n - i)).toDF("doc_a", "doc_b")
-    val out = Corpus.connectedComponents(chain, "doc_a", "doc_b").collect()
+    val out = Corpus
+      .connectedComponents(chain, "doc_a", "doc_b", localThreshold = 0L)
+      .collect()
     assert(out.length == n)
     assert(out.forall(_.getAs[Long]("component_id") == 1L))
+  }
+
+  test("union-find fast path and iterative path produce identical labelings") {
+    // a mix of chains, stars, merged clusters and singleton pairs
+    val edges = Seq(
+      (7L, 3L), (3L, 9L), (9L, 11L),          // chain with interior min
+      (20L, 21L), (20L, 22L), (20L, 23L),      // star
+      (21L, 3L),                               // merge star into chain
+      (40L, 41L),                              // isolated pair
+      (50L, 51L), (51L, 52L), (50L, 52L))      // triangle
+      .toDF("doc_a", "doc_b")
+    val fast = Corpus.connectedComponents(edges, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val iter = Corpus
+      .connectedComponents(edges, "doc_a", "doc_b", localThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(fast.sameElements(iter))
+    assert(fast.toMap.apply(22L) == 3L)
   }
 }
