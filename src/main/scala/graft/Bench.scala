@@ -163,7 +163,7 @@ object Bench {
     System.err.println(timed.map { case (n, t) => f"$n=$t%.3f" }.mkString("[bench] detail: ", " ", ""))
 
     // Compact final line: largest precision that fits the tail budget.
-    val sfShort = sfDir.split("/").last
+    val sfShort = sfDir.split("/").last.stripPrefix("sf")
     def fmt(t: Double, dec: Int): String = {
       val s = BigDecimal(t).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
@@ -177,23 +177,29 @@ object Bench {
         else failed.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$failedPart,"sf":"$sfShort"}"""
     }
-    // The driver's capture is the last 2000 chars of stdout and (per the
-    // r2 artifact) ends exactly at the line's final char, so the hard
-    // cap is ~1999 after println's newline; 1985 leaves a safety margin
-    // while still fitting the full 93-entry surface at 1-decimal.
-    val budget = 1985
+    // The driver's capture is the last 2000 chars of stdout, and the r2
+    // artifact's tail ends exactly at the line's final char — trailing
+    // whitespace is stripped, so the full 2000 belongs to the line;
+    // 1996 leaves a 4-char margin.
+    val budget = 1996
     // precision ladder: uniform 3/2 decimals, then magnitude-adaptive
     // (sub-second resolution only where it matters), then uniform 1,
-    // then 1-under-10s / integer-above
+    // then progressively integer-seconds for the big values — the last
+    // level keeps 1 decimal only under 1s, where a whole-second
+    // rounding would erase the measurement entirely
     val levels: Seq[Double => String] = Seq(
       t => fmt(t, 3), t => fmt(t, 2),
       t => if (t < 10) fmt(t, 2) else fmt(t, 1), t => fmt(t, 1),
-      t => if (t < 10) fmt(t, 1) else fmt(t, 0))
-    // Guaranteed-fit fallback: the five *_mart stretch twins leave the
-    // line (their timings stay in the stderr detail) before any core
-    // query would be cut.
-    val entryTiers: Seq[Seq[(String, Double)]] =
-      Seq(timed, timed.filterNot(_._1.endsWith("_mart")))
+      t => if (t < 10) fmt(t, 1) else fmt(t, 0),
+      t => if (t < 1) fmt(t, 1) else fmt(t, 0))
+    // Guaranteed-fit fallbacks, coverage-first: the five *_mart stretch
+    // twins leave the line first, then (emergency only) the five inline
+    // dashboard twins — every dropped timing stays in the stderr detail.
+    val entryTiers: Seq[Seq[(String, Double)]] = {
+      val noMart = timed.filterNot(_._1.endsWith("_mart"))
+      Seq(timed, noMart,
+        noMart.filterNot(e => "^q[1-5]_".r.findFirstIn(e._1).isDefined))
+    }
     val candidates = for (es <- entryTiers; f <- levels) yield line(es, f)
     val out = candidates.find(_.length <= budget).getOrElse(candidates.last)
     if (out.length > budget)

@@ -365,6 +365,10 @@ object SparkEntry {
     "orders_pareto" -> ((s, d) =>
       graft.operators.Segmentation.paretoCoverage(Tables(s, d, "orders"))),
     "knn_graph" -> ((s, d) => Similarity.knnGraph(Tables(s, d, "embeddings"))),
+    "paragraph_dedup" -> ((s, d) =>
+      Corpus.paragraphDedup(Tables(s, d, "documents"))),
+    "label_noise" -> ((s, d) =>
+      Similarity.labelAgreement(Tables(s, d, "embeddings"))),
   )
 
   // ---------------------------------------------------------------------
@@ -1715,6 +1719,50 @@ object SparkEntry {
          |      FROM sym)
          |SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // Mirrors Corpus.paragraphDedup: chunk CTE (same as doc_chunk),
+    // first-occurrence ownership in (doc_id, chunk_id) order, per-doc
+    // duplicate-chunk profile.
+    "paragraph_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, CAST((i - 1) // 40 AS BIGINT) AS chunk_id,
+        |    array_to_string(w[i:least(i + 49, len(w))], ' ') AS chunk_text
+        |  FROM t, UNNEST(generate_series(1, greatest(len(w), 1), 40)) AS g(i)),
+        |own AS (
+        |  SELECT chunk_text, doc_id AS odoc, chunk_id AS ochunk
+        |  FROM (SELECT chunk_text, doc_id, chunk_id, row_number() OVER (
+        |          PARTITION BY chunk_text ORDER BY doc_id, chunk_id) AS rn
+        |        FROM ch)
+        |  WHERE rn = 1)
+        |SELECT c.doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN o.odoc <> c.doc_id OR o.ochunk <> c.chunk_id
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  ROUND(CAST(SUM(CASE WHEN o.odoc <> c.doc_id OR o.ochunk <> c.chunk_id
+        |       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS dup_ratio
+        |FROM ch c JOIN own o USING (chunk_text)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // Mirrors Similarity.labelAgreement: kNN edges at minCosine 0.2,
+    // both endpoint labels joined in, per-vector agreement fraction.
+    "label_noise" ->
+      s"""WITH p AS (${embeddingNearDupBody(0.2)}),
+         |sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM p
+         |        UNION ALL
+         |        SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM p),
+         |r AS (SELECT vec_id, neighbor_id, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+         |      FROM sym),
+         |k AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= 5),
+         |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings)
+         |SELECT k.vec_id, e1.label, COUNT(*) AS n_neighbors,
+         |  CAST(SUM(CASE WHEN e2.label = e1.label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree,
+         |  ROUND(CAST(SUM(CASE WHEN e2.label = e1.label THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*), 4) AS agreement
+         |FROM k
+         |JOIN e e1 ON k.vec_id = e1.vec_id
+         |JOIN e e2 ON k.neighbor_id = e2.vec_id
+         |GROUP BY k.vec_id, e1.label
+         |ORDER BY k.vec_id""".stripMargin,
     // Mirrors EventStream.slidingByType: 1h windows sliding 15min —
     // every event lands in exactly 4 epoch-aligned windows, replayed
     // here by exploding i in 0..3. make_timestamp(micros) builds a

@@ -96,6 +96,13 @@ object Corpus {
     * one scan, no shuffle, 1→⌈n/stride⌉ rows per doc.
     */
   def chunk(docs: DataFrame, chunkSize: Int = 50, stride: Int = 40): DataFrame =
+    chunkRaw(docs, chunkSize, stride).orderBy("doc_id", "chunk_id")
+
+  /** [[chunk]] without the hash-stability output sort, for composers
+    * that re-shuffle anyway ([[paragraphDedup]]).
+    */
+  private[operators] def chunkRaw(docs: DataFrame, chunkSize: Int = 50,
+                                  stride: Int = 40): DataFrame =
     docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
       .select(col("doc_id"), col("w"),
@@ -106,7 +113,33 @@ object Corpus {
           .as("n_chunk_tokens"),
         array_join(slice(col("w"), col("col") + 1, lit(chunkSize)), " ")
           .as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
+
+  /** Chunk-level (paragraph) deduplication profile, the CCNet/RefinedWeb
+    * line-dedup signal: for each document, how many of its chunks are
+    * corpus-wide duplicates of an earlier chunk. A chunk instance is a
+    * duplicate iff it is not the FIRST occurrence of its text in
+    * (doc_id, chunk_id) order — computed as a struct-min per distinct
+    * chunk text, so ownership is deterministic and total.
+    *
+    * Scale shape: one hash aggregate on chunk text (partial-agg
+    * friendly — the min-owner struct combines map-side), one shuffle
+    * join back on the same key, then a doc_id re-aggregate. No
+    * windows, no broadcast of corpus-sized state.
+    */
+  def paragraphDedup(docs: DataFrame, chunkSize: Int = 50,
+                     stride: Int = 40): DataFrame = {
+    val ch = chunkRaw(docs, chunkSize, stride)
+    val owners = ch.groupBy("chunk_text")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("own"))
+    ch.join(owners, "chunk_text")
+      .select(col("doc_id"),
+        (col("own.doc_id") =!= col("doc_id") ||
+          col("own.chunk_id") =!= col("chunk_id")).cast("long").as("is_dup"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("is_dup").as("n_dup_chunks"),
+        round(sum("is_dup").cast("double") / count(lit(1)), 4).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
 
   /** Per-document novelty/fluency signals from corpus-wide bigram
     * support: how many of a doc's bigram instances are corpus-rare

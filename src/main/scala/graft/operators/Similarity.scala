@@ -218,7 +218,14 @@ object Similarity {
     * cosine break by neighbor id — total order, hash-stable.
     */
   def knnGraph(corpus: DataFrame, k: Int = 5,
-               minCosine: Double = 0.2): DataFrame = {
+               minCosine: Double = 0.2): DataFrame =
+    knnPairs(corpus, k, minCosine).orderBy("vec_id", "rank")
+
+  /** [[knnGraph]] without the output sort, for composers that
+    * re-shuffle anyway ([[labelAgreement]]).
+    */
+  private[operators] def knnPairs(corpus: DataFrame, k: Int = 5,
+                                  minCosine: Double = 0.2): DataFrame = {
     val pairs = nearDupPairs(corpus, minCosine)
     val sym = pairs
       .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"), col("cos_sim"))
@@ -228,7 +235,34 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     sym.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .orderBy("vec_id", "rank")
+  }
+
+  /** Label-noise detection by neighborhood agreement (the
+    * confident-learning signal): for each labeled vector, what
+    * fraction of its kNN-graph neighbors carry the same label. Low
+    * agreement flags probable mislabels (or boundary points) for
+    * relabeling/exclusion before training.
+    *
+    * Scale shape: the kNN edge list is bucket-bounded (≤ k·N rows);
+    * both label lookups are hash joins on vec-id keys, then one
+    * per-vector aggregate. Vectors with no LSH candidate neighbors are
+    * absent (no evidence either way) — documented, matches the oracle.
+    */
+  def labelAgreement(embeddings: DataFrame, k: Int = 5,
+                     minCosine: Double = 0.2): DataFrame = {
+    val lab = embeddings.select(col("vec_id"), col("label").cast("long"))
+    knnPairs(embeddings, k, minCosine)
+      .join(lab.select(col("vec_id"), col("label").as("own_label")), "vec_id")
+      .join(lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("nbr_label")), "neighbor_id")
+      .groupBy("vec_id", "own_label")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum((col("nbr_label") === col("own_label")).cast("long")).as("n_agree"))
+      .select(col("vec_id"), col("own_label").as("label"), col("n_neighbors"),
+        col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_neighbors"), 4)
+          .as("agreement"))
+      .orderBy("vec_id")
   }
 
   def embeddingNearDup(corpus: DataFrame, minCosine: Double = 0.35,

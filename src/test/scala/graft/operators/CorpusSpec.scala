@@ -66,6 +66,18 @@ class CorpusSpec extends SparkSpec {
       (r.getLong(1), r.getLong(2), r.getString(3))).toSeq == Seq((0L, 3L, "a b c")))
   }
 
+  test("paragraphDedup charges duplicate chunks to later occurrences only") {
+    // doc 1 and doc 3 are identical single-chunk texts; doc 2 is unique
+    val docs = Seq((1L, "x y z"), (2L, "p q"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Corpus.paragraphDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((1L, 0L, 0.0))) // first occurrence owns the chunk
+    assert(out(2L) == ((1L, 0L, 0.0)))
+    assert(out(3L) == ((1L, 1L, 1.0))) // later identical doc is all-dup
+  }
+
   test("noveltyScore counts corpus-rare bigram instances per doc") {
     // "x y" appears 3 times across docs (support 3 > 2); every other
     // bigram is unique (support 1 ≤ 2)

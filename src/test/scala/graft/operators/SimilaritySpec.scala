@@ -68,4 +68,34 @@ class SimilaritySpec extends SparkSpec {
     assert(perProbe.values.forall(_.map(_.getAs[Long]("rank")).toSeq
       .sorted == Seq(1L, 2L, 3L, 4L, 5L)))
   }
+
+  test("knnGraph emits symmetric ranked edges capped at k") {
+    val out = Similarity.knnGraph(corpus, k = 2, minCosine = -1.0).collect()
+    val byVec = out.groupBy(_.getAs[Long]("vec_id"))
+    // 2 and 3 share no band bucket with anyone (orthogonal/opposite
+    // sign patterns) — LSH correctly leaves them edgeless
+    assert(byVec.keySet == Set(0L, 1L))
+    assert(byVec.values.forall(_.length <= 2))
+    // 0's nearest is 1 (cos ~0.994) and vice versa — rank 1 both ways
+    val top = out.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(top(0L) == 1L && top(1L) == 0L)
+  }
+
+  test("labelAgreement scores neighborhood label consistency") {
+    val labeled = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 7),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f), 7),
+      (2L, Seq(0.8f, 0.2f, 0f, 0f), 9), // same cluster, odd label out
+      (3L, Seq(0f, 0f, 1f, 0f), 5))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelAgreement(labeled, k = 2, minCosine = 0.9)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("label"), r.getAs[Double]("agreement"))).toMap
+    // 0,1,2 are mutual neighbors; 3 has none (absent from output)
+    assert(!out.contains(3L))
+    assert(out(0L)._1 == 7L && out(0L)._2 == 0.5)  // neighbors 1 (7), 2 (9)
+    assert(out(2L)._1 == 9L && out(2L)._2 == 0.0)  // both neighbors are 7
+  }
 }
