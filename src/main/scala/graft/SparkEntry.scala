@@ -228,6 +228,7 @@ object SparkEntry {
     // --- multimodal plumbing (SURVEY.md §2) ---
     "multimodal_extract" -> ((s, d) => Multimodal.extract(s, Tables(s, d, "documents"))),
     "multimodal_frames" -> ((s, d) => Multimodal.frameSample(Tables(s, d, "documents"))),
+    "multimodal_resize" -> ((s, d) => Multimodal.resizePlan(Tables(s, d, "documents"))),
     // --- relational extensions (SURVEY.md §2: as-of / range / pivot / rollup) ---
     "asof_join" -> ((s, d) => {
       val ev = Tables(s, d, "events").select(col("event_id"), col("user_id"),
@@ -1308,6 +1309,36 @@ object SparkEntry {
         |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 448 AS height,
         |  1 + doc_id % 30 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors Multimodal.resizePlan (box 224): same stub geometry as
+    // multimodal_extract, fit-in-box via integral DIV (// here), byte
+    // estimate scaled by the pixel ratio, md5 over the estimated-size
+    // prefix (ascii text ⇒ char slices == byte slices, as in
+    // multimodal_frames).
+    "multimodal_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    ['png','jpg','wav'][CAST(doc_id % 3 AS INT) + 1] AS format,
+        |    text,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    64 + CAST(octet_length(encode(text)) AS BIGINT) % 448 AS width,
+        |    64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 448 AS height
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, format, text, byte_len, width, height,
+        |    CAST(CASE WHEN greatest(width, height) <= 224 THEN width
+        |         ELSE greatest(width * 224 // greatest(width, height), 1)
+        |         END AS BIGINT) AS target_w,
+        |    CAST(CASE WHEN greatest(width, height) <= 224 THEN height
+        |         ELSE greatest(height * 224 // greatest(width, height), 1)
+        |         END AS BIGINT) AS target_h
+        |  FROM p)
+        |SELECT doc_id, format, width, height, target_w, target_h,
+        |  CAST(byte_len * (target_w * target_h) // (width * height) AS BIGINT)
+        |    AS n_bytes_est,
+        |  md5(substring(text, 1,
+        |    CAST(byte_len * (target_w * target_h) // (width * height) AS INT)))
+        |    AS thumb_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
     // Mirrors Multimodal.frameSample (stride 5): the text IS the payload
     // (ascii → byte slicing == char slicing), so md5 over string slices
     // equals Spark's md5 over the binary slices.

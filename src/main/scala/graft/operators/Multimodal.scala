@@ -77,6 +77,37 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Resize/thumbnail planning: fit each decoded payload into a
+    * `box`×`box` target preserving aspect ratio. This is the metadata
+    * half a resize stage really computes — target geometry, scaled
+    * output-size estimate, and the deterministic content tag a
+    * cache/shard layer keys on — in pure integral arithmetic (`DIV`,
+    * no floats), so it replays exactly in any engine. The pixel
+    * resample itself belongs in the per-partition decoder (stubbed,
+    * like [[extract]]'s decode); upscaling is never planned
+    * (max-dim ≤ box keeps the original geometry).
+    */
+  def resizePlan(docs: DataFrame, box: Int = 224): DataFrame = {
+    val p = asPayloads(docs)
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .withColumn("width", lit(64L) + pmod(col("byte_len"), lit(448L)))
+      .withColumn("height", lit(64L) + pmod(col("byte_len") * 7, lit(448L)))
+      .withColumn("__mx", greatest(col("width"), col("height")))
+      .withColumn("target_w",
+        when(col("__mx") <= box, col("width"))
+          .otherwise(greatest(expr(s"width * $box DIV __mx"), lit(1L))))
+      .withColumn("target_h",
+        when(col("__mx") <= box, col("height"))
+          .otherwise(greatest(expr(s"height * $box DIV __mx"), lit(1L))))
+      .withColumn("n_bytes_est",
+        expr("byte_len * (target_w * target_h) DIV (width * height)"))
+    p.select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("target_w"), col("target_h"), col("n_bytes_est"),
+        md5(col("payload").substr(lit(1), col("n_bytes_est").cast("int")))
+          .as("thumb_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Decode payloads to typed metadata, one decoder per partition. */
   def extract(spark: SparkSession, docs: DataFrame): DataFrame = {
     val payloads = asPayloads(docs)

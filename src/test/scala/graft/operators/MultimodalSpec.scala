@@ -34,4 +34,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[String]("frame_md5") == hex(text.substring(0, 5)))
     assert(out(1).getAs[String]("frame_md5") == hex(text.substring(25, 30)))
   }
+
+  test("resizePlan fits in the box preserving aspect, never upscales") {
+    // 100 chars -> width 64+100%448=164, height 64+700%448=316:
+    // mx=316 > 224 -> target_w = 164*224 div 316 = 116, target_h = 224
+    val big = Seq((1L, "x" * 100)).toDF("doc_id", "text")
+    val b = Multimodal.resizePlan(big).collect().head
+    assert(b.getAs[Long]("width") == 164L && b.getAs[Long]("height") == 316L)
+    assert(b.getAs[Long]("target_w") == 116L && b.getAs[Long]("target_h") == 224L)
+    // byte estimate scales by pixel ratio: 100 * (116*224) div (164*316)
+    assert(b.getAs[Long]("n_bytes_est") == 100L * (116L * 224L) / (164L * 316L))
+
+    // 50 chars -> width 114, height 64+350%448=414 -> still > 224; a
+    // doc small on BOTH axes (needs len%448 and 7*len%448 <= 160) :
+    // len=448 -> width 64, height 64 -> no resize, full-payload hash
+    val small = Seq((2L, "y" * 448)).toDF("doc_id", "text")
+    val s = Multimodal.resizePlan(small).collect().head
+    assert(s.getAs[Long]("target_w") == 64L && s.getAs[Long]("target_h") == 64L)
+    assert(s.getAs[Long]("n_bytes_est") == 448L)
+  }
 }
