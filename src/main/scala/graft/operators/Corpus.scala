@@ -121,17 +121,21 @@ object Corpus {
     * (doc_id, chunk_id) order — computed as a struct-min per distinct
     * chunk text, so ownership is deterministic and total.
     *
-    * Scale shape: one hash aggregate on chunk text (partial-agg
-    * friendly — the min-owner struct combines map-side), one shuffle
-    * join back on the same key, then a doc_id re-aggregate. No
+    * Scale shape: chunks are keyed by their 128-bit md5 the moment
+    * they're formed, so the ownership aggregate and the join back
+    * shuffle 16-byte keys instead of up-to-`chunkSize`-token strings
+    * (the chunk text itself never leaves the scan stage). The
+    * aggregate is partial-agg friendly (the min-owner struct combines
+    * map-side), then one shuffle join and a doc_id re-aggregate. No
     * windows, no broadcast of corpus-sized state.
     */
   def paragraphDedup(docs: DataFrame, chunkSize: Int = 50,
                      stride: Int = 40): DataFrame = {
     val ch = chunkRaw(docs, chunkSize, stride)
-    val owners = ch.groupBy("chunk_text")
+      .select(col("doc_id"), col("chunk_id"), md5(col("chunk_text")).as("ck"))
+    val owners = ch.groupBy("ck")
       .agg(min(struct(col("doc_id"), col("chunk_id"))).as("own"))
-    ch.join(owners, "chunk_text")
+    ch.join(owners, "ck")
       .select(col("doc_id"),
         (col("own.doc_id") =!= col("doc_id") ||
           col("own.chunk_id") =!= col("chunk_id")).cast("long").as("is_dup"))
