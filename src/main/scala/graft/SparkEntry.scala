@@ -302,6 +302,7 @@ object SparkEntry {
     // --- round 3: sequence analytics, LM prep, runtime filters,
     // segmentation, semantic dedup ---
     "events_streaks" -> ((s, d) => Sessionize.activityStreaks(Tables(s, d, "events"))),
+    "events_dau_wau" -> ((s, d) => Sessionize.dauWau(Tables(s, d, "events"))),
     "events_argmax" -> ((s, d) => Sessionize.topEventPerUser(Tables(s, d, "events"))),
     "events_transitions" -> ((s, d) => Sessionize.transitions(Tables(s, d, "events"))),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramCounts(Tables(s, d, "documents"))),
@@ -1570,6 +1571,17 @@ object SparkEntry {
         |SELECT user_id, COUNT(*) AS n_streaks, MAX(len) AS longest_streak,
         |  CAST(SUM(len) AS BIGINT) AS active_days
         |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Mirrors Sessionize.dauWau: distinct (day,user) exploded into the
+    // 7 trailing-window days it serves, per-day distinct aggregate.
+    "events_dau_wau" ->
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |dau AS (SELECT d AS day, COUNT(*) AS dau FROM du GROUP BY 1),
+        |c AS (SELECT d + CAST(i AS INTEGER) AS day, user_id
+        |      FROM du, UNNEST(generate_series(0, 6)) AS g(i)),
+        |wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM c GROUP BY 1)
+        |SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+        |  ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
     // Mirrors Sessionize.topEventPerUser: argmax row per user, ties to
     // the smallest event_id.
     "events_argmax" ->

@@ -280,6 +280,27 @@ object Sessionize {
       .orderBy("user_id")
   }
 
+  /** DAU / trailing-7-day WAU / stickiness per day — the engagement
+    * dashboard triple, computed EXACTLY. Instead of a 7-day range
+    * self-join or a sliding count-distinct window (both funnels), each
+    * distinct (day, user) row is exploded into the ≤7 future days it
+    * contributes to, and WAU is a plain per-day distinct aggregate —
+    * two partial-agg-friendly shuffles, fan-out bounded at 7. Days past
+    * the observed range never materialize (inner join against DAU).
+    */
+  def dauWau(events: DataFrame): DataFrame = {
+    val du = events.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val dau = du.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("day"),
+        col("user_id"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Argmax-row retrieval: each user's single highest-value event with
     * its full row — the "latest/largest record per key" pattern. Total
     * order (value DESC, event_id) makes the winner deterministic under
