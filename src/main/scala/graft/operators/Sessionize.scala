@@ -283,23 +283,26 @@ object Sessionize {
   /** DAU / trailing-7-day WAU / stickiness per day — the engagement
     * dashboard triple, computed EXACTLY. Instead of a 7-day range
     * self-join or a sliding count-distinct window (both funnels), each
-    * distinct (day, user) row is exploded into the ≤7 future days it
-    * contributes to, and WAU is a plain per-day distinct aggregate —
-    * two partial-agg-friendly shuffles, fan-out bounded at 7. Days past
-    * the observed range never materialize (inner join against DAU).
+    * distinct (day, user) row is pos-exploded into the ≤7 future days
+    * it contributes to, and ONE per-day aggregate derives both counts:
+    * offset-0 rows are exactly the distinct (day, user) pairs, so
+    * their sum is DAU, while WAU is the distinct-user count. Single
+    * events scan, fan-out bounded at 7, both shuffles partial-agg
+    * friendly. Days whose own DAU is zero are window tails, not
+    * observed days — dropped, matching the join the two-pass form
+    * would do.
     */
-  def dauWau(events: DataFrame): DataFrame = {
-    val du = events.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
-    val dau = du.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
-    val wau = du
-      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("day"),
-        col("user_id"))
-      .groupBy("day").agg(countDistinct("user_id").as("wau"))
-    dau.join(wau, "day")
+  def dauWau(events: DataFrame): DataFrame =
+    events.select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .select(col("user_id"),
+        posexplode(sequence(col("d"), date_add(col("d"), 6))))
+      .groupBy(col("col").as("day"))
+      .agg(sum(when(col("pos") === 0, 1L).otherwise(0L)).as("dau"),
+        countDistinct("user_id").as("wau"))
+      .filter(col("dau") > 0)
       .select(col("day"), col("dau"), col("wau"),
         round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
       .orderBy("day")
-  }
 
   /** Argmax-row retrieval: each user's single highest-value event with
     * its full row — the "latest/largest record per key" pattern. Total
