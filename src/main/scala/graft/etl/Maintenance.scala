@@ -72,6 +72,28 @@ object Maintenance {
     n
   }
 
+  /** Partition retention (TTL): drop `<part>=<value>` partition
+    * directories whose integer value is below `minKeep` — the nightly
+    * expiry job. Metadata-only: whole partition dirs are unlinked and
+    * surviving data is NEVER rewritten (a retention pass that rewrote
+    * files would own the cluster's night at 100 TB). Returns the
+    * expired partition names, sorted.
+    */
+  def expirePartitions(spark: SparkSession, dir: String,
+                       partCol: String, minKeep: Long): Seq[String] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$partCol="
+    val expired = fs.listStatus(base).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith(prefix) &&
+          p.getName.stripPrefix(prefix).toLongOption.exists(_ < minKeep)
+      }
+    expired.foreach(p => fs.delete(p, true))
+    expired.map(_.getName).sorted
+  }
+
   /** Per-file [min, max] of `keyCol` — the footer ranges a key-filtered
     * scan skips by. Exposed for tests/inspection.
     */

@@ -51,4 +51,28 @@ class MaintenanceSpec extends SparkSpec {
     }
     assert(contents(dir) == before)
   }
+
+  test("expirePartitions unlinks only the partitions below the cutoff") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_ttl").toString + "/fact"
+    Tables(spark, sf(), "lineitem")
+      .withColumn("year", year(col("l_shipdate")).cast("long"))
+      .write.partitionBy("year").parquet(dir)
+    val years = spark.read.parquet(dir)
+      .select(col("year").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(years.length >= 3, "precondition: multi-year fact")
+    val cutoff = years(1) // expire exactly the oldest year
+    val kept = spark.read.parquet(dir)
+      .filter(col("year") >= cutoff).orderBy("l_orderkey", "l_linenumber")
+      .collect().toSeq
+
+    val expired = Maintenance.expirePartitions(spark, dir, "year", cutoff)
+    assert(expired == Seq(s"year=${years.head}"))
+    val after = spark.read.parquet(dir)
+    assert(after.select(col("year").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.sameElements(years.drop(1)))
+    // surviving rows are byte-identical — nothing was rewritten
+    assert(after.orderBy("l_orderkey", "l_linenumber").collect().toSeq == kept)
+  }
 }
