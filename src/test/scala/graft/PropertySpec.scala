@@ -137,8 +137,13 @@ class PropertySpec extends SparkSpec {
         while (b == a) b = rnd.nextInt(30) + 1L
         (a, b)
       }
+      // odd trials force the distributed pointer-jumping loop, even
+      // trials take the default (union-find fast path) — BOTH paths
+      // must match the reference on every graph
+      val threshold = if (trial % 2 == 1) 0L else 2000000L
       val got = Corpus.connectedComponents(
-        edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b",
+        localThreshold = threshold)
         .as[(Long, Long)].collect().toMap
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
