@@ -12,12 +12,12 @@ import org.apache.spark.sql.SparkSession
   * query runs SPARK_GRAFT_BENCH_ITERS times (default 3) reporting the
   * minimum — steady-state plan cost, not JIT/GC noise.
   *
-  * Output-size contract: the driver keeps only the last ~2000 chars of
+  * Output-size contract: the driver keeps only the last 2000 chars of
   * stdout, so the final JSON line must fit entirely inside that tail
   * (r2's 2.9 KB line lost its head, nulling the round's bench signal).
-  * The line is emitted at the largest decimal precision that fits a
-  * 1880-char budget; the full-precision per-sample detail goes to
-  * stderr for humans.
+  * The line is emitted at the largest precision/coverage tier that
+  * fits the `budget` defined below; the full-precision per-sample
+  * detail goes to stderr for humans.
   *
   * Noise-rejection contract: iterations are round-robin (all queries
   * once, then all again) so a minute-scale host-noise burst cannot
@@ -77,8 +77,15 @@ object Bench {
     // is untimed setup.
     val martDir = sys.env.getOrElse("SPARK_GRAFT_MART_DIR",
       System.getProperty("java.io.tmpdir") + "/graft_bench_mart")
+    val martNames = (1 to 5).map(i => s"q${i}m")
+    val martWanted = onlyEnv.forall(names => martNames.exists(names.contains))
+    // names that never produced a runnable query (e.g. the mart
+    // materialize crashed) — surfaced in the "failed" list, never
+    // silently absent
+    var preFailed: Seq[String] = Seq.empty
     val martQs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      try {
+      if (!martWanted) Seq.empty
+      else try {
         graft.etl.Mart.materialize(spark, sfDir, martDir)
         import graft.etl.{Dashboard, Mart}
         def mt(n: String) = Mart.table(spark, martDir, n)
@@ -95,6 +102,7 @@ object Bench {
             Dashboard.pctPositiveByDate(mt(Mart.FactTable))))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] mart materialize failed: ${e.getMessage}")
+        preFailed = martNames.filter(n => onlyEnv.forall(_.contains(n)))
         Seq.empty
       }
 
@@ -155,7 +163,7 @@ object Bench {
       val pick = if (quiet.nonEmpty) quiet else ok
       name -> (if (pick.nonEmpty) Some(pick.map(_.sec).min) else None)
     }
-    val failed = results.collect { case (n, None) => n }
+    val failed = preFailed ++ results.collect { case (n, None) => n }
     val timed = results.collect { case (n, Some(t)) => n -> t }
     val total = timed.map(_._2).sum
 
@@ -163,6 +171,8 @@ object Bench {
     System.err.println(timed.map { case (n, t) => f"$n=$t%.3f" }.mkString("[bench] detail: ", " ", ""))
 
     // Compact final line: largest precision that fits the tail budget.
+    // "0.1", not r2's "sf0.1"/full path — two chars of budget; the
+    // numeric form is self-describing under the "sf" key
     val sfShort = sfDir.split("/").last.stripPrefix("sf")
     def fmt(t: Double, dec: Int): String = {
       val s = BigDecimal(t).setScale(dec, BigDecimal.RoundingMode.HALF_UP)

@@ -193,16 +193,22 @@ object Corpus {
     * union-find (path compression + union-by-min: one stage, no loop,
     * no driver collect — the bench measured the iterative path
     * spending ~37s of driver round-trips on a 2k-edge graph). Above
-    * the threshold, the distributed loop handles graphs of any size.
+    * the threshold — or when the id columns are not integral (the
+    * union-find works on Long; the loop's least/min work on any
+    * orderable type) — the distributed loop handles the graph.
     * Both paths produce the identical (node → component-min) labeling.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIters: Int = 40,
                           localThreshold: Long = 2000000L): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint()
-    if (edges.count() <= localThreshold) return localComponents(edges)
+    val integralIds = edges.schema.fields.forall(f =>
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType))
+    if (integralIds && edges.count() <= localThreshold)
+      return localComponents(edges)
     // seed with min(self, direct neighbors) — one aggregate, and the
     // loop below only pays for graphs with diameter > 1
     var labels = edges
@@ -214,12 +220,15 @@ object Corpus {
     var i = 0
     while (!converged && i < maxIters) {
       // 1. neighbor-min step: comp'(x) = min(comp(x), min over
-      //    neighbors y of comp(y))
+      //    neighbors y of comp(y)). Checkpointed because the jump
+      //    self-joins it — without the pin, the join+aggregate above
+      //    would execute once per consumer.
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("nid")).agg(min("comp").as("nbr_comp"))
         .join(labels, col("nid") === labels("id"), "right")
         .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("mid"))
+        .localCheckpoint()
       // 2. pointer jump: comp''(x) = comp'(comp'(x)). Every label value
       //    is a member of the same component (labels only ever hold
       //    node ids reached by a path), so the lookup always hits and

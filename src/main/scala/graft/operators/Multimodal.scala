@@ -39,15 +39,24 @@ object Multimodal {
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
       encode(col("text"), "UTF-8").as("payload"))
 
+  /** ===== STUB geometry constants ===== shared by [[decodeStub]] and
+    * the Column-expression twins in [[frameSample]]/[[resizePlan]] —
+    * change the fake geometry here and every consumer stays in sync.
+    */
+  private val DimBase = 64L
+  private val DimMod = 448L
+  private val HeightMul = 7L
+  private val FramesMod = 30L
+
   /** ===== STUB ===== deterministic fake "decode" of one payload.
     * A real implementation calls the codec here (and only here).
     */
   private def decodeStub(docId: Long, format: String, payload: Array[Byte])
       : (Long, Long, Long) = {
     val len = payload.length.toLong
-    val width = 64L + len % 448L
-    val height = 64L + (len * 7L) % 448L
-    val frames = 1L + docId % 30L
+    val width = DimBase + len % DimMod
+    val height = DimBase + (len * HeightMul) % DimMod
+    val frames = 1L + docId % FramesMod
     (width, height, frames)
   }
 
@@ -64,7 +73,7 @@ object Multimodal {
   def frameSample(docs: DataFrame, stride: Int = 5): DataFrame = {
     val p = asPayloads(docs)
       .withColumn("byte_len", length(col("payload")).cast("long"))
-      .withColumn("n_frames", lit(1L) + pmod(col("doc_id"), lit(30L)))
+      .withColumn("n_frames", lit(1L) + pmod(col("doc_id"), lit(FramesMod)))
       .withColumn("frame_len",
         greatest(floor(col("byte_len") / col("n_frames")).cast("long"), lit(1L)))
     p.select(col("doc_id"), col("payload"), col("frame_len"),
@@ -90,8 +99,9 @@ object Multimodal {
   def resizePlan(docs: DataFrame, box: Int = 224): DataFrame = {
     val p = asPayloads(docs)
       .withColumn("byte_len", length(col("payload")).cast("long"))
-      .withColumn("width", lit(64L) + pmod(col("byte_len"), lit(448L)))
-      .withColumn("height", lit(64L) + pmod(col("byte_len") * 7, lit(448L)))
+      .withColumn("width", lit(DimBase) + pmod(col("byte_len"), lit(DimMod)))
+      .withColumn("height",
+        lit(DimBase) + pmod(col("byte_len") * HeightMul, lit(DimMod)))
       .withColumn("__mx", greatest(col("width"), col("height")))
       .withColumn("target_w",
         when(col("__mx") <= box, col("width"))

@@ -121,6 +121,16 @@ class CorpusSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("component_id") == 1L))
   }
 
+  test("connectedComponents routes non-integral ids to the iterative path") {
+    // string ids: the union-find fast path only handles integral
+    // types, so even a tiny graph must take the distributed loop —
+    // and still label with the component min
+    val pairs = Seq(("b", "a"), ("c", "b"), ("x", "y")).toDF("doc_a", "doc_b")
+    val out = Corpus.connectedComponents(pairs, "doc_a", "doc_b").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("union-find fast path and iterative path produce identical labelings") {
     // a mix of chains, stars, merged clusters and singleton pairs
     val edges = Seq(
