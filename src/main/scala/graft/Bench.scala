@@ -129,28 +129,39 @@ object Bench {
         System.err.println(f"[bench] round $round $name: $t%.2f${if (ok) "" else " FAILED"}")
         Sample(round, name, t, ok)
       }
-      val sent = {
+      val (sent, sentOk) = {
         val t0 = System.nanoTime()
-        try force(SparkEntry.benchQueries(sentinelName)(spark, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] sentinel failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { force(SparkEntry.benchQueries(sentinelName)(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] sentinel failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
       dropBlocks()
-      System.err.println(f"[bench] round $round sentinel: $sent%.3f")
-      qSamples :+ Sample(round, "__sentinel", sent, ok = true)
+      System.err.println(f"[bench] round $round sentinel: $sent%.3f${if (sentOk) "" else " FAILED"}")
+      qSamples :+ Sample(round, "__sentinel", sent, ok = sentOk)
     }
 
-    val sentTimes = samples.filter(_.name == "__sentinel")
+    // A failed sentinel is a fast-fail time, not a calibration reading:
+    // only SUCCESSFUL sentinel runs feed the median, a round whose
+    // sentinel failed cannot be certified quiet (treated as noisy), and
+    // if no round has a good sentinel, noise filtering is skipped
+    // entirely rather than filtered against garbage.
+    val sentTimes = samples.filter(s => s.name == "__sentinel" && s.ok)
       .map(s => s.round -> s.sec).toMap
-    val sentMedian = {
-      val v = sentTimes.values.toSeq.sorted
-      v(v.size / 2)
-    }
-    val noisyRounds = sentTimes.collect {
-      case (r, t) if t > 3 * sentMedian => r
-    }.toSet
+    val noisyRounds =
+      if (sentTimes.isEmpty) {
+        System.err.println("[bench] sentinel never succeeded; noise filtering skipped")
+        Set.empty[Int]
+      } else {
+        val v = sentTimes.values.toSeq.sorted
+        val sentMedian = v(v.size / 2)
+        (1 to iters).filter { r =>
+          sentTimes.get(r).forall(_ > 3 * sentMedian)
+        }.toSet
+      }
     if (noisyRounds.nonEmpty)
       System.err.println(s"[bench] discarding noisy rounds: ${noisyRounds.toSeq.sorted.mkString(",")}")
 

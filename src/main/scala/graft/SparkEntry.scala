@@ -181,16 +181,17 @@ object SparkEntry {
     "events_topk_users" -> ((s, d) => Sessionize.topUsers(Tables(s, d, "events"))),
     "events_top3_per_type" -> ((s, d) => Sessionize.topKPerType(Tables(s, d, "events"))),
     "events_value_deciles" -> ((s, d) => Sessionize.valueDeciles(Tables(s, d, "events"))),
-    // exact grouped median (sort-based percentile) — the precise
-    // counterpart to events_approx_stats' sketch quantiles
-    "events_median_by_type" -> ((s, d) => Tables(s, d, "events")
-      .groupBy("event_type")
-      .agg(round(expr("percentile(value, 0.5)"), 4).as("median_value"),
-        count(lit(1)).as("n_events"))
-      .orderBy("event_type")),
+    // grouped median (operators.Sessionize.medianByType): the oracle
+    // checks the EXACT sort-based form; the scale default interpolates
+    // over the deterministic hash sample (spec-bounded vs exact)
+    "events_median_by_type" -> ((s, d) =>
+      Sessionize.medianByType(Tables(s, d, "events"), exact = true)),
     "events_approx_stats" -> ((s, d) => Sessionize.approxStats(Tables(s, d, "events"))),
     "events_funnel" -> ((s, d) => Sessionize.funnel(Tables(s, d, "events"))),
-    "events_winsorize" -> ((s, d) => Sessionize.winsorize(Tables(s, d, "events"))),
+    // exact = true: the hash-checked audit form (sampled-bounds default
+    // is spec-bounded against it, like table_profile)
+    "events_winsorize" -> ((s, d) =>
+      Sessionize.winsorize(Tables(s, d, "events"), exact = true)),
     // referential-integrity audit: orphan FKs both directions via
     // anti-joins (co-partitioned at scale — no broadcast assumption on
     // the customer side, which grows with the data)

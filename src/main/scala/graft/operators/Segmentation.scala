@@ -88,9 +88,13 @@ object Segmentation {
       ranked, Seq("rank"), "spend_c", "cum_c")
     val total = spend.agg(sum("spend_c").as("__tot"))
     val sorted = thresholds.sorted
+    // the ×100/×threshold probe widens to decimal(38,0): total cents
+    // ×100 can overflow a LONG at 100 TB row counts (the oracle's
+    // HUGEINT SUM is immune — the Spark side must match it exactly)
+    val dec38 = "decimal(38,0)"
     val probes = sorted.map(t =>
-      min(when(col("cum_c") * 100 >= col("__tot") * t, col("rank")))
-        .as(s"__r_$t"))
+      min(when(col("cum_c").cast(dec38) * 100 >= col("__tot").cast(dec38) * t,
+        col("rank"))).as(s"__r_$t"))
     val stackExpr = s"stack(${sorted.size}, " +
       sorted.map(t => s"${t}L, __r_$t").mkString(", ") +
       ") AS (threshold_pct, n_customers)"

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -94,19 +94,40 @@ object Sessionize {
       .orderBy("cohort_day", "day_k")
   }
 
-  /** Winsorization: clip each type's values to its exact [p01, p99]
-    * band — the standard outlier guard before training on a metric.
-    * Two passes over events (bounds aggregate, then clip+re-aggregate);
-    * the per-type bounds table is tiny and broadcasts. Exact
-    * percentiles match DuckDB's quantile_cont interpolation, so the
-    * whole thing hash-checks; swap approx_percentile in where a sketch
-    * is acceptable to drop the second shuffle's sort.
+  /** The deterministic quantile-sample flag shared by [[approxStats]],
+    * [[winsorize]] and [[medianByType]]: avalanche-hash the event id,
+    * keep 1/`sampleMod` of the stream. Content-derived (stable under
+    * re-partitioning/re-ingestion) and BIGINT-exact, so any engine
+    * draws the same sample.
     */
-  def winsorize(events: DataFrame, lo: Double = 0.01,
-                hi: Double = 0.99): DataFrame = {
+  private def sampledValue(sampleMod: Int): Column =
+    when(graft.functions.Hll.mix31(col("event_id"), 15, 14, 15)
+      % sampleMod === 0, col("value"))
+
+  /** Winsorization: clip each type's values to its [p01, p99] band —
+    * the standard outlier guard before training on a metric. Two passes
+    * over events (bounds aggregate, then clip+re-aggregate); the
+    * per-type bounds table is tiny and broadcasts.
+    *
+    * `exact = true` (the oracle/audit path) takes the percentiles over
+    * every value: Spark's `percentile` buffers a value→count map
+    * bounded only by DISTINCT VALUES, and over a continuous measure
+    * that is per-type state growing with the data — at 100 TB the
+    * final per-type merge OOMs one task. The default estimates the
+    * bounds from the deterministic 1/`sampleMod` hash sample already
+    * powering [[approxStats]]: same interpolation, state capped at the
+    * sample's distinct values (size `sampleMod` so a type's sample
+    * fits an executor). Clipping-rate deviation vs exact is bounded in
+    * SessionizeSpec; exact percentiles match DuckDB's quantile_cont
+    * interpolation, so the exact form hash-checks.
+    */
+  def winsorize(events: DataFrame, lo: Double = 0.01, hi: Double = 0.99,
+                exact: Boolean = false,
+                sampleMod: Int = SampleMod): DataFrame = {
+    val basis = if (exact) col("value") else sampledValue(sampleMod)
     val bounds = events.groupBy("event_type")
-      .agg(expr(s"percentile(value, $lo)").as("p_lo"),
-        expr(s"percentile(value, $hi)").as("p_hi"))
+      .agg(percentile(basis, lit(lo)).as("p_lo"),
+        percentile(basis, lit(hi)).as("p_hi"))
     events.join(broadcast(bounds), "event_type")
       .select(col("event_type"), col("value"), col("p_lo"), col("p_hi"),
         least(greatest(col("value"), col("p_lo")), col("p_hi")).as("w"))
@@ -115,6 +136,24 @@ object Sessionize {
         sum(when(col("value") < col("p_lo"), 1L).otherwise(0L)).as("n_clipped_lo"),
         sum(when(col("value") > col("p_hi"), 1L).otherwise(0L)).as("n_clipped_hi"),
         (round(sum("w") * 100, 0) / 100.0).as("winsorized_total"))
+      .orderBy("event_type")
+  }
+
+  /** Grouped median. `exact = true` is the oracle path (sort-based
+    * `percentile` with linear interpolation — per-type state bounded
+    * only by distinct values, so audit-scale data only); the default
+    * interpolates over the deterministic 1/`sampleMod` hash sample
+    * (fixed-fraction state — the [[approxStats]] scale shape).
+    * `n_events` always counts the full stream: the sample feeds only
+    * the quantile. Sample-vs-exact deviation is bounded in
+    * SessionizeSpec.
+    */
+  def medianByType(events: DataFrame, exact: Boolean = false,
+                   sampleMod: Int = SampleMod): DataFrame = {
+    val basis = if (exact) col("value") else sampledValue(sampleMod)
+    events.groupBy("event_type")
+      .agg(round(percentile(basis, lit(0.5)), 4).as("median_value"),
+        count(lit(1)).as("n_events"))
       .orderBy("event_type")
   }
 

@@ -54,12 +54,16 @@ object SkewJoin {
     * key to one row per task before the shuffle) and the few hot keys
     * are broadcast back as an anti-join, so the full rows of a hot key
     * are never co-located anywhere.
+    *
+    * The anti-join condition is null-safe (`<=>`): a hot NULL key — the
+    * archetypal skew key this guard exists for — groups and drops like
+    * any other value.
     */
   def dropHotKeys(df: DataFrame, key: Column, maxDf: Long): DataFrame = {
     val hot = df.select(key.as("__hot_k")).groupBy("__hot_k")
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)
       .select("__hot_k")
-    df.join(broadcast(hot), key === col("__hot_k"), "left_anti")
+    df.join(broadcast(hot), key <=> col("__hot_k"), "left_anti")
   }
 }

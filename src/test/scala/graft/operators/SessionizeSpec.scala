@@ -130,4 +130,59 @@ class SessionizeSpec extends SparkSpec {
       ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 2L, 1L),
       ("2024-01-02", 0L, 1L)))
   }
+
+  test("sampled-bounds winsorize (the 100 TB default) tracks the exact form") {
+    val ev = graft.core.Tables(spark, sf(), "events")
+    val byType = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val exact = byType(Sessionize.winsorize(ev, exact = true))
+    val approx = byType(Sessionize.winsorize(ev))
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    val sampleSizes = ev
+      .filter(graft.functions.Hll.mix31(col("event_id"), 15, 14, 15)
+        % Sessionize.SampleMod === 0)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    approx.foreach { case (t, a) =>
+      val n = exact(t).getAs[Long]("n_events")
+      assert(a.getAs[Long]("n_events") == n, s"row coverage changed for $t")
+      // Order-statistic bound: a q-quantile estimated from k samples
+      // sits within ~3·sqrt(q(1-q)/k) + 2/k quantile positions of the
+      // truth, so each sampled cut clips at most that much more of the
+      // stream than the exact 1% (self-scaling: tight at real k,
+      // honest at sf0.001's k ≈ 25 per type).
+      val k = sampleSizes(t).toDouble
+      val clipBound = 0.01 + 3 * math.sqrt(0.01 * 0.99 / k) + 2 / k
+      Seq("n_clipped_lo", "n_clipped_hi").foreach { c =>
+        assert(a.getAs[Long](c) <= clipBound * n,
+          s"$c over-clips for $t: ${a.getAs[Long](c)} of $n (bound $clipBound)")
+      }
+      // Clipping only moves tail mass to a nearby cut, so the totals
+      // track within a few percent even where the cuts differ.
+      val et = exact(t).getAs[Double]("winsorized_total")
+      val at = a.getAs[Double]("winsorized_total")
+      assert(math.abs(at - et) / math.abs(et) <= 0.05,
+        s"winsorized_total off >5% for $t: $at vs $et")
+    }
+  }
+
+  test("sampled medianByType (the 100 TB default) is rank-stable vs exact") {
+    val ev = graft.core.Tables(spark, sf(), "events")
+    val exactIqr = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val approx = Sessionize.medianByType(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(approx.keySet == exactIqr.keySet && approx.nonEmpty)
+    approx.foreach { case (t, a) =>
+      // n_events counts the FULL stream (the sample feeds only the median)
+      assert(a.getAs[Long]("n_events") == exactIqr(t).getAs[Long]("n"))
+      val m = a.getAs[Double]("median_value")
+      assert(m >= exactIqr(t).getAs[Double]("p25") &&
+        m <= exactIqr(t).getAs[Double]("p75"),
+        s"sampled median outside exact IQR for $t")
+    }
+  }
 }
