@@ -91,6 +91,10 @@ object SparkEntry {
     "dim_location" -> ((s, d) => WeatherMart.dimLocation(s, d).orderBy("location_key")),
     "dim_scd2_merge" -> ((s, d) => WeatherMart.dimLocationMerged(s, d)
       .orderBy("location_key")),
+    // the composed incremental path: CDC delta feed → compacted
+    // snapshot → SCD2 versioned dimension (WeatherMart.dimLocationCdcMerged)
+    "cdc_scd2" -> ((s, d) => WeatherMart.dimLocationCdcMerged(s, d)
+      .orderBy("location_key")),
     "dim_band" -> ((s, d) => WeatherMart.dimBand(s, d)),
     "dim_precip_type" -> ((s, d) => WeatherMart.dimPrecipType(s, d)),
     "dim_source" -> ((s, _) => WeatherMart.dimSource(s)),
@@ -187,6 +191,10 @@ object SparkEntry {
     "events_median_by_type" -> ((s, d) =>
       Sessionize.medianByType(Tables(s, d, "events"), exact = true)),
     "events_approx_stats" -> ((s, d) => Sessionize.approxStats(Tables(s, d, "events"))),
+    // grouped sketch-merge re-aggregation: daily HLL registers
+    // max-merged to month grain; the oracle sketches the month in one
+    // pass, so the hash match PROVES register mergeability
+    "hll_monthly" -> ((s, d) => Sessionize.monthlyActiveUsers(Tables(s, d, "events"))),
     "events_funnel" -> ((s, d) => Sessionize.funnel(Tables(s, d, "events"))),
     // exact = true: the hash-checked audit form (sampled-bounds default
     // is spec-bounded against it, like table_profile)
@@ -656,6 +664,58 @@ object SparkEntry {
        |ORDER BY p.event_type""".stripMargin
   }
 
+  /** Mirrors Sessionize.monthlyActiveUsers — deliberately in ONE pass:
+    * the Spark side max-merges DAILY registers into months, the oracle
+    * sketches each month directly from the rows; max-merge
+    * associativity means the registers (and therefore the estimates)
+    * must agree bit-for-bit, so the hash check proves sketch
+    * mergeability end-to-end.
+    */
+  private def hllMonthlySql: String = {
+    import graft.functions.Hll.{P => HllP, M => HllM, ValueBits => HllValueBits,
+      AlphaM2P => HllAlphaM2P, LcTable}
+    val m = graft.functions.SimHash64.Mod
+    val (c1, c2) = (graft.functions.SimHash64.MixC1, graft.functions.SimHash64.MixC2)
+    val mask = graft.functions.SimHash64.Mask
+    def xsrMul(h: String, s: Int, c: Long) = s"(xor($h, $h >> $s) * $c) & $mask"
+    def xsr(h: String, s: Int) = s"xor($h, $h >> $s)"
+    val rhoCase = (1 to HllValueBits).map(r =>
+      s"WHEN v >= ${1L << (HllValueBits - r)} THEN $r").mkString(" ")
+    val lc = (1 to 512).map(v =>
+      s"($v, ${LcTable(v - 1).toString})").mkString(", ")
+    val alpha = HllAlphaM2P.toString
+    s"""WITH e0 AS (
+       |  SELECT date_trunc('month', CAST(ts AS DATE)) AS month, event_type,
+       |    CAST(ts AS DATE) AS day,
+       |    ((user_id % $m) + $m) % $m AS hu
+       |  FROM events),
+       |e1 AS (SELECT month, event_type, day, ${xsrMul("hu", 16, c1)} AS hu FROM e0),
+       |e2 AS (SELECT month, event_type, day, ${xsrMul("hu", 13, c2)} AS hu FROM e1),
+       |e3 AS (SELECT month, event_type, day, ${xsr("hu", 16)} AS hu FROM e2),
+       |rws AS (
+       |  SELECT month, event_type, day, hu & ${HllM - 1} AS bucket,
+       |    CASE WHEN v = 0 THEN ${HllValueBits + 1} $rhoCase END AS rho
+       |  FROM (SELECT *, hu >> $HllP AS v FROM e3)),
+       |regs AS (
+       |  SELECT month, event_type, bucket, MAX(rho) AS mrho
+       |  FROM rws GROUP BY month, event_type, bucket),
+       |hll AS (
+       |  SELECT month, event_type,
+       |    SUM(CAST(1 AS BIGINT) << (${HllValueBits + 1} - mrho))
+       |      + ($HllM - COUNT(*)) * ${1L << (HllValueBits + 1)} AS zn,
+       |    $HllM - COUNT(*) AS v_empty
+       |  FROM regs GROUP BY month, event_type),
+       |days AS (SELECT month, event_type, COUNT(DISTINCT day) AS n_days
+       |  FROM rws GROUP BY month, event_type),
+       |lc(v, est) AS (VALUES $lc)
+       |SELECT CAST(h.month AS VARCHAR) AS month, h.event_type, d.n_days,
+       |  ROUND(CASE WHEN h.v_empty > 0 AND $alpha / h.zn <= ${2.5 * HllM}
+       |        THEN l.est ELSE $alpha / h.zn END, 4) AS approx_users
+       |FROM hll h JOIN days d USING (month, event_type)
+       |LEFT JOIN lc l ON l.v = h.v_empty
+       |ORDER BY month, event_type""".stripMargin
+  }
+
   /** Mirrors Dedup.minhashLsh (3-shingles, k=32 affine MinHash, 8
     * bands × 4 rows, Jaccard ≥ 0.5): replays the shared Horner+
     * avalanche shingle hash, the k affine permutations (coefficients
@@ -852,6 +912,55 @@ object SparkEntry {
          |  SELECT (SELECT MAX(location_key) FROM dim)
          |      + ROW_NUMBER() OVER (ORDER BY s_pc),
          |    s_pc, s_city, s_ctry, s_reg, '2026-02-01',
+         |    CAST(NULL AS VARCHAR), TRUE
+         |  FROM j WHERE s_pc IS NOT NULL AND (location_key IS NULL OR changed))
+         |SELECT CAST(location_key AS BIGINT) AS location_key, postal_code,
+         |  city_name, country, region_name, valid_from, valid_to, is_current
+         |FROM merged ORDER BY location_key""".stripMargin,
+    // Mirrors WeatherMart.dimLocationCdcMerged: the CDC feed compacted
+    // latest-seq-wins (D > U > I on ties, deletes dropped) becomes the
+    // snapshot folded into the dim by the same merge as dim_scd2_merge.
+    "cdc_scd2" ->
+      s"""WITH dim AS ($dimLocationSql),
+         |nat AS ($locNaturalSql),
+         |feed AS (
+         |  SELECT postal_code, city_name, country, region_name, 1 AS seq, 'I' AS op FROM nat
+         |  UNION ALL SELECT postal_code, city_name, 'RELOCATED', region_name, 2, 'U'
+         |  FROM nat WHERE postal_code % 7 = 0
+         |  UNION ALL SELECT postal_code, city_name, country, region_name, 2, 'D'
+         |  FROM nat WHERE postal_code % 13 = 0
+         |  UNION ALL SELECT postal_code, city_name, 'REZONED', region_name, 3, 'U'
+         |  FROM nat WHERE postal_code % 21 = 0
+         |  UNION ALL SELECT 999998, 'cdc_city', 'NN', 'MM', 2, 'I'),
+         |snap AS (
+         |  SELECT postal_code, city_name, country, region_name FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY postal_code
+         |      ORDER BY seq DESC,
+         |        CASE op WHEN 'D' THEN 2 WHEN 'U' THEN 1 ELSE 0 END DESC) AS rn
+         |    FROM feed)
+         |  WHERE rn = 1 AND op <> 'D'),
+         |j AS (
+         |  SELECT d.location_key, d.postal_code AS d_pc, d.city_name AS d_city,
+         |    d.country AS d_ctry, d.region_name AS d_reg, d.valid_from,
+         |    s.postal_code AS s_pc, s.city_name AS s_city, s.country AS s_ctry,
+         |    s.region_name AS s_reg,
+         |    (s.postal_code IS NOT NULL AND d.location_key IS NOT NULL AND
+         |     (d.city_name <> s.city_name OR d.country <> s.country
+         |      OR d.region_name <> s.region_name)) AS changed
+         |  FROM dim d FULL OUTER JOIN snap s ON d.postal_code = s.postal_code),
+         |merged AS (
+         |  SELECT location_key, d_pc AS postal_code, d_city AS city_name,
+         |    d_ctry AS country, d_reg AS region_name, valid_from,
+         |    CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+         |  FROM j WHERE location_key IS NOT NULL AND (s_pc IS NULL OR NOT changed)
+         |  UNION ALL
+         |  SELECT location_key, d_pc, d_city, d_ctry, d_reg, valid_from,
+         |    '2026-03-01', FALSE
+         |  FROM j WHERE changed
+         |  UNION ALL
+         |  SELECT (SELECT MAX(location_key) FROM dim)
+         |      + ROW_NUMBER() OVER (ORDER BY s_pc),
+         |    s_pc, s_city, s_ctry, s_reg, '2026-03-01',
          |    CAST(NULL AS VARCHAR), TRUE
          |  FROM j WHERE s_pc IS NOT NULL AND (location_key IS NULL OR changed))
          |SELECT CAST(location_key AS BIGINT) AS location_key, postal_code,
@@ -1433,6 +1542,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashPairsSql,
     "dedup_minhash_lsh" -> minhashPairsSql,
     "events_approx_stats" -> approxStatsSql,
+    "hll_monthly" -> hllMonthlySql,
     // Mirrors Similarity.normalize: index-ordered double MAC + one
     // correctly-rounded sqrt + one division per element — every step
     // bit-stable across engines, so the floats hash-match at round(4).

@@ -107,6 +107,51 @@ object WeatherMart {
       attrs = Seq("city_name", "country", "region_name"),
       keyName = "location_key", asOf = "2026-02-01")
 
+  /** Deterministic "day 2" CDC feed over the location naturals — the
+    * delta-stream twin of [[locationSnapshot]]'s full extract. Full
+    * current state as inserts (seq 1); every 7th postal relocates
+    * (U, seq 2); every 13th retires (D, seq 2 — its dim row must
+    * survive untouched after compaction drops the key); every 21st is
+    * relocated AGAIN at seq 3 (latest-wins must supersede the seq-2
+    * update, and at postal codes divisible by both 13 and 21 a late
+    * update legitimately resurrects a deleted key); one brand-new key
+    * arrives mid-feed.
+    */
+  def locationFeed(spark: SparkSession, dir: String): DataFrame = {
+    val nat = locationNatural(spark, dir)
+    val inserts = nat.withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+    val relocated = nat.filter(pmod(col("postal_code"), lit(7)) === 0)
+      .withColumn("country", lit("RELOCATED"))
+      .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+    val retired = nat.filter(pmod(col("postal_code"), lit(13)) === 0)
+      .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+    val rezoned = nat.filter(pmod(col("postal_code"), lit(21)) === 0)
+      .withColumn("country", lit("REZONED"))
+      .withColumn("seq", lit(3L)).withColumn("op", lit("U"))
+    val arrived = spark.range(1).select(
+      lit(999998L).as("postal_code"), lit("cdc_city").as("city_name"),
+      lit("NN").as("country"), lit("MM").as("region_name"),
+      lit(2L).as("seq"), lit("I").as("op"))
+    inserts.unionByName(relocated).unionByName(retired)
+      .unionByName(rezoned).unionByName(arrived)
+  }
+
+  /** The full incremental-warehouse path the reference's VALID_FROM/
+    * VALID_TO schema implies, composed end-to-end: the CDC delta feed
+    * is compacted to the day's snapshot ([[Cdc.applyChanges]] — one
+    * shuffle on the business key), which then folds into the versioned
+    * dimension ([[StarSchema.scd2Merge]]). Keys the compactor dropped
+    * (deletes) simply vanish from the snapshot, so their dim rows ride
+    * the untouched branch — CDC delete semantics and SCD2 "absent
+    * keys survive" semantics compose without special cases.
+    */
+  def dimLocationCdcMerged(spark: SparkSession, dir: String): DataFrame =
+    StarSchema.scd2Merge(dimLocation(spark, dir),
+      Cdc.applyChanges(locationFeed(spark, dir), Seq("postal_code")),
+      businessKey = Seq("postal_code"),
+      attrs = Seq("city_name", "country", "region_name"),
+      keyName = "location_key", asOf = "2026-03-01")
+
   def dimBand(spark: SparkSession, dir: String): DataFrame =
     staging(spark, dir)
       .select(weatherBand(col("band_q")).as("weather_band"))

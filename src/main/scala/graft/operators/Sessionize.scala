@@ -233,6 +233,46 @@ object Sessionize {
       hll_sketch_estimate(hll_union_agg(col("user_sketch")))
         .as("approx_distinct_users"))
 
+  /** Month-grain distinct users via GROUPED register re-aggregation —
+    * the batch twin of the streaming HLL register emission, under the
+    * oracle hash check: the DAILY registers a nightly job would
+    * persist (graft's deterministic 512-register HLL, [[graft.functions.Hll]])
+    * are max-merged per (month, event_type, bucket) and only then
+    * estimated. Max
+    * is associative and idempotent, so the re-aggregated month sketch
+    * is IDENTICAL to a one-pass month sketch — the oracle computes the
+    * one-pass form directly, and the hash match proves mergeability
+    * end-to-end, not approximately.
+    *
+    * Scale shape: the daily pass partially aggregates to ≤ days × 512
+    * rows; every later stage is register-table-sized. Any ad-hoc date
+    * grain (week, quarter, rolling 30d) re-aggregates the same daily
+    * registers without re-touching raw events.
+    */
+  def monthlyActiveUsers(events: DataFrame): DataFrame = {
+    import graft.functions.Hll
+    // per-(day, segment) registers — what the nightly job persists
+    val daily = events
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        Hll.bucket(col("user_id")).as("bucket"),
+        Hll.rho(col("user_id")).as("rho"))
+      .groupBy("day", "event_type", "bucket").agg(max("rho").as("mrho"))
+    val monthly = daily
+      .groupBy(date_trunc("month", col("day")).cast("date").as("month"),
+        col("event_type"), col("bucket"))
+      .agg(max("mrho").as("mrho"))
+    val hll = monthly.groupBy("month", "event_type").agg(
+      Hll.znAgg(col("mrho")).as("zn"), Hll.vEmptyAgg.as("v_empty"))
+    val days = daily.select("day", "event_type").distinct()
+      .groupBy(date_trunc("month", col("day")).cast("date").as("month"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    hll.join(days, Seq("month", "event_type"))
+      .select(col("month"), col("event_type"), col("n_days"),
+        round(Hll.estimate(col("zn"), col("v_empty")), 4).as("approx_users"))
+      .orderBy("month", "event_type")
+  }
+
   /** Sketch aggregates per event type: HyperLogLog distinct users
     * (graft's own deterministic registers) and value quantiles over a
     * deterministic hash sample. At 100 TB these replace exact
