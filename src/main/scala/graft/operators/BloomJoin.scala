@@ -79,4 +79,58 @@ object BloomJoin {
     big.filter(mightContain(col(bigKey), bits, k))
       .join(keys.select(col(keyCol).as(bigKey)), Seq(bigKey), "left_semi")
   }
+
+  // ------------------------------------------------------------------
+  // Scale variant: packed bits + broadcast variable. The literal form
+  // above stays the oracle path (its bits ride the plan — fine at
+  // 2^14); this form is for the regime a runtime filter actually earns
+  // its keep in at 100 TB — mBits up to 2^30, where a plan literal
+  // would be hundreds of MB serialized into every task.
+  // ------------------------------------------------------------------
+
+  /** Build the filter as 64-per-long packed words. The per-word OR
+    * runs DISTRIBUTED (bit_or hash aggregate over the exploded bit
+    * positions — partial-agg friendly, ≤ mBits/64 result rows); only
+    * the packed words reach the driver, so the collect is mBits/8
+    * bytes regardless of build-side key count.
+    */
+  def buildPackedBits(keys: DataFrame, keyCol: String, mBits: Int = 1 << 20,
+                      k: Int = 3): Array[Long] = {
+    require(mBits > 0 && (mBits & (mBits - 1)) == 0, "mBits must be a power of 2")
+    val words = new Array[Long]((mBits + 63) >> 6)
+    keys.select(explode(array((0 until k).map(i =>
+        bitPos(col(keyCol), i, mBits)): _*)).as("pos"))
+      .groupBy(call_function("shiftright", col("pos"), lit(6)).as("w"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        pmod(col("pos"), lit(64L)).cast("int"))).as("m"))
+      .collect()
+      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    words
+  }
+
+  /** Membership test against broadcast packed bits — a native codegen
+    * expression carrying only the broadcast HANDLE in the plan
+    * ([[graft.functions.BloomBitsContain]]); same affine family, so it
+    * agrees with [[mightContain]] on every key.
+    */
+  def mightContainPacked(key: Column,
+                         bits: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                         mBits: Long, k: Int = 3): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BloomBitsContain(
+        org.apache.spark.sql.graft.Bridge.expression(key), bits, mBits, k))
+
+  /** [[bloomSemiJoin]] with the filter shipped as a broadcast variable
+    * instead of a plan literal — row-identical output (the exact
+    * semi-join behind the pre-filter is unchanged; BloomJoinSpec
+    * asserts parity at mBits = 2^20).
+    */
+  def bloomSemiJoinPacked(big: DataFrame, bigKey: String,
+                          keys: DataFrame, keyCol: String,
+                          mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    val bc = big.sparkSession.sparkContext
+      .broadcast(buildPackedBits(keys, keyCol, mBits, k))
+    big.filter(mightContainPacked(col(bigKey), bc, mBits, k))
+      .join(keys.select(col(keyCol).as(bigKey)), Seq(bigKey), "left_semi")
+  }
 }

@@ -110,21 +110,32 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** The deterministic coarse-centroid seed for [[ivfTopK]]: every
+    * `stride`-th vector. A pure narrow filter over the corpus scan —
+    * no sampling RNG, so every recomputation agrees.
+    */
+  def strideCentroids(corpus: DataFrame, stride: Int = 50): DataFrame =
+    corpus.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+
   /** IVF-style ANN: the scale path.
     *
-    * Deterministic coarse centroids (every `centroidStride`-th vector —
-    * at real scale, k-means centroids slot in here), corpus assigned to
-    * its nearest cell once, probes search only their `nProbeCells`
-    * closest cells. Centroid table is broadcast in both phases; the
-    * corpus is scanned once and shuffled once on cell_id.
+    * Coarse centroids default to the deterministic stride seed
+    * ([[strideCentroids]]); pass `centroids` to slot in refined ones —
+    * [[kmeansRefine]] output has exactly the required (cell_id,
+    * centroid) shape, and SimilaritySpec asserts the refined cells
+    * don't degrade recall vs the seed. Corpus assigned to its nearest
+    * cell once, probes search only their `nProbeCells` closest cells.
+    * Centroid table is broadcast in both phases; the corpus is scanned
+    * once and shuffled once on cell_id.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5,
-              centroidStride: Int = 50, nProbeCells: Int = 2): DataFrame = {
-    val centroids = broadcast(
-      corpus.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
-        .select(col("vec_id").as("cell_id"), col("embedding").as("centroid")))
+              centroidStride: Int = 50, nProbeCells: Int = 2,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = broadcast(
+      centroids.getOrElse(strideCentroids(corpus, centroidStride)))
     def nearestCells(df: DataFrame, idCol: String, embCol: String, n: Int) =
-      df.crossJoin(centroids)
+      df.crossJoin(cents)
         .select(col(idCol), col(embCol),
           col("cell_id"), cosine(col(embCol), col("centroid")).as("cell_sim"))
         .withColumn("cell_rank", row_number().over(

@@ -35,4 +35,36 @@ class BloomJoinSpec extends SparkSpec {
     val b = BloomJoin.buildBits(keys.repartition(3), "id")
     assert(a.toSeq == b.toSeq)
   }
+
+  test("packed-broadcast semi-join is row-identical at mBits=2^20 with no filter literal in the plan") {
+    val orders = Tables(spark, sf(), "orders")
+    val high = Tables(spark, sf(), "customer")
+      .filter(col("c_acctbal") > 9000).select("c_custkey")
+    val plain = orders.join(high.select(col("c_custkey").as("o_custkey")),
+        Seq("o_custkey"), "left_semi")
+      .orderBy("o_orderkey").collect().toSeq
+    val packed = BloomJoin.bloomSemiJoinPacked(
+      orders, "o_custkey", high, "c_custkey", mBits = 1 << 20)
+    assert(packed.orderBy("o_orderkey").collect().toSeq == plain)
+    assert(plain.nonEmpty)
+    // the 2^20 bits must ride the broadcast, not the plan: a plan
+    // string that embedded them would be ≥ mBits/64 literals long
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.length < 20000, s"plan string is ${plan.length} chars")
+    assert(plan.contains("bloom_bits_contain"), plan)
+  }
+
+  test("packed and literal membership tests agree on every probed key") {
+    val keys = Seq(5L, 500L, 5000L).toDF("id")
+    val mBits = 1 << 16
+    val bits = BloomJoin.buildBits(keys, "id", mBits)
+    val bc = spark.sparkContext.broadcast(
+      BloomJoin.buildPackedBits(keys, "id", mBits))
+    val probes = (0L until 20000L).toDF("k")
+    val disagree = probes
+      .select(col("k"), BloomJoin.mightContain(col("k"), bits).as("lit"),
+        BloomJoin.mightContainPacked(col("k"), bc, mBits).as("bc"))
+      .filter(col("lit") =!= col("bc")).count()
+    assert(disagree == 0)
+  }
 }

@@ -69,6 +69,28 @@ class SimilaritySpec extends SparkSpec {
       .sorted == Seq(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("kmeans-refined centroids slot into ivfTopK without degrading recall") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val probes = emb.filter($"vec_id" < 10)
+    val truth = Similarity.bruteForceTopK(emb, probes, k = 5).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recall(centroids: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val got = Similarity.ivfTopK(emb, probes, k = 5, centroids = centroids)
+        .collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val seed = Similarity.strideCentroids(emb)
+    val rStride = recall(None)
+    val rRefined = recall(Some(Similarity.kmeansRefine(emb, seed, iters = 2)))
+    // Lloyd refinement tightens cells around the data, so probing the
+    // same nProbeCells must find at least as much of the true top-5
+    // (deterministic fixed corpus — no tolerance needed).
+    assert(rRefined >= rStride,
+      s"refined centroids degraded recall: $rRefined < $rStride")
+    assert(rStride > 0.2, s"IVF baseline recall implausibly low: $rStride")
+  }
+
   test("knnGraph emits symmetric ranked edges capped at k") {
     val out = Similarity.knnGraph(corpus, k = 2, minCosine = -1.0).collect()
     val byVec = out.groupBy(_.getAs[Long]("vec_id"))
