@@ -17,7 +17,14 @@ import org.apache.spark.sql.SparkSession
   * (r2's 2.9 KB line lost its head, nulling the round's bench signal).
   * The line is emitted at the largest precision/coverage tier that
   * fits the `budget` defined below; the full-precision per-sample
-  * detail goes to stderr for humans.
+  * detail goes to stderr for humans. At the current 98-query surface
+  * the steady state keeps EVERY distinct query timing in the line by
+  * (a) standing the five dashboards in under 3-char keys — q1i..q5i
+  * for the inline build path, q1m..q5m for the materialized-mart read
+  * path, alternated across rounds via SPARK_GRAFT_BENCH_DASH so both
+  * paths accumulate artifact history — and (b) shedding the two
+  * redundant constant fields last ("sf" is already recorded in the
+  * driver artifact's outer JSON; the unit is contractually seconds).
   *
   * Noise-rejection contract: iterations are round-robin (all queries
   * once, then all again) so a minute-scale host-noise burst cannot
@@ -190,13 +197,21 @@ object Bench {
         .bigDecimal.stripTrailingZeros.toPlainString
       if (s == "-0") "0" else s
     }
-    def line(entries: Seq[(String, Double)], f: Double => String): String = {
+    def line(entries: Seq[(String, Double)], f: Double => String,
+             shed: Int): String = {
       val qs = entries.map { case (n, t) => "\"" + n + "\":" + f(t) }
         .mkString("{", ",", "}")
       val failedPart =
         if (failed.isEmpty) ""
         else failed.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs$failedPart,"sf":"$sfShort"}"""
+      // shed ladder for REDUNDANT constant fields, dropped only when
+      // full query coverage would not otherwise fit: the driver's
+      // artifact already records sf in its outer JSON, and the unit is
+      // contractually always seconds (both always remain on stderr)
+      val totalStr = fmt(total, if (shed >= 2) 0 else 2)
+      val unitPart = if (shed >= 2) "" else "\"unit\":\"sec\","
+      val sfPart = if (shed >= 1) "" else s""","sf":"$sfShort""""
+      s"""{"metric":"total","value":$totalStr,$unitPart"queries":$qs$failedPart$sfPart}"""
     }
     // The driver's capture is the last 2000 chars of stdout, and the r2
     // artifact's tail ends exactly at the line's final char — trailing
@@ -213,22 +228,31 @@ object Bench {
       t => if (t < 10) fmt(t, 2) else fmt(t, 1), t => fmt(t, 1),
       t => if (t < 10) fmt(t, 1) else fmt(t, 0),
       t => if (t < 1) fmt(t, 1) else fmt(t, 0))
-    // Guaranteed-fit fallbacks, coverage-first. Tier 1: everything.
-    // Tier 2: the five *_mart stretch twins leave the line. Tier 3: the
-    // five short-named *_mart twins STAND IN for the long-named inline
-    // dashboards (same five queries semantically, ~40 chars cheaper, so
-    // dashboard timings stay in the line). Tier 4 (emergency): neither
-    // family. Every dropped timing stays in the stderr detail.
+    // Coverage-first fallback tiers. Tier 1: everything under real
+    // names. Tier 2: the PREFERRED dashboard family (SPARK_GRAFT_
+    // BENCH_DASH = "inline" | "mart" — both read paths accumulate
+    // artifact history across rounds) stands in for both families
+    // under self-describing 3-char keys: q1i..q5i = the inline
+    // dashboards, q1m..q5m = the materialized-mart twins. Tier 3
+    // (emergency): neither family. Every dropped timing stays in the
+    // stderr detail.
+    val dashPref = sys.env.getOrElse("SPARK_GRAFT_BENCH_DASH", "inline")
     val entryTiers: Seq[Seq[(String, Double)]] = {
       val isMart = (n: String) => "^q[1-5]m$".r.findFirstIn(n).isDefined
       val isDash = (n: String) =>
         "^q[1-5]_".r.findFirstIn(n).isDefined && !isMart(n)
-      Seq(timed,
-        timed.filterNot(e => isMart(e._1)),
-        timed.filterNot(e => isDash(e._1)),
-        timed.filterNot(e => isMart(e._1) || isDash(e._1)))
+      val base = timed.filterNot(e => isMart(e._1) || isDash(e._1))
+      val standIns = (
+        if (dashPref == "mart") timed.filter(e => isMart(e._1))
+        else timed.filter(e => isDash(e._1))
+          .map { case (n, t) => (s"q${n.charAt(1)}i", t) })
+        .sortBy(_._1)
+      Seq(timed, (base ++ standIns).sortBy(_._1), base)
     }
-    val candidates = for (es <- entryTiers; f <- levels) yield line(es, f)
+    System.err.println(s"[bench] dashboard stand-in family: $dashPref")
+    val candidates =
+      for (es <- entryTiers; shed <- 0 to 2; f <- levels)
+        yield line(es, f, shed)
     val out = candidates.find(_.length <= budget).getOrElse(candidates.last)
     if (out.length > budget)
       System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds tail budget $budget")
