@@ -233,20 +233,34 @@ object Bench {
     // BENCH_DASH = "inline" | "mart" — both read paths accumulate
     // artifact history across rounds) stands in for both families
     // under self-describing 3-char keys: q1i..q5i = the inline
-    // dashboards, q1m..q5m = the materialized-mart twins. Tier 3
-    // (emergency): neither family. Every dropped timing stays in the
-    // stderr detail.
+    // dashboards, q1m..q5m = the materialized-mart twins. A preferred
+    // family with no timings (mart materialize crashed, every inline
+    // query failed) yields to the SURVIVING family rather than
+    // silently dropping all five dashboard timings from the line.
+    // Tier 3 (emergency): neither family. Every dropped timing stays
+    // in the stderr detail.
     val dashPref = sys.env.getOrElse("SPARK_GRAFT_BENCH_DASH", "inline")
+      .trim.toLowerCase match {
+        case m @ "mart" => m
+        case other =>
+          if (other != "inline")
+            System.err.println(s"[bench] unknown SPARK_GRAFT_BENCH_DASH '$other'; using inline")
+          "inline"
+      }
     val entryTiers: Seq[Seq[(String, Double)]] = {
       val isMart = (n: String) => "^q[1-5]m$".r.findFirstIn(n).isDefined
       val isDash = (n: String) =>
         "^q[1-5]_".r.findFirstIn(n).isDefined && !isMart(n)
       val base = timed.filterNot(e => isMart(e._1) || isDash(e._1))
+      val martFam = timed.filter(e => isMart(e._1))
+      val inlineFam = timed.filter(e => isDash(e._1))
+        .map { case (n, t) => (s"q${n.charAt(1)}i", t) }
       val standIns = (
-        if (dashPref == "mart") timed.filter(e => isMart(e._1))
-        else timed.filter(e => isDash(e._1))
-          .map { case (n, t) => (s"q${n.charAt(1)}i", t) })
+        if (dashPref == "mart") { if (martFam.nonEmpty) martFam else inlineFam }
+        else { if (inlineFam.nonEmpty) inlineFam else martFam })
         .sortBy(_._1)
+      if (standIns.nonEmpty && standIns.head._1.endsWith(if (dashPref == "mart") "i" else "m"))
+        System.err.println(s"[bench] preferred family '$dashPref' has no timings; standing in the other")
       Seq(timed, (base ++ standIns).sortBy(_._1), base)
     }
     System.err.println(s"[bench] dashboard stand-in family: $dashPref")

@@ -46,11 +46,17 @@ object BloomJoin {
   /** Build the filter: the build side's distinct bit positions, packed
     * into a boolean array. The distinct runs distributed (bounded by
     * mBits rows); only the ≤mBits positions reach the driver.
+    *
+    * NULL build keys are dropped: a Bloom filter cannot represent
+    * NULL, and the exact semi-join behind the pre-filter never
+    * matches a NULL key either (equality join), so excluding them
+    * keeps the composed result exactly row-identical.
     */
   def buildBits(keys: DataFrame, keyCol: String, mBits: Int = 1 << 14,
                 k: Int = 3): Array[Boolean] = {
     val bits = new Array[Boolean](mBits)
-    keys.select(explode(array((0 until k).map(i =>
+    keys.filter(col(keyCol).isNotNull)
+      .select(explode(array((0 until k).map(i =>
         bitPos(col(keyCol), i, mBits)): _*)).as("pos"))
       .distinct()
       .collect()
@@ -92,13 +98,16 @@ object BloomJoin {
     * runs DISTRIBUTED (bit_or hash aggregate over the exploded bit
     * positions — partial-agg friendly, ≤ mBits/64 result rows); only
     * the packed words reach the driver, so the collect is mBits/8
-    * bytes regardless of build-side key count.
+    * bytes regardless of build-side key count. NULL build keys are
+    * dropped, exactly as in [[buildBits]] (the semi-join never
+    * matches them, so the composed result is unchanged).
     */
   def buildPackedBits(keys: DataFrame, keyCol: String, mBits: Int = 1 << 20,
                       k: Int = 3): Array[Long] = {
     require(mBits > 0 && (mBits & (mBits - 1)) == 0, "mBits must be a power of 2")
     val words = new Array[Long]((mBits + 63) >> 6)
-    keys.select(explode(array((0 until k).map(i =>
+    keys.filter(col(keyCol).isNotNull)
+      .select(explode(array((0 until k).map(i =>
         bitPos(col(keyCol), i, mBits)): _*)).as("pos"))
       .groupBy(call_function("shiftright", col("pos"), lit(6)).as("w"))
       .agg(bit_or(call_function("shiftleft", lit(1L),
@@ -120,17 +129,40 @@ object BloomJoin {
       graft.functions.BloomBitsContain(
         org.apache.spark.sql.graft.Bridge.expression(key), bits, mBits, k))
 
-  /** [[bloomSemiJoin]] with the filter shipped as a broadcast variable
-    * instead of a plan literal — row-identical output (the exact
+  /** Build AND broadcast the packed filter, returning the handle so
+    * the caller owns its lifetime — `bc.unpersist()`/`destroy()` once
+    * every action over the filtered plan has run. At the advertised
+    * 2^30 bits the payload is 128 MB per executor; an unreachable
+    * handle would pin it until driver GC.
+    */
+  def broadcastPackedBits(keys: DataFrame, keyCol: String,
+                          mBits: Int = 1 << 20, k: Int = 3)
+      : org.apache.spark.broadcast.Broadcast[Array[Long]] =
+    keys.sparkSession.sparkContext
+      .broadcast(buildPackedBits(keys, keyCol, mBits, k))
+
+  /** [[bloomSemiJoin]] against a caller-owned broadcast filter (from
+    * [[broadcastPackedBits]]) — row-identical output (the exact
     * semi-join behind the pre-filter is unchanged; BloomJoinSpec
-    * asserts parity at mBits = 2^20).
+    * asserts parity at mBits = 2^20). The caller unpersists `bc` after
+    * its last action over the result.
     */
   def bloomSemiJoinPacked(big: DataFrame, bigKey: String,
                           keys: DataFrame, keyCol: String,
-                          mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
-    val bc = big.sparkSession.sparkContext
-      .broadcast(buildPackedBits(keys, keyCol, mBits, k))
+                          bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+                          mBits: Int, k: Int): DataFrame =
     big.filter(mightContainPacked(col(bigKey), bc, mBits, k))
       .join(keys.select(col(keyCol).as(bigKey)), Seq(bigKey), "left_semi")
-  }
+
+  /** Convenience form that builds and broadcasts the filter itself.
+    * The broadcast handle is NOT returned: fine for one-shot queries
+    * (freed on driver GC), but iterative callers should use
+    * [[broadcastPackedBits]] + the handle overload for deterministic
+    * cleanup.
+    */
+  def bloomSemiJoinPacked(big: DataFrame, bigKey: String,
+                          keys: DataFrame, keyCol: String,
+                          mBits: Int = 1 << 20, k: Int = 3): DataFrame =
+    bloomSemiJoinPacked(big, bigKey, keys, keyCol,
+      broadcastPackedBits(keys, keyCol, mBits, k), mBits, k)
 }

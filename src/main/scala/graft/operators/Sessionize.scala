@@ -120,14 +120,21 @@ object Sessionize {
     * fits an executor). Clipping-rate deviation vs exact is bounded in
     * SessionizeSpec; exact percentiles match DuckDB's quantile_cont
     * interpolation, so the exact form hash-checks.
+    *
+    * A type too small for the 1/`sampleMod` sample to land a single
+    * row would make the sampled percentile NULL (and the clipped sum
+    * silently NULL with it) — the bounds coalesce to that type's
+    * min/max, i.e. a tiny type is passed through unclipped rather
+    * than corrupted. min/max are constant-state aggregates, so the
+    * fallback costs nothing at scale.
     */
   def winsorize(events: DataFrame, lo: Double = 0.01, hi: Double = 0.99,
                 exact: Boolean = false,
                 sampleMod: Int = SampleMod): DataFrame = {
     val basis = if (exact) col("value") else sampledValue(sampleMod)
     val bounds = events.groupBy("event_type")
-      .agg(percentile(basis, lit(lo)).as("p_lo"),
-        percentile(basis, lit(hi)).as("p_hi"))
+      .agg(coalesce(percentile(basis, lit(lo)), min(col("value"))).as("p_lo"),
+        coalesce(percentile(basis, lit(hi)), max(col("value"))).as("p_hi"))
     events.join(broadcast(bounds), "event_type")
       .select(col("event_type"), col("value"), col("p_lo"), col("p_hi"),
         least(greatest(col("value"), col("p_lo")), col("p_hi")).as("w"))
@@ -147,12 +154,17 @@ object Sessionize {
     * `n_events` always counts the full stream: the sample feeds only
     * the quantile. Sample-vs-exact deviation is bounded in
     * SessionizeSpec.
+    *
+    * A type too small for the sample to land a row falls back to its
+    * midrange (min+max)/2 — a bounded-state estimate — instead of a
+    * silent NULL.
     */
   def medianByType(events: DataFrame, exact: Boolean = false,
                    sampleMod: Int = SampleMod): DataFrame = {
     val basis = if (exact) col("value") else sampledValue(sampleMod)
     events.groupBy("event_type")
-      .agg(round(percentile(basis, lit(0.5)), 4).as("median_value"),
+      .agg(round(coalesce(percentile(basis, lit(0.5)),
+        (min(col("value")) + max(col("value"))) / 2), 4).as("median_value"),
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
   }

@@ -54,6 +54,30 @@ class BloomJoinSpec extends SparkSpec {
     assert(plan.contains("bloom_bits_contain"), plan)
   }
 
+  test("NULL build keys neither crash the build nor change the semi-join result") {
+    val big = (1L to 100L).map(k => (k, s"row$k")).toDF("k", "payload")
+    val keys = Seq(Some(5L), None, Some(50L), None).toDF("id")
+    val plain = big.join(keys.na.drop.select(col("id").as("k")), Seq("k"), "left_semi")
+      .orderBy("k").collect().toSeq
+    assert(BloomJoin.bloomSemiJoin(big, "k", keys, "id")
+      .orderBy("k").collect().toSeq == plain)
+    assert(BloomJoin.bloomSemiJoinPacked(big, "k", keys, "id")
+      .orderBy("k").collect().toSeq == plain)
+    assert(plain.map(_.getLong(0)) == Seq(5L, 50L))
+  }
+
+  test("caller-owned broadcast filter survives reuse and explicit unpersist") {
+    val big = (1L to 1000L).map(k => (k, k % 7)).toDF("k", "grp")
+    val keys = Seq(3L, 30L, 300L).toDF("id")
+    val mBits = 1 << 16
+    val bc = BloomJoin.broadcastPackedBits(keys, "id", mBits)
+    val out = BloomJoin.bloomSemiJoinPacked(big, "k", keys, "id", bc, mBits, 3)
+    // two actions over the same handle — the reuse the handle overload exists for
+    assert(out.count() == 3)
+    assert(out.orderBy("k").collect().map(_.getLong(0)).toSeq == Seq(3L, 30L, 300L))
+    bc.unpersist(blocking = true)
+  }
+
   test("packed and literal membership tests agree on every probed key") {
     val keys = Seq(5L, 500L, 5000L).toDF("id")
     val mBits = 1 << 16

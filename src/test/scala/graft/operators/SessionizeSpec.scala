@@ -151,8 +151,11 @@ class SessionizeSpec extends SparkSpec {
       // truth, so each sampled cut clips at most that much more of the
       // stream than the exact 1% (self-scaling: tight at real k,
       // honest at sf0.001's k ≈ 25 per type).
-      val k = sampleSizes(t).toDouble
-      val clipBound = 0.01 + 3 * math.sqrt(0.01 * 0.99 / k) + 2 / k
+      val k = sampleSizes.getOrElse(t, 0L).toDouble
+      // A type the sample missed entirely falls back to min/max
+      // bounds — it must clip nothing, not emit NULLs.
+      val clipBound =
+        if (k == 0) 0.0 else 0.01 + 3 * math.sqrt(0.01 * 0.99 / k) + 2 / k
       Seq("n_clipped_lo", "n_clipped_hi").foreach { c =>
         assert(a.getAs[Long](c) <= clipBound * n,
           s"$c over-clips for $t: ${a.getAs[Long](c)} of $n (bound $clipBound)")
@@ -164,6 +167,30 @@ class SessionizeSpec extends SparkSpec {
       assert(math.abs(at - et) / math.abs(et) <= 0.05,
         s"winsorized_total off >5% for $t: $at vs $et")
     }
+  }
+
+  test("types the hash sample misses fall back to unclipped / midrange, never NULL") {
+    // 3 rows per type: P(no sample hit) = (1 - 1/SampleMod)^3 — find an
+    // id triple the mix31 sample provably misses so the fallback path
+    // is exercised deterministically.
+    val miss = (1L to 10000L).toDF("event_id")
+      .filter(graft.functions.Hll.mix31(col("event_id"), 15, 14, 15)
+        % Sessionize.SampleMod =!= 0L)
+      .orderBy("event_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(miss.size == 3)
+    val ev = miss.zip(Seq(10.0, 20.0, 90.0)).map { case (id, v) =>
+      (id, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "tiny", v)
+    }.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val w = Sessionize.winsorize(ev).collect()
+    assert(w.length == 1)
+    assert(w(0).getAs[Long]("n_clipped_lo") == 0L &&
+      w(0).getAs[Long]("n_clipped_hi") == 0L)
+    assert(w(0).getAs[Double]("winsorized_total") == 120.0) // unclipped sum
+    val m = Sessionize.medianByType(ev).collect()
+    assert(m.length == 1)
+    assert(m(0).getAs[Double]("median_value") == 50.0) // midrange (10+90)/2
+    assert(m(0).getAs[Long]("n_events") == 3L)
   }
 
   test("sampled medianByType (the 100 TB default) is rank-stable vs exact") {
