@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.core.Tables
+import graft.etl.{Cdc, StarSchema}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input battery: at 100 TB every operator eventually meets
+  * an empty day, an empty partition, an empty CDC feed or an empty
+  * candidate set. Each case here pins "empty in → empty (or identity)
+  * out, no crash" — the failure modes this guards against are driver
+  * collects that assume ≥1 row, percentile/agg NULLs leaking into
+  * arithmetic, and iterative loops that never terminate on zero work.
+  */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs0 = Tables(spark, sf(), "documents").limit(0)
+  private def events0 = Tables(spark, sf(), "events").limit(0)
+  private def emb0 = Tables(spark, sf(), "embeddings").limit(0)
+
+  test("dedup family: empty corpus in, empty out") {
+    assert(Dedup.exact(docs0).count() == 0)
+    assert(Dedup.minhashLsh(docs0).count() == 0)
+    assert(Dedup.simhash(docs0).count() == 0)
+    assert(Dedup.ngramJaccard(docs0).count() == 0)
+    assert(Corpus.paragraphDedup(docs0).count() == 0)
+  }
+
+  test("incremental dedup: empty batch keeps nothing; empty corpus keeps the whole batch") {
+    val corpus = Tables(spark, sf(), "documents").limit(20)
+    assert(Dedup.incremental(docs0, corpus).count() == 0)
+    assert(Dedup.incremental(corpus, docs0).count()
+      == corpus.select("text").distinct().count())
+  }
+
+  test("connectedComponents on zero edges returns zero labels (union-find fast path)") {
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Corpus.connectedComponents(pairs, "doc_a", "doc_b").count() == 0)
+  }
+
+  test("corpus pipelines: empty in, empty out") {
+    assert(Corpus.trainTestSplit(docs0).count() == 0)
+    assert(Corpus.qualityFilter(docs0).count() == 0)
+    assert(Corpus.decontaminate(docs0).count() == 0)
+    assert(Corpus.chunk(docs0).count() == 0)
+    assert(Corpus.noveltyScore(docs0).count() == 0)
+    assert(Redact.scrub(docs0).count() == 0)
+  }
+
+  test("sampling: empty in, empty out (incl. the two-phase global prefix sum)") {
+    assert(Sampling.sourceQuota(docs0).count() == 0)
+    assert(Sampling.mixture(docs0, Map("web" -> 0.5)).count() == 0)
+    assert(Sampling.shardPack(docs0).count() == 0)
+  }
+
+  test("event analytics: empty stream in, empty out (no NULL aggregate rows)") {
+    assert(Sessionize.sessions(events0).count() == 0)
+    assert(Sessionize.winsorize(events0).count() == 0)
+    assert(Sessionize.winsorize(events0, exact = true).count() == 0)
+    assert(Sessionize.medianByType(events0).count() == 0)
+    assert(Sessionize.retention(events0).count() == 0)
+    assert(Sessionize.topKPerType(events0).count() == 0)
+    assert(Sessionize.valueDeciles(events0).count() == 0)
+  }
+
+  test("CDC: an empty feed applies to an empty delta") {
+    val feed = Cdc.ordersFeed(spark, sf()).limit(0)
+    assert(Cdc.applyChanges(feed, Seq("o_orderkey")).count() == 0)
+  }
+
+  test("SCD2 merge with an empty snapshot is the identity on the dimension") {
+    val dim = Seq(
+      (1L, "k1", "a", "2024-01-01", "9999-12-31", true),
+      (2L, "k2", "b", "2024-01-01", "9999-12-31", true)
+    ).toDF("loc_key", "city", "cls", "valid_from", "valid_to", "is_current")
+      .withColumn("valid_from", to_date(col("valid_from")))
+      .withColumn("valid_to", to_date(col("valid_to")))
+    val snap0 = dim.select("city", "cls").limit(0)
+    val out = StarSchema.scd2Merge(dim, snap0, Seq("city"), Seq("cls"),
+      "loc_key", "2024-06-01")
+    assert(out.count() == 2)
+    assert(out.filter(col("is_current")).count() == 2) // nothing closed
+  }
+
+  test("bloom join: an empty build side matches nothing and never NPEs") {
+    val big = (1L to 100L).map(k => (k, k)).toDF("k", "v")
+    val keys0 = Seq.empty[Long].toDF("id")
+    assert(BloomJoin.buildBits(keys0, "id").forall(!_))
+    assert(BloomJoin.bloomSemiJoin(big, "k", keys0, "id").count() == 0)
+    assert(BloomJoin.bloomSemiJoinPacked(big, "k", keys0, "id").count() == 0)
+  }
+
+  test("similarity: empty corpus or empty probes yield empty top-k") {
+    val emb = Tables(spark, sf(), "embeddings").limit(30)
+    assert(Similarity.bruteForceTopK(emb0, emb.limit(2)).count() == 0)
+    assert(Similarity.bruteForceTopK(emb, emb0).count() == 0)
+    assert(Similarity.ivfTopK(emb, emb0).count() == 0)
+    assert(Similarity.ivfTopK(emb0, emb.limit(2)).count() == 0)
+  }
+
+  test("BPE training on an empty corpus yields no merges") {
+    assert(Bpe.train(docs0, k = 5) == Seq.empty)
+  }
+
+  test("URL dedup: empty in, empty out") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "url")
+    assert(Redact.dedupByUrl(docs, "url").count() == 0)
+  }
+}
