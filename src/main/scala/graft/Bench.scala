@@ -239,13 +239,28 @@ object Bench {
     // silently dropping all five dashboard timings from the line.
     // Tier 3 (emergency): neither family. Every dropped timing stays
     // in the stderr detail.
-    val dashPref = sys.env.getOrElse("SPARK_GRAFT_BENCH_DASH", "inline")
-      .trim.toLowerCase match {
-        case m @ "mart" => m
-        case other =>
-          if (other != "inline")
-            System.err.println(s"[bench] unknown SPARK_GRAFT_BENCH_DASH '$other'; using inline")
+    // Family selection: an explicit SPARK_GRAFT_BENCH_DASH wins;
+    // otherwise auto-alternate by round parity inferred from the
+    // BENCH_r{N}.json artifacts already in the working directory
+    // (max N + 1 = this round; even → inline, odd → mart — r4 was
+    // inline). Self-contained: nothing outside this process needs to
+    // remember to flip an env var for both read paths to accumulate
+    // artifact history.
+    val dashPref = sys.env.get("SPARK_GRAFT_BENCH_DASH")
+      .map(_.trim.toLowerCase) match {
+        case Some("mart") => "mart"
+        case Some("inline") => "inline"
+        case Some(other) =>
+          System.err.println(s"[bench] unknown SPARK_GRAFT_BENCH_DASH '$other'; using inline")
           "inline"
+        case None =>
+          val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
+            .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
+              .findFirstMatchIn(f.getName).map(_.group(1).toInt))
+          val thisRound = if (rounds.isEmpty) 0 else rounds.max + 1
+          val fam = if (thisRound % 2 == 1) "mart" else "inline"
+          System.err.println(s"[bench] auto family for inferred round $thisRound: $fam")
+          fam
       }
     val entryTiers: Seq[Seq[(String, Double)]] = {
       val isMart = (n: String) => "^q[1-5]m$".r.findFirstIn(n).isDefined
