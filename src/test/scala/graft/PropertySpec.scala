@@ -260,4 +260,61 @@ class PropertySpec extends SparkSpec {
         s"trial $trial: minhash est $est vs true jaccard $truth")
     }
   }
+
+  test("PII scrub is idempotent and leaves no matchable pattern on arbitrary text") {
+    import graft.operators.Redact
+    val rnd = new Random(909)
+    val piiBits = Seq("a.b+x@mail-host.co.uk", "10.20.30.40", "+14155550137",
+      "415-555-0199", "+44 20 7183 8750", "bob@ex.io")
+    val fillers = Seq("hello", "v1.2.3", "2024-01-01", "12345", "x" * 10,
+      "(note)", "a+b=c", "@", "+", "...", "the end.")
+    val docs = (1 to 60).map { i =>
+      val parts = List.fill(3 + rnd.nextInt(10))(
+        if (rnd.nextBoolean()) piiBits(rnd.nextInt(piiBits.size))
+        else fillers(rnd.nextInt(fillers.size)))
+      (i.toLong, parts.mkString(" "))
+    }.toDF("doc_id", "text")
+    val once = Redact.scrub(docs).cache()
+    val twice = Redact.scrub(once)
+    // fixed point after one pass: same text, zero residual matches
+    assert(twice.select("doc_id", "text").collect().toSeq
+      == once.select("doc_id", "text").collect().toSeq)
+    assert(twice.filter(col("n_emails") + col("n_ips") + col("n_phones") > 0)
+      .count() == 0)
+    // and the scrub actually fired: every PII bit occurrence became a sentinel
+    val residual = once.filter(
+      col("text").contains("@") && !col("text").contains(Redact.EmailTok))
+    assert(residual.count() <= 60) // bare "@" filler survives; addresses must not
+    assert(once.filter(col("text").rlike(Redact.EmailRe)).count() == 0)
+    assert(once.filter(col("text").rlike(Redact.Ipv4Re)).count() == 0)
+    assert(once.filter(col("text").rlike(Redact.PhoneRe)).count() == 0)
+    once.unpersist()
+  }
+
+  test("URL canonical form is a fixed point of normalizeUrl on arbitrary URLs") {
+    import graft.operators.Redact
+    val rnd = new Random(1010)
+    val schemes = Seq("http", "HTTP", "https", "HTTPS")
+    val hosts = Seq("Example.com", "sub.EX.org", "x.io")
+    val ports = Seq("", ":80", ":443", ":8080")
+    val paths = Seq("", "/", "/A/b", "/a%20b", "/index.html")
+    val queries = Seq("", "?a=1", "?utm_source=x", "?b=2&utm_medium=m&a=1",
+      "?ref=r&z=9", "?k")
+    val frags = Seq("", "#top", "#a/b")
+    val urls = (1 to 120).map { i =>
+      (i.toLong, schemes(rnd.nextInt(schemes.size)) + "://" +
+        hosts(rnd.nextInt(hosts.size)) + ports(rnd.nextInt(ports.size)) +
+        paths(rnd.nextInt(paths.size)) + queries(rnd.nextInt(queries.size)) +
+        frags(rnd.nextInt(frags.size)))
+    }.toDF("id", "u")
+    val got = urls.select(col("id"), Redact.normalizeUrl(col("u")).as("c1"))
+      .withColumn("c2", Redact.normalizeUrl(col("c1")))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (c1, c2) = (r.getString(1), r.getString(2))
+      assert(c1 != null, s"canonicalization nulled a well-formed URL: ${r}")
+      assert(c1 == c2, s"not a fixed point: $c1 -> $c2")
+    }
+  }
 }
