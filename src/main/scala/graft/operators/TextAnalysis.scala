@@ -218,6 +218,61 @@ object TextAnalysis {
       .filter(col("n_instances") >= minCount)
       .orderBy("gram")
 
+  /** CCNet-style LM quality score: mean negative log-probability of a
+    * doc's word n-gram instances under the count LM from
+    * [[ngramCounts]], add-one smoothed — `-mean(ln((c+1)/(T+V)))`
+    * with T = total LM instances, V = LM vocabulary size; unseen
+    * grams pay the `ln(1/(T+V))` floor. Lower = more fluent under the
+    * reference corpus; the standard wiki-LM filter signal.
+    *
+    * Scale shape: doc grams explode at the scan and hash-join the
+    * minCount-pruned LM on `gram` (Spark broadcasts it when small);
+    * T and V ride a 1-row broadcast cross join; one per-doc aggregate.
+    * No windows, no driver collect. Docs shorter than n words have no
+    * grams and score NULL (n_grams = 0) — filterable, never a silent 0.
+    */
+  def lmScore(docs: DataFrame, lm: DataFrame, n: Int = 3): DataFrame = {
+    val totals = lm.agg(sum("n_instances").as("__t"),
+      count(lit(1)).as("__v"))
+    docs
+      .select(col("doc_id"),
+        explode_outer(GraftFunctions.wordShingles(col("text"), n,
+          keepDuplicates = true)).as("gram"))
+      .join(lm.select(col("gram"), col("n_instances")), Seq("gram"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(col("gram")).as("n_grams"),
+        (-avg(when(col("gram").isNotNull,
+          log((coalesce(col("n_instances"), lit(0L)) + 1).cast("double") /
+            (col("__t") + col("__v")).cast("double"))))).as("lm_score"))
+  }
+
+  /** Head/middle/tail perplexity buckets over [[lmScore]] — the CCNet
+    * partition that keeps `head` for training, samples `middle`, drops
+    * `tail`. Tercile cuts come from a deterministic 1/`sampleMod`
+    * avalanche-hash sample of doc scores (fixed-fraction aggregate
+    * state — the [[Sessionize.winsorize]] shape, NOT an exact
+    * percentile over every doc), broadcast back as a 1-row bound pair;
+    * a sample too small to land a row degrades to min/max cuts (the
+    * tail bucket empties), never NULL buckets. Docs with no grams
+    * bucket as `unscored`.
+    */
+  def perplexityBuckets(docs: DataFrame, lm: DataFrame, n: Int = 3,
+                        sampleMod: Int = Sessionize.SampleMod): DataFrame = {
+    val scored = lmScore(docs, lm, n)
+    val sampled = when(graft.functions.Hll.mix31(col("doc_id"), 15, 14, 15)
+      % sampleMod === 0, col("lm_score"))
+    val cuts = scored.filter(col("lm_score").isNotNull)
+      .agg(coalesce(percentile(sampled, lit(1.0 / 3)), min("lm_score")).as("__c1"),
+        coalesce(percentile(sampled, lit(2.0 / 3)), max("lm_score")).as("__c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("n_grams"), col("lm_score"),
+        when(col("lm_score").isNull, "unscored")
+          .when(col("lm_score") <= col("__c1"), "head")
+          .when(col("lm_score") <= col("__c2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Vocabulary coverage curve: what fraction of all corpus token
     * instances the top-k most frequent words cover, for each requested
     * k — the tokenizer-budget planning metric.
