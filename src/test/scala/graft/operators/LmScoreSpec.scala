@@ -50,6 +50,9 @@ class LmScoreSpec extends SparkSpec {
     val docs = Tables(spark, sf(), "documents").limit(200)
     val lm = TextAnalysis.ngramCounts(docs, n = 3, minCount = 2)
     val out = TextAnalysis.perplexityBuckets(docs, lm).cache()
+    // scale shape: no window anywhere (cuts are aggregates, not ntile)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
     assert(out.count() == 200)
     assert(out.filter(col("bucket").isNull).count() == 0)
     val byBucket = out.filter(col("lm_score").isNotNull)
