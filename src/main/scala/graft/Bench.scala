@@ -245,7 +245,12 @@ object Bench {
     // (max N + 1 = this round; even → inline, odd → mart — r4 was
     // inline). Self-contained: nothing outside this process needs to
     // remember to flip an env var for both read paths to accumulate
-    // artifact history.
+    // artifact history. Known edges, both benign because the 3-char
+    // keys are self-describing and the full detail is on stderr: a
+    // RE-RUN after this round's artifact already landed counts as the
+    // next round (family flips one round early), and a cwd without
+    // artifacts infers round 0 → inline. Set the env to pin a family
+    // when that matters.
     val dashPref = sys.env.get("SPARK_GRAFT_BENCH_DASH")
       .map(_.trim.toLowerCase) match {
         case Some("mart") => "mart"

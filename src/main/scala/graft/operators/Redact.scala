@@ -26,28 +26,44 @@ object Redact {
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
-  /** Dotted-quad IPv4, word-bounded so version strings like "1.2.3.4.5"
-    * are left alone. Runs before phones for the same digit-run reason.
+  /** Dotted-quad IPv4. The trailing guard rejects a CONTINUING dotted
+    * run (`.digit` — version strings like "1.2.3.4.5") but not a bare
+    * sentence-final period, so "server is 8.8.8.8." still redacts.
+    * Runs before phones for the same digit-run reason as emails.
     */
-  val Ipv4Re = "(?<![\\d.])(?:\\d{1,3}\\.){3}\\d{1,3}(?![\\d.])"
+  val Ipv4Re = "(?<![\\d.])(?:\\d{1,3}\\.){3}\\d{1,3}(?!\\.?\\d)"
 
   /** Phone numbers, as ordered format alternations: compact/punctuated
     * international +NNNNNNN… (7-15 digits, no spaces — an unconstrained
     * space separator would let one greedy match swallow across the gap
     * between TWO adjacent numbers), +CC (AAA) NNN-NNNN, space-grouped
     * international +CC NN NNNN NNNN, and separator-grouped
-    * NNN-NNN-NNNN. ISO dates (2024-01-01: 4-2-2 grouping) deliberately
-    * do NOT match.
+    * NNN-NNN-NNNN. Every alternation carries a trailing boundary so a
+    * longer digit run is left WHOLE rather than part-redacted (a
+    * 20-digit run is not a phone; "<phone>67890" residue would be
+    * worse than no match), and the space-grouped form additionally
+    * refuses to end adjacent to a `-` so "+CC NN NNNN NNNN 2024-01-01"
+    * never swallows the date's year as a 4th group. ISO dates
+    * themselves (4-2-2 grouping) deliberately do NOT match.
     */
   val PhoneRe =
-    "\\+\\d(?:[\\-().]{0,2}\\d){6,14}" +
-      "|\\+\\d{1,3} ?\\(\\d{2,4}\\) ?\\d{3}[ \\-.]?\\d{4}" +
-      "|\\+\\d{1,3}(?: \\d{2,4}){2,4}" +
+    "\\+\\d(?:[\\-().]{0,2}\\d){6,14}(?!\\d)" +
+      "|\\+\\d{1,3} ?\\(\\d{2,4}\\) ?\\d{3}[ \\-.]?\\d{4}(?!\\d)" +
+      "|\\+\\d{1,3}(?: \\d{2,4}){2,4}(?![\\d\\-])" +
       "|(?<!\\d)\\d{3}[ \\-.]\\d{3}[ \\-.]\\d{4}(?!\\d)"
 
   val EmailTok = "<email>"
   val IpTok = "<ip>"
   val PhoneTok = "<phone>"
+
+  // The redaction chain, single-sourced as three steps so scrubExpr
+  // and scrub's audit counts can never drift apart.
+  private def dropEmails(text: Column): Column =
+    regexp_replace(text, EmailRe, EmailTok)
+  private def dropIps(text: Column): Column =
+    regexp_replace(text, Ipv4Re, IpTok)
+  private def dropPhones(text: Column): Column =
+    regexp_replace(text, PhoneRe, PhoneTok)
 
   /** The scrubbed text as one per-row expression: emails, then IPs,
     * then phones (most- to least-distinctive, so no pattern sees
@@ -55,11 +71,7 @@ object Redact {
     * or '@', so re-scrubbing is the identity (spec-pinned).
     */
   def scrubExpr(text: Column): Column =
-    regexp_replace(
-      regexp_replace(
-        regexp_replace(text, EmailRe, EmailTok),
-        Ipv4Re, IpTok),
-      PhoneRe, PhoneTok)
+    dropPhones(dropIps(dropEmails(text)))
 
   /** Per-document scrub + audit counts (counted BEFORE redaction, on
     * the same precedence: an email's digits are never double-counted
@@ -67,19 +79,25 @@ object Redact {
     */
   def scrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val noEmail = regexp_replace(t, EmailRe, EmailTok)
-    val noIp = regexp_replace(noEmail, Ipv4Re, IpTok)
+    val noEmail = dropEmails(t)
+    val noIp = dropIps(noEmail)
     docs.withColumns(Map(
       "n_emails" -> regexp_count(t, lit(EmailRe)).cast("long"),
       "n_ips" -> regexp_count(noEmail, lit(Ipv4Re)).cast("long"),
       "n_phones" -> regexp_count(noIp, lit(PhoneRe)).cast("long"),
-      textCol -> regexp_replace(noIp, PhoneRe, PhoneTok)))
+      textCol -> dropPhones(noIp)))
   }
 
-  /** Tracking query parameters stripped by [[normalizeUrl]]. */
+  /** Tracking query parameters stripped by [[normalizeUrl]]. Only the
+    * UNAMBIGUOUS tracker names: a generic name like `ref` is often a
+    * content-bearing selector (branch, version, referenced resource),
+    * and stripping it would merge genuinely distinct URLs — for a
+    * DEDUP key, a false merge silently drops documents, so precision
+    * beats recall here.
+    */
   val TrackerParams: Seq[String] =
     Seq("utm_source", "utm_medium", "utm_campaign", "utm_term",
-      "utm_content", "fbclid", "gclid", "msclkid", "ref")
+      "utm_content", "fbclid", "gclid", "msclkid")
 
   /** Canonical URL for URL-level dedup: scheme+host lowercased, default
     * ports and fragments dropped, tracking parameters removed (other

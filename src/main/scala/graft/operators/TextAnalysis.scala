@@ -247,19 +247,21 @@ object TextAnalysis {
             (col("__t") + col("__v")).cast("double"))))).as("lm_score"))
   }
 
-  /** Head/middle/tail perplexity buckets over [[lmScore]] — the CCNet
-    * partition that keeps `head` for training, samples `middle`, drops
-    * `tail`. Tercile cuts come from a deterministic 1/`sampleMod`
-    * avalanche-hash sample of doc scores (fixed-fraction aggregate
-    * state — the [[Sessionize.winsorize]] shape, NOT an exact
-    * percentile over every doc), broadcast back as a 1-row bound pair;
-    * a sample too small to land a row degrades to min/max cuts (the
-    * tail bucket empties), never NULL buckets. Docs with no grams
-    * bucket as `unscored`.
+  /** Head/middle/tail buckets over an already-scored frame (the
+    * [[lmScore]] output schema). The scores feed BOTH the cuts
+    * aggregate and the final bucketing, so at scale the caller
+    * persists the scored frame once — `lmScore(...).persist()` —
+    * before calling this; re-deriving it would re-run the gram
+    * explode + LM join twice. Tercile cuts come from a deterministic
+    * 1/`sampleMod` avalanche-hash sample of doc scores
+    * (fixed-fraction aggregate state — the [[Sessionize.winsorize]]
+    * shape, NOT an exact percentile over every doc), broadcast back
+    * as a 1-row bound pair; a sample too small to land a row degrades
+    * to min/max cuts (the tail bucket empties), never NULL buckets.
+    * Docs with no grams bucket as `unscored`.
     */
-  def perplexityBuckets(docs: DataFrame, lm: DataFrame, n: Int = 3,
+  def bucketsFromScores(scored: DataFrame,
                         sampleMod: Int = Sessionize.SampleMod): DataFrame = {
-    val scored = lmScore(docs, lm, n)
     val sampled = when(graft.functions.Hll.mix31(col("doc_id"), 15, 14, 15)
       % sampleMod === 0, col("lm_score"))
     val cuts = scored.filter(col("lm_score").isNotNull)
@@ -272,6 +274,16 @@ object TextAnalysis {
           .when(col("lm_score") <= col("__c2"), "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  /** [[lmScore]] + [[bucketsFromScores]] in one call — the CCNet
+    * partition that keeps `head` for training, samples `middle`,
+    * drops `tail`. Convenience form: the unpersisted scored lineage
+    * executes once per consumer (cuts + bucketing); scale callers
+    * persist the scores and use [[bucketsFromScores]] directly.
+    */
+  def perplexityBuckets(docs: DataFrame, lm: DataFrame, n: Int = 3,
+                        sampleMod: Int = Sessionize.SampleMod): DataFrame =
+    bucketsFromScores(lmScore(docs, lm, n), sampleMod)
 
   /** Vocabulary coverage curve: what fraction of all corpus token
     * instances the top-k most frequent words cover, for each requested

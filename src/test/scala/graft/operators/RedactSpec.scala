@@ -49,12 +49,30 @@ class RedactSpec extends SparkSpec {
   }
 
   test("scrub composes with quality scoring in one scan (no join, no shuffle before agg)") {
-    val docs = graft.core.Tables(spark, sf(), "documents").limit(100)
+    // no .limit(): a mid-plan GlobalLimit would insert its own
+    // SinglePartition exchange and mask the property under test
+    val docs = graft.core.Tables(spark, sf(), "documents")
     val composed = Redact.scrub(docs)
       .withColumn("q", TextAnalysis.qualityScoreExpr(col("text")))
-    assert(composed.count() == 100)
+    assert(composed.count() == 500)
     val plan = composed.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"redact+quality pipeline shuffled:\n$plan")
+  }
+
+  test("sentence-final IPs redact; longer digit runs stay whole, never part-redacted") {
+    val docs = Seq(
+      (1L, "our dns is 8.8.8.8."),                  // sentence-final IP
+      (2L, "id +12345678901234567890 is not a phone"), // 20-digit run
+      (3L, "range +44 20 7183 8750 2024-01-01")     // date after a phone
+    ).toDF("doc_id", "text")
+    val out = Redact.scrub(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("text") == s"our dns is ${Redact.IpTok}.")
+    assert(out(0).getAs[Long]("n_ips") == 1L)
+    assert(out(1).getAs[String]("text") == "id +12345678901234567890 is not a phone")
+    assert(out(1).getAs[Long]("n_phones") == 0L)
+    assert(out(2).getAs[String]("text")
+      == s"range ${Redact.PhoneTok} 2024-01-01")
+    assert(out(2).getAs[Long]("n_phones") == 1L)
   }
 
   test("normalizeUrl canonicalizes case/ports/fragments/trackers and keeps param order") {
@@ -63,7 +81,8 @@ class RedactSpec extends SparkSpec {
       "https://example.com:443/",
       "https://example.com:8443/x",
       "http://example.com",
-      "http://example.com/?utm_source=a&fbclid=b&ref=c",
+      "http://example.com/?utm_source=a&fbclid=b",
+      "http://example.com/?ref=c",
       "not a url"
     ).toDF("u").select(Redact.normalizeUrl(col("u")).as("c"))
       .collect().map(r => Option(r.getString(0)))
@@ -72,7 +91,8 @@ class RedactSpec extends SparkSpec {
     assert(got(2).contains("https://example.com:8443/x")) // non-default port survives
     assert(got(3).contains("http://example.com/"))
     assert(got(4).contains("http://example.com/")) // all-tracker query drops the '?'
-    assert(got(5).isEmpty) // unparseable → NULL, filterable
+    assert(got(5).contains("http://example.com/?ref=c")) // generic 'ref' is content-bearing: kept
+    assert(got(6).isEmpty) // unparseable → NULL, filterable
   }
 
   test("dedupByUrl keeps min doc_id per canonical URL and all uncanonicalizable rows") {
