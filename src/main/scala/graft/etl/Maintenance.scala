@@ -94,6 +94,78 @@ object Maintenance {
     expired.map(_.getName).sorted
   }
 
+  /** Append a Z-order (Morton) key interleaving the quantized ranks of
+    * `cols` — the multi-dimension clustering key. [[clusterBy]] on one
+    * key makes files disjoint in THAT key while every other column
+    * spans its full range in every file; interleaving the bit planes
+    * of per-column quantile buckets gives every listed column locality
+    * at once, so a filter on ANY of them (or any subset) skips files
+    * on parquet footer min/max.
+    *
+    * Quantization is rank-based, not equi-width (skew would otherwise
+    * crowd the value mass into a few buckets): per-column split points
+    * are exact percentiles of a deterministic 1/`sampleMod`
+    * content-hash sample — fixed-fraction aggregate state, one 1-row
+    * broadcast, no window, no extra shuffle — and each row's bucket is
+    * its split-point rank (a `b`-step fold over the broadcast array;
+    * `bitsPerCol` ≤ 8 keeps that a 255-element scan inside codegen'd
+    * higher-order functions). An empty sample degrades to bucket 0 for
+    * that column (it simply stops contributing to the ordering); NULLs
+    * rank lowest. Columns must be numeric-castable; `bitsPerCol ×
+    * cols.size ≤ 62` so the key fits a signed long.
+    */
+  def withZValue(df: DataFrame, cols: Seq[String], bitsPerCol: Int = 8,
+                 zCol: String = "__z", sampleMod: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && bitsPerCol >= 1 && bitsPerCol <= 8
+      && bitsPerCol * cols.size <= 62, "z key must fit a signed long")
+    val b = 1 << bitsPerCol
+    val probs = array((1 until b).map(i => lit(i.toDouble / b)): _*)
+    val splitAggs = cols.map { c =>
+      coalesce(percentile(
+        when(pmod(hash(col(c)), lit(sampleMod)) === 0, col(c).cast("double")),
+        probs), array().cast("array<double>")).as(s"__sp_$c")
+    }
+    val splits = df.agg(splitAggs.head, splitAggs.tail: _*)
+    val buckets = cols.map { c =>
+      aggregate(col(s"__sp_$c"), lit(0L), (acc, s) =>
+        acc + when(col(c).cast("double") >= s, 1L).otherwise(0L))
+    }
+    val z = (0 until bitsPerCol).flatMap { i =>
+      buckets.zipWithIndex.map { case (bk, j) =>
+        call_function("shiftleft",
+          call_function("shiftright", bk, lit(i)).bitwiseAND(lit(1L)),
+          lit(i * cols.size + j))
+      }
+    }.reduce(_ bitwiseOR _)
+    df.crossJoin(broadcast(splits))
+      .withColumn(zCol, z)
+      .drop(cols.map(c => s"__sp_$c"): _*)
+  }
+
+  /** [[clusterBy]] in Z-order: rewrite `dir` range-partitioned and
+    * sorted on the interleaved key of `cols`, so a selective filter on
+    * any of them skips files. Same shuffle-and-rewrite cost model as
+    * [[clusterBy]] — run it where multi-column read savings amortize
+    * the rewrite; the z key is computational, nothing extra is
+    * stored.
+    */
+  def zOrderBy(spark: SparkSession, dir: String, cols: Seq[String],
+               bitsPerCol: Int = 8,
+               targetBytes: Long = 128L << 20): Int = {
+    import org.apache.spark.sql.functions.col
+    val n = math.max(1, math.ceil(
+      dirBytes(spark, dir).toDouble / targetBytes).toInt)
+    swapInto(spark, dir) { tmp =>
+      withZValue(spark.read.parquet(dir), cols, bitsPerCol)
+        .repartitionByRange(n, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+    n
+  }
+
   /** Per-file [min, max] of `keyCol` — the footer ranges a key-filtered
     * scan skips by. Exposed for tests/inspection.
     */
