@@ -24,6 +24,15 @@ object GraftFunctions {
       VectorCosine(org.apache.spark.sql.graft.Bridge.expression(a),
         org.apache.spark.sql.graft.Bridge.expression(b)))
 
+  /** Column wrapper for [[PqCodes]] — the codebook travels as a
+    * reference object, so callers pass plain driver-side arrays.
+    */
+  def pqCodes(emb: Column, codebook: Array[Float], present: Array[Boolean],
+              m: Int, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      PqCodes(org.apache.spark.sql.graft.Bridge.expression(emb),
+        codebook, present, m, k))
+
   /** Column wrapper for [[WordShingles]]. */
   def wordShingles(text: Column, n: Int, keepDuplicates: Boolean = false): Column =
     org.apache.spark.sql.graft.Bridge.column(

@@ -486,6 +486,37 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** [[pqEncode]] as a single codegen'd projection — the scan-speed
+    * path. The trained codebook is collected to the driver (m·k rows;
+    * model-sized BY CONSTRUCTION, the same bounded-collect class as
+    * BloomJoin's documented filter build — 64 KB at the default 8×256×
+    * 8-float shape) and shipped inside a native
+    * [[graft.functions.PqCodes]] expression, so encoding a trillion
+    * vectors is one WholeStageCodegen scan: no broadcast join, no
+    * k-per-subspace row inflation, no shuffle, no aggregate. PqSpec
+    * asserts exact code parity with the relational [[pqEncode]] and a
+    * join-free plan.
+    */
+  def pqEncodeNative(corpus: DataFrame, codebook: DataFrame,
+                     m: Int = 8, k: Int = 256, dims: Int = 64): DataFrame = {
+    val subDim = dims / m
+    val flat = new Array[Float](m * k * subDim)
+    val present = new Array[Boolean](m * k)
+    codebook.select(col("sub_id"), col("code"), col("centroid")).collect()
+      .foreach { r =>
+        val slot = r.getAs[Int]("sub_id") * k + r.getAs[Int]("code")
+        present(slot) = true
+        val cent = r.getAs[scala.collection.Seq[Float]]("centroid")
+        var i = 0
+        while (i < subDim) { flat(slot * subDim + i) = cent(i); i += 1 }
+      }
+    require((0 until m).forall(s => (s * k until (s + 1) * k).exists(present)),
+      "every subspace needs at least one trained code")
+    corpus.select(col("vec_id"),
+      graft.functions.GraftFunctions
+        .pqCodes(col("embedding"), flat, present, m, k).as("codes"))
+  }
+
   /** The production PQ deployment: ADC shortlist, exact re-rank.
     *
     * [[pqTopK]] alone ranks by distance-to-reconstruction, so its

@@ -94,6 +94,21 @@ class PqSpec extends SparkSpec {
     assert(rerankRecall >= recall, "re-ranking must not hurt recall")
   }
 
+  test("native encoder matches the relational path code for code, join-free") {
+    val native = Similarity.pqEncodeNative(emb, codebook)
+    val byId = (df: DataFrame) => df.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Int]]("codes"))
+      .toMap
+    val n = byId(native); val j = byId(codes)
+    assert(n.keySet == j.keySet)
+    val diffs = n.keys.filter(id => n(id) != j(id))
+    assert(diffs.isEmpty, s"codes diverge for vec_ids ${diffs.take(5)}")
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "native encode must not join")
+    assert(!plan.contains("Exchange"), "native encode must not shuffle")
+    assert(plan.contains("pq_codes"))
+  }
+
   test("adc distances are monotone with the rank and self is excluded") {
     val out = Similarity.pqTopK(codes, emb.filter($"vec_id" === 3), codebook,
       k = 10).collect()
