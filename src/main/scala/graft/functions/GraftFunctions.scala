@@ -24,6 +24,12 @@ object GraftFunctions {
       VectorCosine(org.apache.spark.sql.graft.Bridge.expression(a),
         org.apache.spark.sql.graft.Bridge.expression(b)))
 
+  /** Column wrapper for [[VectorSub]]. */
+  def vectorSub(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      VectorSub(org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
   /** Column wrapper for [[PqCodes]] — the codebook travels as a
     * reference object, so callers pass plain driver-side arrays.
     */

@@ -129,23 +129,29 @@ object Similarity {
     * Centroid table is broadcast in both phases; the corpus is scanned
     * once and shuffled once on cell_id.
     */
+  /** Top-`n` nearest cells (by centroid cosine) per row of `df` —
+    * the broadcast-centroid assignment scan shared by [[ivfTopK]] and
+    * [[ivfPqTopK]]. Keeps (idCol, embCol, cell_id).
+    */
+  private def nearestCells(df: DataFrame, cents: DataFrame,
+                           idCol: String, embCol: String, n: Int): DataFrame =
+    df.crossJoin(cents)
+      .select(col(idCol), col(embCol),
+        col("cell_id"), cosine(col(embCol), col("centroid")).as("cell_sim"))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("cell_sim").desc, col("cell_id"))))
+      .filter(col("cell_rank") <= n)
+      .drop("cell_sim", "cell_rank")
+
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5,
               centroidStride: Int = 50, nProbeCells: Int = 2,
               centroids: Option[DataFrame] = None): DataFrame = {
     val cents = broadcast(
       centroids.getOrElse(strideCentroids(corpus, centroidStride)))
-    def nearestCells(df: DataFrame, idCol: String, embCol: String, n: Int) =
-      df.crossJoin(cents)
-        .select(col(idCol), col(embCol),
-          col("cell_id"), cosine(col(embCol), col("centroid")).as("cell_sim"))
-        .withColumn("cell_rank", row_number().over(
-          Window.partitionBy(idCol).orderBy(col("cell_sim").desc, col("cell_id"))))
-        .filter(col("cell_rank") <= n)
-        .drop("cell_sim", "cell_rank")
-    val assigned = nearestCells(corpus, "vec_id", "embedding", 1)
+    val assigned = nearestCells(corpus, cents, "vec_id", "embedding", 1)
     val probeCells = nearestCells(
       probes.select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb")),
-      "probe_id", "probe_emb", nProbeCells)
+      cents, "probe_id", "probe_emb", nProbeCells)
     probeCells.join(assigned, "cell_id")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
@@ -332,14 +338,21 @@ object Similarity {
     * exploded to (vec_id, sub_id, sub_vec) — `m` rows per vector.
     * `slice` is a native codegen function: no shuffle, no UDF.
     */
-  private def subspaces(corpus: DataFrame, m: Int, dims: Int): DataFrame = {
+  private def subspaces(corpus: DataFrame, m: Int, dims: Int): DataFrame =
+    subspacesOf(corpus, Seq("vec_id"), "embedding", m, dims)
+
+  /** [[subspaces]] generalized to arbitrary carried id columns and
+    * embedding column name (IVF-PQ slices per-(probe, cell) residuals).
+    */
+  private def subspacesOf(df: DataFrame, keep: Seq[String], embCol: String,
+                          m: Int, dims: Int): DataFrame = {
     val subDim = dims / m
-    corpus.select(col("vec_id"),
+    df.select(keep.map(col) :+
       explode(array((0 until m).map(s =>
         struct(lit(s).as("sub_id"),
-          slice(col("embedding"), s * subDim + 1, subDim).as("sub_vec"))): _*))
-        .as("sv"))
-      .select(col("vec_id"), col("sv.sub_id"), col("sv.sub_vec"))
+          slice(col(embCol), s * subDim + 1, subDim).as("sub_vec"))): _*))
+        .as("sv"): _*)
+      .select(keep.map(col) :+ col("sv.sub_id") :+ col("sv.sub_vec"): _*)
   }
 
   /** Nearest codebook entry per (vector, subspace): broadcast the
@@ -499,7 +512,18 @@ object Similarity {
     */
   def pqEncodeNative(corpus: DataFrame, codebook: DataFrame,
                      m: Int = 8, k: Int = 256, dims: Int = 64): DataFrame = {
-    val subDim = dims / m
+    val (flat, present) = flattenCodebook(codebook, m, k, dims / m)
+    corpus.select(col("vec_id"),
+      graft.functions.GraftFunctions
+        .pqCodes(col("embedding"), flat, present, m, k).as("codes"))
+  }
+
+  /** Collect a trained codebook into the flat array + presence mask
+    * [[graft.functions.PqCodes]] consumes. Bounded by construction:
+    * m·k rows (the model), never corpus-sized.
+    */
+  private def flattenCodebook(codebook: DataFrame, m: Int, k: Int,
+                              subDim: Int): (Array[Float], Array[Boolean]) = {
     val flat = new Array[Float](m * k * subDim)
     val present = new Array[Boolean](m * k)
     codebook.select(col("sub_id"), col("code"), col("centroid")).collect()
@@ -512,9 +536,7 @@ object Similarity {
       }
     require((0 until m).forall(s => (s * k until (s + 1) * k).exists(present)),
       "every subspace needs at least one trained code")
-    corpus.select(col("vec_id"),
-      graft.functions.GraftFunctions
-        .pqCodes(col("embedding"), flat, present, m, k).as("codes"))
+    (flat, present)
   }
 
   /** The production PQ deployment: ADC shortlist, exact re-rank.
@@ -535,7 +557,17 @@ object Similarity {
   def pqShortlistTopK(corpus: DataFrame, codes: DataFrame, probes: DataFrame,
                       codebook: DataFrame, k: Int = 5, shortlist: Int = 50,
                       m: Int = 8, dims: Int = 64): DataFrame =
-    pqTopK(codes, probes, codebook, shortlist, m, dims)
+    exactRerank(pqTopK(codes, probes, codebook, shortlist, m, dims)
+      .select(col("probe_id"), col("neighbor_id")), corpus, probes, k)
+
+  /** Exact L2 re-rank of (probe_id, neighbor_id) shortlist pairs:
+    * fetch raw embeddings for the pairs only (hash join on vec_id;
+    * probes broadcast), rank by true distance. Shared tail of
+    * [[pqShortlistTopK]] and [[ivfPqTopK]].
+    */
+  private def exactRerank(pairs: DataFrame, corpus: DataFrame,
+                          probes: DataFrame, k: Int): DataFrame =
+    pairs
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("nbr_emb")), "neighbor_id")
       .join(broadcast(probes.select(col("vec_id").as("probe_id"),
@@ -550,4 +582,71 @@ object Similarity {
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("d2"), 4).as("d2"))
       .orderBy("probe_id", "rank")
+
+  /** IVF-PQ: the composed billion-scale ANN layout — coarse cells
+    * bound the candidate set, PQ codes bound the bytes per candidate.
+    *
+    *  1. assign: corpus → nearest cell (broadcast centroids, one scan).
+    *  2. residual-encode: `x - centroid(cell)` via the codegen
+    *     [[graft.functions.VectorSub]], PQ-train ONE shared codebook
+    *     over the residuals (residuals cluster tighter than raw
+    *     vectors, so the same k codes quantize finer — the reason
+    *     IVFADC encodes residuals), then the join-free native encoder.
+    *     Corpus state after this: (vec_id, cell_id, m bytes).
+    *  3. search: probes pick `nProbeCells` cells; per (probe, cell) a
+    *     residual ADC table (p·cells·m·k rows, broadcast); candidates
+    *     join it on (cell_id, sub_id, code) — so only probed cells'
+    *     members are ever scored — partial-sum to one row per
+    *     (probe, candidate), shortlist by ADC, exact re-rank the
+    *     shortlist ([[exactRerank]]).
+    *
+    * Recall decomposes as cell coverage (the [[ivfTopK]] term, tuned
+    * by `nProbeCells`) × shortlist coverage (the PQ term, tuned by
+    * `shortlist`); PqSpec pins the composed floor and asserts the
+    * candidate set never leaves the probed cells.
+    */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5,
+                centroidStride: Int = 50, nProbeCells: Int = 2,
+                centroids: Option[DataFrame] = None,
+                m: Int = 8, codebookSize: Int = 256, iters: Int = 2,
+                seedStride: Int = 1, shortlist: Int = 50,
+                dims: Int = 64): DataFrame = {
+    import graft.functions.GraftFunctions.{pqCodes, vectorSub}
+    val cents = broadcast(
+      centroids.getOrElse(strideCentroids(corpus, centroidStride)))
+    val resid = nearestCells(corpus, cents, "vec_id", "embedding", 1)
+      .join(cents, "cell_id")
+      .select(col("vec_id"), col("cell_id"),
+        vectorSub(col("embedding"), col("centroid")).as("resid"))
+    val cb = pqTrain(resid.select(col("vec_id"), col("resid").as("embedding")),
+      m, codebookSize, iters, seedStride, dims)
+    val (flat, present) = flattenCodebook(cb, m, codebookSize, dims / m)
+    val encoded = resid.select(col("vec_id"), col("cell_id"),
+      pqCodes(col("resid"), flat, present, m, codebookSize).as("codes"))
+    val probeResid = nearestCells(
+      probes.select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb")),
+      cents, "probe_id", "probe_emb", nProbeCells)
+      .join(cents, "cell_id")
+      .select(col("probe_id"), col("cell_id"),
+        vectorSub(col("probe_emb"), col("centroid")).as("q_resid"))
+    val dtab = subspacesOf(probeResid, Seq("probe_id", "cell_id"), "q_resid",
+      m, dims)
+      .join(cb, "sub_id")
+      .select(col("probe_id"), col("cell_id"), col("sub_id"), col("code"),
+        sqDist(col("sub_vec"), col("centroid")).as("d2"))
+    val short = encoded
+      .select(col("vec_id"), col("cell_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("cell_id"), col("pos").cast("int").as("sub_id"),
+        col("col").cast("int").as("code"))
+      .join(broadcast(dtab), Seq("cell_id", "sub_id", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe_id")
+          .orderBy(col("adc_d2").asc, col("neighbor_id"))))
+      .filter(col("rank") <= shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    exactRerank(short, corpus, probes, k)
+  }
 }

@@ -109,6 +109,53 @@ class PqSpec extends SparkSpec {
     assert(plan.contains("pq_codes"))
   }
 
+  test("ivf-pq with exhaustive probing and full shortlist IS the exact ranking") {
+    val probes = emb.filter($"vec_id" < 5)
+    // 10 stride-50 cells on the 500-vector corpus; probing all of them
+    // with a corpus-sized shortlist leaves re-ranking as the only
+    // ranking step, so the output must equal the exact scan exactly.
+    val out = Similarity.ivfPqTopK(emb, probes, k = 5, nProbeCells = 10,
+      shortlist = 500)
+      .select($"probe_id", $"rank", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == exactTop5Ranked(probes), "ivf-pq must degrade to exact search")
+  }
+
+  test("ivf-pq default-parameter recall clears the floor") {
+    val probes = emb.filter($"vec_id" < 10)
+    val exact = exactTop5(probes)
+    val got = Similarity.ivfPqTopK(emb, probes, k = 5)
+      .select($"probe_id", $"neighbor_id")
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = exact.keys.toSeq.map(p =>
+      (got.getOrElse(p, Set.empty[Long]) & exact(p)).size.toDouble / 5)
+      .sum / exact.size
+    assert(recall >= Pq.IvfPqRecallFloor, f"ivf-pq recall@5 = $recall%.3f")
+  }
+
+  /** Exact L2 top-5 neighbor sets per probe. */
+  private def exactTop5(probes: DataFrame): Map[Long, Set[Long]] =
+    exactTop5Ranked(probes).groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap
+
+  /** Exact L2 top-5 as (probe_id, rank, neighbor_id) triples. */
+  private def exactTop5Ranked(probes: DataFrame): Set[(Long, Long, Long)] =
+    emb.as("c")
+      .crossJoin(broadcast(probes.select($"vec_id".as("probe_id"),
+        $"embedding".as("probe_emb"))))
+      .filter($"c.vec_id" =!= $"probe_id")
+      .select($"probe_id", $"c.vec_id".as("neighbor_id"),
+        (Similarity.dot($"c.embedding", $"c.embedding")
+          - lit(2d) * Similarity.dot($"probe_emb", $"c.embedding")
+          + Similarity.dot($"probe_emb", $"probe_emb")).as("d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+          .orderBy($"d2".asc, $"neighbor_id")))
+      .filter($"rank" <= 5)
+      .select($"probe_id", $"rank".cast("long"), $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
   test("adc distances are monotone with the rank and self is excluded") {
     val out = Similarity.pqTopK(codes, emb.filter($"vec_id" === 3), codebook,
       k = 10).collect()
@@ -124,6 +171,10 @@ class PqSpec extends SparkSpec {
 object Pq {
   val AdcRecallFloor = 0.2
   val RerankRecallFloor = 0.9
+  // measured 0.40 at defaults: bounded by probing 2 of 10 cells (the
+  // IVF coverage term — the full-shortlist test shows the PQ term
+  // loses nothing), far above the 0.01 chance floor
+  val IvfPqRecallFloor = 0.35
   private var cb: DataFrame = _
   private var cd: DataFrame = _
   def codebook(spark: org.apache.spark.sql.SparkSession): DataFrame =
