@@ -47,6 +47,51 @@ object Dedup {
       .select(col("doc_id"), col("content_hash"))
       .orderBy("doc_id")
 
+  /** Incremental-append NEAR-dup dedup: the [[incremental]] discipline
+    * applied to MinHash-LSH. Of a new batch, keep only documents that
+    * are (a) not a near-duplicate (Jaccard ≥ `minJaccard`) of any
+    * existing corpus document and (b) the min-id keeper among their
+    * batch-local near-dup matches.
+    *
+    * The 100 TB shape: the corpus side is exactly the
+    * [[bandedBuckets]] posting table a warehouse persists once (plus
+    * the shingle arrays for verification, both derived inline here) —
+    * the batch probes it with a (band, bucket) hash join that only
+    * ever materializes bucket collisions, the corpus is never
+    * re-deduped, and every verified comparison involves a batch row,
+    * so the work is proportional to the batch and its collisions, not
+    * the corpus. Greedy min-id keeper within the batch (a near-dup of
+    * a dropped doc is still dropped — consistent with the union-run
+    * parity the spec asserts against).
+    */
+  def minhashIncremental(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
+                         numHashes: Int = 32, bands: Int = 8,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val newBanded = bandedBuckets(newDocs, n, numHashes, bands)
+    val corpusBanded = bandedBuckets(corpus, n, numHashes, bands)
+    val candidates = newBanded.as("a")
+      .join(corpusBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
+      .distinct()
+    val newSh = newDocs
+      .select(col("doc_id"), TextOps.shingles(col("text"), n).as("sh"))
+    val matched = candidates
+      .join(newSh.select(col("doc_id").as("new_id"), col("sh").as("sh_a")),
+        "new_id")
+      .join(corpus.select(col("doc_id").as("corpus_id"),
+        TextOps.shingles(col("text"), n).as("sh_b")), "corpus_id")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))) >= minJaccard)
+      .select(col("new_id").as("doc_id")).distinct()
+    val inBatchDropped = minhashLsh(newDocs, n, numHashes, bands, minJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    newDocs.select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left_anti")
+      .join(inBatchDropped, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard similar pairs via an inverted index.
     *
     * Joining on the shingle (token) shards the O(n²) problem by term —
@@ -102,31 +147,37 @@ object Dedup {
     * exact and only recall is probabilistic (≥ 1-(1-s^r)^b; at the
     * default 8 bands × 4 rows and s=0.9 that is 1 - 4e-8).
     */
-  def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
-                 bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+  /** (doc_id, band, bucket) LSH postings — the document's signature
+    * from the native MinHashSig kernel (one codegen'd projection over
+    * the scan; null = no shingles, dropped), each band folded to a
+    * bucket by Horner mod 2^31-1. The same BIGINT-safe family as the
+    * signature itself, so the oracle replays the exact buckets (a
+    * murmur `hash(...)` bucket could not be reproduced outside the
+    * JVM). This IS the persistable near-dup index: at scale a corpus
+    * stores these postings once and [[minhashIncremental]] probes
+    * them per batch.
+    */
+  def bandedBuckets(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+                    bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // Signatures come from the native MinHashSig kernel — a document's
-    // shingles are colocated in its row, so the explode+groupBy(doc)
-    // formulation shuffled the whole shingle table for nothing. One
-    // codegen'd projection over the scan, null (= no shingles) filtered
-    // like the explode version dropped those docs.
     val sig = docs.select(col("doc_id"),
       graft.functions.GraftFunctions.minhashSig(col("text"), n, numHashes).as("sig"))
       .filter(col("sig").isNotNull)
-    // Band bucket = Horner fold of the band's mins mod 2^31-1 — same
-    // BIGINT-safe family as the signature itself, so the oracle
-    // replays the exact buckets (a murmur `hash(...)` bucket could
-    // not be reproduced outside the JVM).
     def bucket(b: Int) =
       (b * rows until (b + 1) * rows).foldLeft(lit(0L)) { (acc, i) =>
         (acc * Dedup.BucketBase + element_at(col("sig"), i + 1)) %
           graft.functions.MinHashSig.Mod
       }
-    val banded = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bucket(b).as("bucket"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
+                 bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+    val banded = bandedBuckets(docs, n, numHashes, bands)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

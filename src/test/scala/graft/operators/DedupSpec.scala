@@ -42,6 +42,47 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("minhashIncremental probes the corpus, never re-dedups it") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearBase = base.replace("tok40", "other")
+    val fresh = (1 to 40).map(i => s"new$i").mkString(" ")
+    val nearFresh = fresh.replace("new40", "changed")
+    val corpus = docs(1L -> base, 2L -> "some unrelated corpus text entirely")
+    val batch = docs(
+      10L -> nearBase, // near-dup of corpus doc 1 -> dropped
+      20L -> fresh, // genuinely new -> kept
+      30L -> nearFresh, // near-dup of batch keeper 20 -> dropped
+      40L -> "another novel document nothing shares")
+    val kept = Dedup.minhashIncremental(batch, corpus)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(20L, 40L))
+    // corpus ids can never appear: the output is batch-only
+    assert(kept.intersect(Set(1L, 2L)).isEmpty)
+  }
+
+  test("minhashIncremental agrees with a from-scratch union run") {
+    val mk = (seed: Int) =>
+      (1 to 35).map(i => s"s${seed}w$i").mkString(" ")
+    val corpus = docs(1L -> mk(1), 2L -> mk(2), 3L -> mk(3))
+    val batch = docs(
+      11L -> mk(1).replace("s1w35", "x"), // near-dups corpus 1
+      12L -> mk(9), // new
+      13L -> mk(9).replace("s9w35", "y"), // near-dups batch 12
+      14L -> mk(2), // identical to corpus 2
+      15L -> mk(7))
+    val kept = Dedup.minhashIncremental(batch, corpus)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // expectation from a full union re-dedup: a batch doc survives iff
+    // it has no near-dup pair with a corpus doc or a lower batch id
+    val union = Dedup.minhashLsh(corpus.union(batch)).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val batchIds = Set(11L, 12L, 13L, 14L, 15L)
+    val expected = batchIds.filterNot(id => union.exists {
+      case (a, b) => b == id && (a < 10L || batchIds.contains(a))
+    })
+    assert(kept == expected, s"kept $kept vs union-derived $expected")
+  }
+
   test("simhash: identical docs collide at hamming 0; disjoint docs do not pair") {
     val t = (1 to 50).map(i => s"word$i").mkString(" ")
     val out = Dedup.simhash(docs(1L -> t, 2L -> t,
