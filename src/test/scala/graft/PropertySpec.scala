@@ -315,4 +315,55 @@ class PropertySpec extends SparkSpec {
       assert(c1 == c2, s"not a fixed point: $c1 -> $c2")
     }
   }
+
+  test("PQ encode: native == relational == brute-force argmin on arbitrary corpora") {
+    import graft.operators.Similarity
+    val rnd = new Random(1111)
+    for (trial <- 1 to 5) {
+      val dims = Seq(8, 16)(rnd.nextInt(2))
+      val m = Seq(2, 4)(rnd.nextInt(2))
+      val subDim = dims / m
+      val k = 4 + rnd.nextInt(5)
+      val n = k + rnd.nextInt(40)
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Seq.fill(dims)(rnd.nextFloat() * 2f - 1f)))
+      val corpus = vecs.toDF("vec_id", "embedding")
+      val cb = Similarity.pqTrain(corpus, m = m, k = k, iters = 1, dims = dims)
+      val rel = Similarity.pqEncode(corpus, cb, m = m, dims = dims)
+      val nat = Similarity.pqEncodeNative(corpus, cb, m = m, k = k, dims = dims)
+      val toMapOf = (df: org.apache.spark.sql.DataFrame) => df.collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[scala.collection.Seq[Int]]("codes").toList).toMap
+      val relM = toMapOf(rel); val natM = toMapOf(nat)
+      assert(relM == natM, s"trial $trial: native != relational")
+      // brute-force reference with the exact same float semantics:
+      // index-order double sums, (saa - 2*sab) + sbb, low-code ties
+      val cents = cb.collect().map(r => (r.getAs[Int]("sub_id"),
+        r.getAs[Int]("code")) ->
+        r.getAs[scala.collection.Seq[Float]]("centroid").toArray).toMap
+      val want = vecs.map { case (id, emb) =>
+        id -> (0 until m).map { s =>
+          val sub = emb.slice(s * subDim, (s + 1) * subDim)
+          var saa = 0.0
+          sub.foreach(x => saa += x.toDouble * x.toDouble)
+          var best = -1; var bestD = Double.PositiveInfinity
+          (0 until k).foreach { c =>
+            cents.get((s, c)).foreach { cent =>
+              var sab = 0.0; var sbb = 0.0
+              var i = 0
+              while (i < subDim) {
+                sab += sub(i).toDouble * cent(i).toDouble
+                sbb += cent(i).toDouble * cent(i).toDouble
+                i += 1
+              }
+              val d2 = (saa - 2.0 * sab) + sbb
+              if (d2 < bestD) { bestD = d2; best = c }
+            }
+          }
+          best
+        }.toList
+      }.toMap
+      assert(relM == want, s"trial $trial: relational != brute force")
+    }
+  }
 }
