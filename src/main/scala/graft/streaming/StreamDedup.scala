@@ -32,4 +32,26 @@ object StreamDedup {
         hashed.dropDuplicates("content_hash")
     }
   }
+
+  /** One micro-batch of ingest-time NEAR-dup scrubbing — the streaming
+    * deployment of [[graft.operators.Dedup.minhashIncremental]]: keep
+    * only batch rows (full rows, all columns) that near-duplicate
+    * neither `corpus` nor a lower-id batch doc.
+    *
+    * Near-dup needs the corpus-side LSH index, which no streaming
+    * state store holds, so the live shape is `foreachBatch` with
+    * `corpus = static index ∪ sink-so-far` — each accepted batch
+    * grows the probed corpus, which is what makes CROSS-batch
+    * near-dups (doc in batch 2 resembling a doc accepted in batch 1)
+    * get caught; StreamDedupSpec pins that and sequential-batch
+    * parity. Per-batch work stays batch-proportional: the corpus is
+    * probed through its (band, bucket) postings, never re-deduped.
+    */
+  def scrubNearDups(batch: DataFrame, corpus: DataFrame, n: Int = 3,
+                    numHashes: Int = 32, bands: Int = 8,
+                    minJaccard: Double = 0.5): DataFrame =
+    batch.join(
+      graft.operators.Dedup.minhashIncremental(
+        batch, corpus, n, numHashes, bands, minJaccard),
+      Seq("doc_id"), "left_semi")
 }

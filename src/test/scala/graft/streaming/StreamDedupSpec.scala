@@ -36,6 +36,63 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dup scrub over a growing corpus catches cross-batch near-dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val fresh = (1 to 40).map(i => s"new$i").mkString(" ")
+    val novel = (1 to 40).map(i => s"alt$i").mkString(" ")
+    val static = Seq((1L, base), (2L, "unrelated corpus text entirely here"))
+      .toDF("doc_id", "text")
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_scrub").toString + "/accepted"
+    Seq.empty[(Timestamp, Long, String)].toDF("ts", "doc_id", "text")
+      .write.parquet(sink)
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = mem.toDF().toDF("ts", "doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val corpusNow = static.union(
+          spark.read.parquet(sink).select("doc_id", "text"))
+        StreamDedup.scrubNearDups(b, corpusNow)
+          .write.mode("append").parquet(sink)
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_scrub_ck").toString)
+      .start()
+    try {
+      // batch A: near-dup of static 1 (drop), fresh keeper (keep),
+      // in-batch near-dup of the keeper (drop)
+      mem.addData(
+        (ts("2024-01-01 00:00:00"), 10L, base.replace("tok40", "x")),
+        (ts("2024-01-01 00:01:00"), 11L, fresh),
+        (ts("2024-01-01 00:02:00"), 12L, fresh.replace("new40", "y")))
+      q.processAllAvailable()
+      // batch B: cross-batch near-dup of accepted 11 (drop), novel (keep)
+      mem.addData(
+        (ts("2024-01-01 00:10:00"), 13L, fresh.replace("new39", "z")),
+        (ts("2024-01-01 00:11:00"), 14L, novel))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val accepted = spark.read.parquet(sink)
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted == Set(11L, 14L), s"accepted $accepted")
+
+    // sequential-batch parity: the same two batches through the batch
+    // API against the same growing corpus accept the same ids
+    val batchA = Seq((10L, base.replace("tok40", "x")), (11L, fresh),
+      (12L, fresh.replace("new40", "y"))).toDF("doc_id", "text")
+    val batchB = Seq((13L, fresh.replace("new39", "z")), (14L, novel))
+      .toDF("doc_id", "text")
+    val keptA = graft.operators.Dedup.minhashIncremental(batchA, static)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val corpus2 = static.union(batchA.filter($"doc_id".isin(keptA.toSeq: _*))
+      .select("doc_id", "text"))
+    val keptB = graft.operators.Dedup.minhashIncremental(batchB, corpus2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptA ++ keptB == accepted)
+  }
+
   test("batch mode matches the batch dedup operator's clusters") {
     val docs = Seq(
       (ts("2024-01-01 00:00:00"), 1L, "alpha"),
