@@ -301,6 +301,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 2, s"expected 2 hash exchanges, saw $n:\n$plan")
   }
 
+  test("PQ ADC search: distance table broadcasts, rank-k pushed into the shuffle") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+      .select("vec_id", "embedding")
+    val cb = Similarity.pqTrain(emb)
+    val codes = Similarity.pqEncodeNative(emb, cb)
+    val plan = finalPlan(
+      Similarity.pqTopK(codes, emb.filter(col("vec_id") < 10), cb))
+    assert(plan.contains("WindowGroupLimit"), s"top-k not pushed down:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the p·m·k distance table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("ivf-pq: probed-cell scoring is all hash/broadcast joins, shortlist ranks push down") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+      .select("vec_id", "embedding")
+    val plan = finalPlan(
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5)))
+    assert(plan.contains("WindowGroupLimit"), s"ranks not pushed down:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"an equi-join lost its keys:\n$plan")
+  }
+
+  test("incremental near-dup probe: no windows, no cartesians, batch keepers anti-join") {
+    val docs = graft.core.Tables(spark, sf(), "documents")
+    val batch = docs.filter(col("doc_id") < 20)
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val plan = finalPlan(Dedup.minhashIncremental(batch, corpus))
+    assert(!plan.contains("CartesianProduct"),
+      s"bucket join lost its keys:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the probe must stay window-free (joins + aggregates only):\n$plan")
+    assert(plan.contains("LeftAnti"), s"keeper anti-joins missing:\n$plan")
+  }
+
   test("every contract query stays free of cartesian products") {
     // the 1-row dim_source cross join broadcasts; a CartesianProduct node
     // anywhere means an equi-join lost its keys
