@@ -34,6 +34,18 @@ class EmptyInputSpec extends SparkSpec {
       == corpus.select("text").distinct().count())
   }
 
+  test("incremental NEAR-dup: empty batch keeps nothing; empty corpus keeps batch keepers") {
+    val corpus = Tables(spark, sf(), "documents").limit(20)
+    assert(Dedup.minhashIncremental(docs0, corpus).count() == 0)
+    // vs an empty corpus only batch-internal near-dups can drop docs
+    val kept = Dedup.minhashIncremental(corpus, docs0)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val dropped = Dedup.minhashLsh(corpus)
+      .collect().map(_.getAs[Long]("doc_b")).toSet
+    assert(kept == corpus.select("doc_id").collect()
+      .map(_.getLong(0)).toSet -- dropped)
+  }
+
   test("connectedComponents on zero edges returns zero labels (union-find fast path)") {
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Corpus.connectedComponents(pairs, "doc_a", "doc_b").count() == 0)
