@@ -84,8 +84,20 @@ object Dedup {
       .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))) >= minJaccard)
       .select(col("new_id").as("doc_id")).distinct()
-    val inBatchDropped = minhashLsh(newDocs, n, numHashes, bands, minJaccard)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // batch-internal pairs mined over the SAME banded/shingle subtrees
+    // the corpus probe built (identical subtrees → one computation /
+    // ReusedExchange), not a second minhashLsh pass over the batch
+    val inBatchDropped = newBanded.as("a")
+      .join(newBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .join(newSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(newSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))) >= minJaccard)
+      .select(col("id_b").as("doc_id")).distinct()
     newDocs.select(col("doc_id"))
       .join(matched, Seq("doc_id"), "left_anti")
       .join(inBatchDropped, Seq("doc_id"), "left_anti")
