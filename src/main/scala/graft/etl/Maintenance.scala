@@ -108,8 +108,11 @@ object Maintenance {
     * content-hash sample — fixed-fraction aggregate state, one 1-row
     * broadcast, no window, no extra shuffle — and each row's bucket is
     * its split-point rank (a `b`-step fold over the broadcast array;
-    * `bitsPerCol` ≤ 8 keeps that a 255-element scan inside codegen'd
-    * higher-order functions). An empty sample degrades to bucket 0 for
+    * `bitsPerCol` ≤ 8 caps it at a 255-element scan per row —
+    * interpreted, as all Spark higher-order functions are, which a
+    * rewrite job dominated by its shuffle+write absorbs; a hot QUERY
+    * path would want a native expression instead). An empty sample
+    * degrades to bucket 0 for
     * that column (it simply stops contributing to the ordering); NULLs
     * rank lowest. Columns must be numeric-castable; `bitsPerCol ×
     * cols.size ≤ 62` so the key fits a signed long.
