@@ -47,30 +47,53 @@ object Dedup {
       .select(col("doc_id"), col("content_hash"))
       .orderBy("doc_id")
 
+  /** (doc_id, sh) shingle arrays — the verification-side companion of
+    * the [[bandedBuckets]] posting index. A warehouse persists BOTH
+    * once per corpus (postings to find candidates, shingles to
+    * Jaccard-verify them) and [[minhashProbe]] then probes the
+    * persisted frames per batch without ever touching corpus text
+    * again.
+    */
+  def shingleTable(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), TextOps.shingles(col("text"), n).as("sh"))
+
   /** Incremental-append NEAR-dup dedup: the [[incremental]] discipline
     * applied to MinHash-LSH. Of a new batch, keep only documents that
     * are (a) not a near-duplicate (Jaccard ≥ `minJaccard`) of any
     * existing corpus document and (b) the min-id keeper among their
     * batch-local near-dup matches.
     *
-    * The 100 TB shape: the corpus side is exactly the
-    * [[bandedBuckets]] posting table a warehouse persists once (plus
-    * the shingle arrays for verification, both derived inline here) —
-    * the batch probes it with a (band, bucket) hash join that only
-    * ever materializes bucket collisions, the corpus is never
-    * re-deduped, and every verified comparison involves a batch row,
-    * so the work is proportional to the batch and its collisions, not
-    * the corpus. Greedy min-id keeper within the batch (a near-dup of
-    * a dropped doc is still dropped — consistent with the union-run
-    * parity the spec asserts against).
+    * This convenience form derives the corpus-side index inline —
+    * fine for a one-shot backfill, but it re-scans corpus TEXT on
+    * every call. The deployment shape at 100 TB is [[minhashProbe]]:
+    * persist [[bandedBuckets]] + [[shingleTable]] once, probe the
+    * frames per batch, append each accepted batch's index rows
+    * (work per batch ∝ batch + collisions, NEVER corpus). This
+    * wrapper is spec-pinned row-identical to the probe form.
     */
   def minhashIncremental(newDocs: DataFrame, corpus: DataFrame, n: Int = 3,
                          numHashes: Int = 32, bands: Int = 8,
-                         minJaccard: Double = 0.5): DataFrame = {
+                         minJaccard: Double = 0.5): DataFrame =
+    minhashProbe(newDocs, bandedBuckets(corpus, n, numHashes, bands),
+      shingleTable(corpus, n), n, numHashes, bands, minJaccard)
+
+  /** [[minhashIncremental]] against a PERSISTED corpus index: probes
+    * the stored (doc_id, band, bucket) postings and (doc_id, sh)
+    * shingle arrays instead of re-deriving them from corpus text. The
+    * only scans in the probe plan are the batch itself and the two
+    * index frames — DedupSpec asserts no corpus-text column is read —
+    * so per-batch work is proportional to the batch and its bucket
+    * collisions even as the indexed corpus grows. Greedy min-id keeper
+    * within the batch (a near-dup of a dropped doc is still dropped —
+    * consistent with the union-run parity the spec asserts against).
+    */
+  def minhashProbe(newDocs: DataFrame, corpusPostings: DataFrame,
+                   corpusShingles: DataFrame, n: Int = 3,
+                   numHashes: Int = 32, bands: Int = 8,
+                   minJaccard: Double = 0.5): DataFrame = {
     val newBanded = bandedBuckets(newDocs, n, numHashes, bands)
-    val corpusBanded = bandedBuckets(corpus, n, numHashes, bands)
     val candidates = newBanded.as("a")
-      .join(corpusBanded.as("b"),
+      .join(corpusPostings.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
       .distinct()
@@ -79,8 +102,8 @@ object Dedup {
     val matched = candidates
       .join(newSh.select(col("doc_id").as("new_id"), col("sh").as("sh_a")),
         "new_id")
-      .join(corpus.select(col("doc_id").as("corpus_id"),
-        TextOps.shingles(col("text"), n).as("sh_b")), "corpus_id")
+      .join(corpusShingles.select(col("doc_id").as("corpus_id"),
+        col("sh").as("sh_b")), "corpus_id")
       .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))) >= minJaccard)
       .select(col("new_id").as("doc_id")).distinct()
