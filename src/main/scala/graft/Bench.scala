@@ -22,9 +22,12 @@ import org.apache.spark.sql.SparkSession
   * (a) standing the five dashboards in under 3-char keys — q1i..q5i
   * for the inline build path, q1m..q5m for the materialized-mart read
   * path, alternated across rounds via SPARK_GRAFT_BENCH_DASH so both
-  * paths accumulate artifact history — and (b) shedding the two
+  * paths accumulate artifact history — (b) shedding the two
   * redundant constant fields last ("sf" is already recorded in the
-  * driver artifact's outer JSON; the unit is contractually seconds).
+  * driver artifact's outer JSON; the unit is contractually seconds),
+  * and (c) once verbatim names cannot fit at any precision, the
+  * [[shortKeys]] name-compression tier keeps every distinct timing
+  * under stable ~5-char keys with the legend on stderr.
   *
   * Noise-rejection contract: iterations are round-robin (all queries
   * once, then all again) so a minute-scale host-noise burst cannot
@@ -36,6 +39,36 @@ import org.apache.spark.sql.SparkSession
   * misleading fast-fail time.
   */
 object Bench {
+
+  /** Stable short keys — the name-compression tier that keeps FULL
+    * per-query coverage inside the ~2000-char tail budget as the
+    * surface grows past what verbatim names can fit.
+    *
+    * key(name) = first letters of the name's words (≤3) + 2 base-36
+    * chars of a murmur hash of the full name: a pure function of the
+    * name alone, so a query keeps its key across rounds no matter what
+    * other queries are added or removed — artifact history stays
+    * joinable. Set-dependent disambiguation (an appended 'a','b',…)
+    * only kicks in on a hash collision within an initials group
+    * (~1/1300 odds; none in the current surface). The short→full
+    * legend always goes to stderr when a compressed line is emitted.
+    */
+  private[graft] def shortKeys(names: Seq[String]): Map[String, String] = {
+    def key(n: String) = {
+      val ini = n.split("[^A-Za-z0-9]+").filter(_.nonEmpty)
+        .map(_.head).mkString.take(3)
+      val b36 = Integer.toString(
+        math.floorMod(scala.util.hashing.MurmurHash3.stringHash(n), 1296), 36)
+      ini + ("0" * (2 - b36.length)) + b36
+    }
+    names.distinct.sorted.groupBy(key).toSeq.flatMap {
+      case (k, Seq(one)) => Seq(one -> k)
+      case (k, many) => many.zipWithIndex.map {
+        case (m, i) => m -> (k + ('a' + i).toChar.toString)
+      }
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -267,7 +300,19 @@ object Bench {
           System.err.println(s"[bench] auto family for inferred round $thisRound: $fam")
           fam
       }
-    val entryTiers: Seq[Seq[(String, Double)]] = {
+    // Tier ladder, monotone in information content: (1) verbatim names;
+    // (2) name-compressed, still EVERY distinct timing (legend on
+    // stderr) — strictly more coverage than any family shed; (3-4) the
+    // dashboard family stand-in, verbatim then compressed; (5-6)
+    // emergency: no dashboards. Within a tier the precision/shed
+    // ladders run first, so compression engages only once verbatim
+    // names cannot fit at ANY precision.
+    val shortKey = shortKeys(timed.map(_._1))
+    // stand-in keys (q1i/q1m) are not in the map — already 3 chars,
+    // pass them through verbatim
+    def compress(es: Seq[(String, Double)]) =
+      es.map { case (n, t) => shortKey.getOrElse(n, n) -> t }.sortBy(_._1)
+    val entryTiers: Seq[(Seq[(String, Double)], Boolean)] = {
       val isMart = (n: String) => "^q[1-5]m$".r.findFirstIn(n).isDefined
       val isDash = (n: String) =>
         "^q[1-5]_".r.findFirstIn(n).isDefined && !isMart(n)
@@ -281,13 +326,21 @@ object Bench {
         .sortBy(_._1)
       if (standIns.nonEmpty && standIns.head._1.endsWith(if (dashPref == "mart") "i" else "m"))
         System.err.println(s"[bench] preferred family '$dashPref' has no timings; standing in the other")
-      Seq(timed, (base ++ standIns).sortBy(_._1), base)
+      val withDash = (base ++ standIns).sortBy(_._1)
+      Seq((timed, false), (compress(timed), true),
+        (withDash, false), (compress(withDash), true),
+        (base, false), (compress(base), true))
     }
     System.err.println(s"[bench] dashboard stand-in family: $dashPref")
     val candidates =
-      for (es <- entryTiers; shed <- 0 to 2; f <- levels)
-        yield line(es, f, shed)
-    val out = candidates.find(_.length <= budget).getOrElse(candidates.last)
+      for ((es, comp) <- entryTiers; shed <- 0 to 2; f <- levels)
+        yield (line(es, f, shed), comp)
+    val (out, compressed) =
+      candidates.find(_._1.length <= budget).getOrElse(candidates.last)
+    if (compressed)
+      System.err.println(shortKey.toSeq.sortBy(_._1)
+        .map { case (n, k) => s"$k=$n" }
+        .mkString("[bench] legend: ", " ", ""))
     if (out.length > budget)
       System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds tail budget $budget")
     System.err.println(s"[bench] JSON line length: ${out.length}")

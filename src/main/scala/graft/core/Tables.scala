@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Single place that knows how driver test tables are stored.
   *
@@ -16,18 +16,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS), which Spark only reads as a raw
-    // nanos LONG (spark.sql.legacy.parquet.nanosAsLong=true — set by
-    // Verify/Bench/tests). Normalize to a proper microsecond TIMESTAMP;
-    // integer `div` keeps full precision (a double division would not,
-    // 2024 epoch-nanos exceed 2^53).
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Normalize every timestamp encoding the driver parquet has shipped
+    * so far to a plain microsecond TIMESTAMP:
+    *  - TIMESTAMP(NANOS): Spark only reads it as a raw nanos LONG
+    *    (spark.sql.legacy.parquet.nanosAsLong=true — set by
+    *    Verify/Bench/tests); integer `div` keeps full precision (a
+    *    double division would not, 2024 epoch-nanos exceed 2^53).
+    *  - TIMESTAMP_NTZ (isAdjustedToUTC=false micros): functions like
+    *    `unix_micros` reject NTZ with DATATYPE_MISMATCH, so cast to
+    *    TIMESTAMP — the session TZ is pinned to UTC everywhere, so the
+    *    cast is a re-tag, bit-identical to the oracle's epoch_us.
+    * Doing this at the single IO chokepoint keeps every downstream
+    * operator agnostic to how the harness encodes time.
+    */
+  def normalizeTimestamps(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          d.withColumn("ts", timestamp_micros(expr(s"`${f.name}` div 1000")))
+        case TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => d
+      }
     }
-  }
 
   /** Register every table as a temp view (for spark.sql users). */
   def registerAll(spark: SparkSession, dir: String): Unit =

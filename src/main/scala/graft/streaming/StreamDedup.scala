@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Streaming exact deduplication — the live twin of
   * [[graft.operators.Dedup.exact]] for a continuously-ingested corpus
@@ -33,25 +35,112 @@ object StreamDedup {
     }
   }
 
-  /** One micro-batch of ingest-time NEAR-dup scrubbing — the streaming
-    * deployment of [[graft.operators.Dedup.minhashIncremental]]: keep
-    * only batch rows (full rows, all columns) that near-duplicate
-    * neither `corpus` nor a lower-id batch doc.
+  /** One micro-batch of ingest-time NEAR-dup scrubbing against a raw
+    * TEXT corpus — the convenience twin of [[scrubNearDupsIndexed]]
+    * that derives the corpus LSH index inline. Keep only batch rows
+    * (full rows, all columns) that near-duplicate neither `corpus` nor
+    * a lower-id batch doc.
     *
-    * Near-dup needs the corpus-side LSH index, which no streaming
-    * state store holds, so the live shape is `foreachBatch` with
-    * `corpus = static index ∪ sink-so-far` — each accepted batch
-    * grows the probed corpus, which is what makes CROSS-batch
-    * near-dups (doc in batch 2 resembling a doc accepted in batch 1)
-    * get caught; StreamDedupSpec pins that and sequential-batch
-    * parity. Per-batch work stays batch-proportional: the corpus is
-    * probed through its (band, bucket) postings, never re-deduped.
+    * Fine for a one-shot backfill or a small static corpus; it
+    * re-scans corpus text on every call, so the deployment shape for
+    * a GROWING corpus is [[NearDupIndex]]: persist the
+    * (postings, shingles) index once, probe it per batch via
+    * [[scrubNearDupsIndexed]], append each accepted batch's index rows
+    * — per-batch work stays proportional to the batch and its bucket
+    * collisions, never the corpus.
     */
   def scrubNearDups(batch: DataFrame, corpus: DataFrame, n: Int = 3,
                     numHashes: Int = 32, bands: Int = 8,
                     minJaccard: Double = 0.5): DataFrame =
     batch.join(
-      graft.operators.Dedup.minhashIncremental(
+      Dedup.minhashIncremental(
         batch, corpus, n, numHashes, bands, minJaccard),
       Seq("doc_id"), "left_semi")
+
+  /** [[scrubNearDups]] against a PERSISTED corpus index: the batch is
+    * probed through stored (doc_id, band, bucket) postings and
+    * (doc_id, sh) shingle frames ([[graft.operators.Dedup.minhashProbe]]),
+    * so the plan never reads a corpus text column — the only text
+    * scanned is the batch's own. This is the per-micro-batch kernel
+    * that [[NearDupIndex.accept]] wraps with index maintenance.
+    */
+  def scrubNearDupsIndexed(batch: DataFrame, corpusPostings: DataFrame,
+                           corpusShingles: DataFrame, n: Int = 3,
+                           numHashes: Int = 32, bands: Int = 8,
+                           minJaccard: Double = 0.5): DataFrame =
+    batch.join(
+      Dedup.minhashProbe(
+        batch, corpusPostings, corpusShingles, n, numHashes, bands, minJaccard),
+      Seq("doc_id"), "left_semi")
+}
+
+/** A persisted, incrementally-maintained MinHash-LSH corpus index for
+  * ingest-time near-dup scrubbing — the `foreachBatch` deployment of
+  * [[graft.operators.Dedup.minhashProbe]].
+  *
+  * Layout: two parquet frames under `dir` — `postings/` (doc_id, band,
+  * bucket) and `shingles/` (doc_id, sh) — exactly the frames
+  * [[graft.operators.Dedup.bandedBuckets]] and
+  * [[graft.operators.Dedup.shingleTable]] emit, created empty (with
+  * the real schemas, derived from the same builders over an empty
+  * corpus) at construction so the per-batch probe plan is identical
+  * from batch 0 onward.
+  *
+  * Scale shape: each [[accept]] reads the index frames (columnar,
+  * pruned to 3 / 2 columns), probes them with batch-derived buckets,
+  * and appends only the ACCEPTED batch's index rows. Corpus text is
+  * never stored in the index and never re-scanned — work per
+  * micro-batch is O(batch + bucket collisions) even as the indexed
+  * corpus grows to 100 TB, versus the O(corpus) re-derivation of the
+  * inline [[StreamDedup.scrubNearDups]] path. StreamDedupSpec pins
+  * both properties (cross-batch drops; no text column in any file
+  * scan of the probe plan).
+  */
+class NearDupIndex(spark: SparkSession, dir: String, n: Int = 3,
+                   numHashes: Int = 32, bands: Int = 8,
+                   minJaccard: Double = 0.5) {
+  private val postingsDir = s"$dir/postings"
+  private val shinglesDir = s"$dir/shingles"
+
+  locally {
+    if (!new java.io.File(postingsDir).exists()) {
+      val emptyDocs = spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+      Dedup.bandedBuckets(emptyDocs, n, numHashes, bands)
+        .write.parquet(postingsDir)
+      Dedup.shingleTable(emptyDocs, n).write.parquet(shinglesDir)
+    }
+  }
+
+  def postings: DataFrame = spark.read.parquet(postingsDir)
+  def shingles: DataFrame = spark.read.parquet(shinglesDir)
+
+  /** Index `docs` (doc_id, text, ...) without scrubbing — the one-time
+    * backfill that seeds the index from an existing static corpus.
+    * (The corpus text is read ONCE, here; never again at probe time.)
+    */
+  def append(docs: DataFrame): Unit = {
+    Dedup.bandedBuckets(docs, n, numHashes, bands)
+      .write.mode("append").parquet(postingsDir)
+    Dedup.shingleTable(docs, n).write.mode("append").parquet(shinglesDir)
+  }
+
+  /** Scrub one micro-batch against the index and grow it: returns the
+    * accepted rows (all batch columns) and appends their index rows, so
+    * the NEXT batch's probe sees them — cross-batch near-dups drop.
+    *
+    * The accepted frame is localCheckpoint'd (materialized) BEFORE the
+    * append: its plan reads the very parquet dirs being appended to,
+    * and a lazy plan re-evaluated after the append would see the
+    * batch's own postings and drop everything as a self-match.
+    */
+  def accept(batch: DataFrame): DataFrame = {
+    val kept = StreamDedup.scrubNearDupsIndexed(
+      batch, postings, shingles, n, numHashes, bands, minJaccard)
+      .localCheckpoint()
+    append(kept.select(col("doc_id"), col("text")))
+    kept
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Simulates the bench output-size contract against the 1996-char tail
+  * budget, so line-format regressions fail here — not as a lost round
+  * of bench signal (the r2 failure mode).
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  private val names = SparkEntry.benchQueries.keys.toSeq.sorted
+
+  test("short keys are distinct, compact, and cover the full surface") {
+    val keys = Bench.shortKeys(names)
+    assert(keys.keySet == names.toSet)
+    assert(keys.values.toSet.size == names.size, "short-key collision")
+    keys.values.foreach(k => assert(k.length <= 6, s"key too long: $k"))
+  }
+
+  test("short keys are stable: adding queries never shifts existing keys") {
+    val now = Bench.shortKeys(names)
+    val future = Bench.shortKeys(names ++
+      (1 to 60).map(i => s"future_query_number_$i"))
+    names.foreach { n =>
+      assert(now(n) == future(n),
+        s"key for $n shifted ${now(n)} -> ${future(n)} when queries were added")
+    }
+  }
+
+  test("compressed line keeps every timing at FULL precision for today's surface") {
+    // the surface outgrew verbatim names in round 6 (~100 queries ×
+    // ~14-char names ≈ 2.2 KB > the 1996 tail) — compression is now
+    // the load-bearing tier, and at ~5-char keys it must hold every
+    // distinct timing at the top precision level (3 decimals)
+    val keys = Bench.shortKeys(names)
+    val qs = names.map(n => "\"" + keys(n) + "\":" + "1.234")
+      .mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":99.99,"unit":"sec","queries":$qs}"""
+    assert(line.length <= 1996,
+      s"compressed full-precision line is ${line.length} chars (> 1996)")
+  }
+
+  test("compressed line holds 160 queries at 1 decimal (growth headroom)") {
+    // +~60 queries over today's surface still fits with every distinct
+    // timing present once the precision ladder reaches 1 decimal
+    val all = names ++ (1 to (160 - names.size)).map(i => s"future_query_number_$i")
+    val keys = Bench.shortKeys(all)
+    val qs = all.sorted.map(n => "\"" + keys(n) + "\":" + "9.9")
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":999,"queries":$qs}"""
+    assert(line.length <= 1996,
+      s"compressed 160-query line is ${line.length} chars (> 1996)")
+  }
+}

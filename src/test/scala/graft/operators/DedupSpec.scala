@@ -83,6 +83,39 @@ class DedupSpec extends SparkSpec {
     assert(kept == expected, s"kept $kept vs union-derived $expected")
   }
 
+  test("minhashProbe: persisted index frames, no corpus-text column read, " +
+       "row parity with the inline wrapper") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_probe").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val fresh = (1 to 40).map(i => s"new$i").mkString(" ")
+    val corpus = docs(1L -> base, 2L -> "some unrelated corpus text entirely")
+    // persist the index the way a warehouse would — once, from text
+    Dedup.bandedBuckets(corpus).write.parquet(s"$tmp/postings")
+    Dedup.shingleTable(corpus).write.parquet(s"$tmp/shingles")
+    val postings = spark.read.parquet(s"$tmp/postings")
+    val shingles = spark.read.parquet(s"$tmp/shingles")
+    val batch = docs(
+      10L -> base.replace("tok40", "x"), // near-dup of indexed doc 1 -> drop
+      20L -> fresh, // genuinely new -> keep
+      30L -> fresh.replace("new40", "y"), // in-batch near-dup of 20 -> drop
+      40L -> "another novel document nothing shares")
+    val out = Dedup.minhashProbe(batch, postings, shingles)
+    assert(out.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(20L, 40L))
+    // the probe plan's only FILE scans are the two index frames: every
+    // ReadSchema must be index columns, never a corpus text column
+    // (the batch's own text comes from the in-memory local scan)
+    val plan = out.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, s"expected parquet index scans in:\n$plan")
+    schemas.foreach(s => assert(!s.contains("text"),
+      s"probe plan reads a corpus text column ($s):\n$plan"))
+    // row parity with the text-rescanning convenience wrapper
+    val viaWrapper = Dedup.minhashIncremental(batch, corpus)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(out.collect().map(_.getAs[Long]("doc_id")).toSeq == viaWrapper)
+  }
+
   test("simhash: identical docs collide at hamming 0; disjoint docs do not pair") {
     val t = (1 to 50).map(i => s"word$i").mkString(" ")
     val out = Dedup.simhash(docs(1L -> t, 2L -> t,

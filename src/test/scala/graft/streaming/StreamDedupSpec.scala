@@ -93,6 +93,77 @@ class StreamDedupSpec extends SparkSpec {
     assert(keptA ++ keptB == accepted)
   }
 
+  test("NearDupIndex: persisted index catches cross-batch near-dups; " +
+       "per-batch probe plans never scan corpus text") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val fresh = (1 to 40).map(i => s"new$i").mkString(" ")
+    val novel = (1 to 40).map(i => s"alt$i").mkString(" ")
+    val static = Seq((1L, base), (2L, "unrelated corpus text entirely here"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_ndi").toString
+    val sink = s"$root/accepted"
+    Seq.empty[(Timestamp, Long, String)].toDF("ts", "doc_id", "text")
+      .write.parquet(sink)
+
+    val idx = new NearDupIndex(spark, s"$root/index")
+    idx.append(static) // one-time seed: corpus text read here, never again
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val q = mem.toDF().toDF("ts", "doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        idx.accept(b).write.mode("append").parquet(sink)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ndi_ck").toString)
+      .start()
+    try {
+      // batch A: near-dup of seeded 1 (drop), fresh keeper (keep),
+      // in-batch near-dup of the keeper (drop)
+      mem.addData(
+        (ts("2024-01-01 00:00:00"), 10L, base.replace("tok40", "x")),
+        (ts("2024-01-01 00:01:00"), 11L, fresh),
+        (ts("2024-01-01 00:02:00"), 12L, fresh.replace("new40", "y")))
+      q.processAllAvailable()
+      // batch B: cross-batch near-dup of accepted 11 — only the APPENDED
+      // index rows can catch it (drop) — plus a novel doc (keep)
+      mem.addData(
+        (ts("2024-01-01 00:10:00"), 13L, fresh.replace("new39", "z")),
+        (ts("2024-01-01 00:11:00"), 14L, novel))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val accepted = spark.read.parquet(sink)
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted == Set(11L, 14L), s"accepted $accepted")
+
+    // parity with the inline (text-rescanning) sequential path
+    val batchA = Seq((10L, base.replace("tok40", "x")), (11L, fresh),
+      (12L, fresh.replace("new40", "y"))).toDF("doc_id", "text")
+    val keptA = graft.operators.Dedup.minhashIncremental(batchA, static)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val corpus2 = static.union(batchA.filter($"doc_id".isin(keptA.toSeq: _*))
+      .select("doc_id", "text"))
+    val batchB = Seq((13L, fresh.replace("new39", "z")), (14L, novel))
+      .toDF("doc_id", "text")
+    val keptB = graft.operators.Dedup.minhashIncremental(batchB, corpus2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptA ++ keptB == accepted)
+
+    // the probe plan a batch executes reads ONLY index frames from
+    // files: no ReadSchema may contain a text column, even with the
+    // grown index (post-batch-B state)
+    val probe = StreamDedup.scrubNearDupsIndexed(
+      batchB, idx.postings, idx.shingles)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, s"expected parquet index scans in:\n$plan")
+    schemas.foreach(s => assert(!s.contains("text"),
+      s"per-batch plan reads a corpus text column ($s):\n$plan"))
+  }
+
   test("batch mode matches the batch dedup operator's clusters") {
     val docs = Seq(
       (ts("2024-01-01 00:00:00"), 1L, "alpha"),

@@ -1,14 +1,14 @@
 package graft.streaming
 
 import graft.SparkSpec
-import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.StructType
 import java.nio.file.Files
 
-/** Streaming write path: foreachBatch with per-batch-id overwrite —
-  * the idempotent sink pattern for exactly-once parquet output (a
-  * replayed micro-batch overwrites its own directory instead of
-  * appending duplicates).
+/** Streaming write path: [[StreamSink.idempotentParquet]] (foreachBatch
+  * with per-batch-id overwrite — exactly-once parquet output under
+  * replay) and [[StreamSink.ingestAvailableNow]] (checkpointed
+  * incremental file ingest).
   */
 class StreamSinkSpec extends SparkSpec {
   import spark.implicits._
@@ -18,10 +18,7 @@ class StreamSinkSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_sink").toString
     val mem = MemoryStream[(Long, Double)]
     val q = mem.toDF().toDF("id", "value").writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
-        ()
-      }
+      .foreachBatch(StreamSink.idempotentParquet(dir))
       .start()
     try {
       mem.addData((1L, 1.0), (2L, 2.0))
@@ -31,37 +28,27 @@ class StreamSinkSpec extends SparkSpec {
       val out = spark.read.parquet(s"$dir/batch=*")
       assert(out.count() == 3)
       assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
-      // simulate a replay of batch 0: overwriting its directory with
-      // the same rows leaves totals unchanged (append would duplicate)
-      val b0 = spark.read.parquet(s"$dir/batch=0").collect().toSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(b0),
-        spark.read.parquet(s"$dir/batch=0").schema)
-        .write.mode("overwrite").parquet(s"$dir/batch=0")
+      // simulate a replay of batch 0: re-delivering the same rows to the
+      // sink writer leaves totals unchanged (append would duplicate)
+      val b0 = spark.read.parquet(s"$dir/batch=0")
+      StreamSink.idempotentParquet(dir)(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(b0.collect().toSeq), b0.schema),
+        0L)
       assert(spark.read.parquet(s"$dir/batch=*").count() == 3)
     } finally q.stop()
   }
 
   test("file-source incremental ingest processes each drop exactly once (AvailableNow)") {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.streaming.Trigger
     val root = Files.createTempDirectory("graft_ingest_incr").toString
     val (in, out, ckpt) = (s"$root/landing", s"$root/mart", s"$root/ckpt")
 
     def drop(ids: Range): Unit = ids.map(i => (i.toLong, i * 1.5))
       .toDF("id", "value").write.mode("append").parquet(in)
-    // one incremental run: start where the checkpoint left off, process
-    // every file not yet seen, stop — the queue-less nightly-load shape
-    // (same transform code a 24/7 stream would run)
-    def runOnce(): Unit = {
-      val q = spark.readStream
-        .schema("id LONG, value DOUBLE").parquet(in)
-        .withColumn("doubled", col("value") * 2)
-        .writeStream.option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow()).format("parquet")
-        .option("path", out).start()
-      q.awaitTermination()
-    }
+    def runOnce(): Unit = StreamSink.ingestAvailableNow(
+      spark, in, StructType.fromDDL("id LONG, value DOUBLE"), out, ckpt,
+      _.withColumn("doubled", col("value") * 2))
 
     drop(1 to 5)
     runOnce()
@@ -73,6 +60,8 @@ class StreamSinkSpec extends SparkSpec {
     // checkpoint remembers processed files), the first 5 not re-read
     assert(rows.count() == 8)
     assert(rows.select("id").as[Long].collect().toSet == (1L to 8L).toSet)
+    // the transform applied on the stream path
+    assert(rows.filter(col("doubled") =!= col("value") * 2).count() == 0)
     // re-running with nothing new is a no-op
     runOnce()
     assert(spark.read.parquet(out).count() == 8)
