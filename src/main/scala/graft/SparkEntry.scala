@@ -153,6 +153,11 @@ object SparkEntry {
     "ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(Tables(s, d, "documents"))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(Tables(s, d, "documents"))),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables(s, d, "documents"))),
+    // cross-doc duplicate-span mining (the passage-grain dedup): the
+    // oracle replays gram-string equality where Spark joins on the
+    // 64-bit gram hash — identical spans barring a 2^-64 collision
+    "dedup_substring" -> ((s, d) =>
+      Dedup.duplicateSpans(Tables(s, d, "documents"))),
     "dedup_embedding" -> ((s, d) =>
       Similarity.embeddingNearDup(Tables(s, d, "embeddings"))),
     // --- similarity search (SURVEY.md §2) ---
@@ -1541,6 +1546,25 @@ object SparkEntry {
         |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
     "dedup_simhash" -> simhashPairsSql,
     "dedup_minhash_lsh" -> minhashPairsSql,
+    // Mirrors Dedup.duplicateSpans (k=8, minDocs=2): positional word
+    // 8-grams, grams in >=2 distinct docs, adjacent positions merged
+    // into spans. Gram STRINGS here vs 64-bit gram hashes in Spark —
+    // span parity barring a 2^-64 hash collision.
+    "dedup_substring" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |        array_to_string(tk[i:i+7], ' ') AS gram
+        |      FROM tk, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |di AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM di)
+        |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 7 AS span_end,
+        |  MAX(pos) - MIN(pos) + 8 AS span_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
     "events_approx_stats" -> approxStatsSql,
     "hll_monthly" -> hllMonthlySql,
     // Mirrors Similarity.normalize: index-ordered double MAC + one

@@ -127,6 +127,81 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-document duplicate text SPANS at a fixed token k-gram grain
+    * — the duplicate-passage family (the dedup grain between document-
+    * level [[exact]] and similarity-level [[minhashLsh]]): find maximal
+    * token runs that also occur in at least `minDocs - 1` OTHER
+    * documents, e.g. boilerplate headers, licence blocks, quoted
+    * passages.
+    *
+    * Shape: a positional k-gram instance table (doc_id, pos, h) where
+    * `h` is a 64-bit hash of the gram — hashed IN the scan projection,
+    * so gram strings never leave the scan and the shuffled rows are
+    * 24 bytes regardless of k. A gram is duplicated when it appears in
+    * ≥ `minDocs` distinct docs (hash aggregate, map-side combined);
+    * instances of duplicated grams semi-join back (both sides keyed on
+    * `h` — the aggregate's exchange is reused) and adjacent positions
+    * merge into islands via the pos − row_number trick (the
+    * events_streaks pattern) under a per-doc window. A span of g
+    * consecutive duplicated grams covers g + k − 1 tokens.
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens, n_grams) —
+    * token positions 0-based inclusive — ordered for the oracle. The
+    * oracle replays gram-STRING equality; hash equality diverges only
+    * on a 64-bit collision (~#grams²/2⁶⁴, vanishing at any SF).
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val tk = col("tk")
+    val idx = sequence(lit(1), greatest(size(tk) - (k - 1), lit(1)))
+    val gramHashes = transform(idx, i =>
+      when(i + lit(k - 1) <= size(tk),
+        xxhash64(array_join(slice(tk, i, lit(k)), " "))))
+    val inst = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), posexplode(gramHashes))
+      .toDF("doc_id", "pos", "h")
+      .filter(col("h").isNotNull)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+    // "appears in >= minDocs distinct docs" at the default minDocs=2 is
+    // a SELF-semi-join: an instance survives iff ANOTHER doc carries
+    // the same gram hash. Both join inputs are the identical instance
+    // subtree, so the corpus-sized table is computed and h-shuffled
+    // ONCE (ReusedExchange, plan-audited) — the aggregate formulation
+    // (kept below for minDocs > 2) plans a (h, doc_id) distinct phase
+    // whose partitioning differs from the probe side's and forces a
+    // second scan + shuffle. The vacuously-true `a.pos + b.pos >= 0`
+    // term (positions are non-negative by construction) references
+    // BOTH sides so it cannot be pushed below the join: it keeps pos
+    // in the right copy's projection, where column pruning would
+    // otherwise de-canonicalize the two subtrees and break the reuse.
+    // A semi join probes until first match, so hot boilerplate grams
+    // exit on the first foreign instance.
+    val marked =
+      if (minDocs <= 2)
+        inst.as("a").join(inst.as("b"),
+          col("a.h") === col("b.h") &&
+            col("a.doc_id") =!= col("b.doc_id") &&
+            col("a.pos") + col("b.pos") >= 0,
+          "left_semi")
+      else
+        inst.join(
+          inst.groupBy("h").agg(count_distinct(col("doc_id")).as("nd"))
+            .filter(col("nd") >= minDocs).select("h"),
+          Seq("h"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_grams"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Exact n-gram Jaccard similar pairs via an inverted index.
     *
     * Joining on the shingle (token) shards the O(n²) problem by term —

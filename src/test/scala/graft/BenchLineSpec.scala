@@ -41,6 +41,18 @@ class BenchLineSpec extends AnyFunSuite {
       s"compressed full-precision line is ${line.length} chars (> 1996)")
   }
 
+  test("BENCH_KEYS.md is in sync with the bench surface") {
+    // the committed legend is what makes a compressed bench artifact
+    // decodable without stderr; regenerate with
+    //   sbt "runMain graft.tools.GenBenchKeys"
+    val expected = Bench.legendMarkdown(Bench.legendNames)
+    val onDisk = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("BENCH_KEYS.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(onDisk == expected,
+      "BENCH_KEYS.md is stale — run: sbt \"runMain graft.tools.GenBenchKeys\"")
+  }
+
   test("compressed line holds 160 queries at 1 decimal (growth headroom)") {
     // +~60 queries over today's surface still fits with every distinct
     // timing present once the precision ladder reaches 1 decimal

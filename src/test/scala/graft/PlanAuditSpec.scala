@@ -324,6 +324,33 @@ class PlanAuditSpec extends SparkSpec {
       s"an equi-join lost its keys:\n$plan")
   }
 
+  test("duplicate spans: instance table computed once (exchange reused), " +
+       "windows doc-partitioned, no cartesians") {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val plan = finalPlan(
+        Dedup.duplicateSpans(graft.core.Tables(spark, sf(), "documents")))
+      // the duplicated-gram aggregate and the semi-join back both key
+      // on h: the instance subtree's exchange must be computed once
+      assert(plan.contains("ReusedExchange"),
+        s"instance table computed twice:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"semi-join lost its key:\n$plan")
+      // the island window must be doc-partitioned, never global
+      "Window \\[[^\\]]*windowspecdefinition\\(".r.findAllMatchIn(plan)
+        .foreach { m =>
+          assert(plan.substring(m.start,
+            math.min(plan.length, m.end + 40)).contains("doc_id"),
+            s"global window in span merge:\n$plan")
+        }
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("incremental near-dup probe: no windows, no cartesians, batch keepers anti-join") {
     val docs = graft.core.Tables(spark, sf(), "documents")
     val batch = docs.filter(col("doc_id") < 20)

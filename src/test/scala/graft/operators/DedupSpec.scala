@@ -116,6 +116,28 @@ class DedupSpec extends SparkSpec {
     assert(out.collect().map(_.getAs[Long]("doc_id")).toSeq == viaWrapper)
   }
 
+  test("duplicateSpans merges adjacent duplicated grams into maximal spans, " +
+       "ignores within-doc-only repeats") {
+    // doc 1 tokens w1..w30 (positions 0..29); doc 2 embeds w5..w20
+    // (doc-1 positions 4..19) at its own positions 3..18; doc 3 is
+    // unrelated; doc 4 repeats ITS OWN 8-gram twice (1 distinct doc —
+    // below minDocs, no span); doc 5 is too short for any 8-gram
+    val d1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d2 = ("x1 x2 x3 " + (5 to 20).map(i => s"w$i").mkString(" ") + " y1 y2")
+    val d3 = (1 to 20).map(i => s"z$i").mkString(" ")
+    val d4 = ((1 to 8).map(i => s"q$i") ++ (1 to 8).map(i => s"q$i")).mkString(" ")
+    val d5 = "a b c"
+    val out = Dedup.duplicateSpans(docs(1L -> d1, 2L -> d2, 3L -> d3,
+      4L -> d4, 5L -> d5)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens"),
+        r.getAs[Long]("n_grams"))).toSeq
+    // shared 16-token run ⇒ 9 consecutive duplicated 8-grams per doc,
+    // one maximal span each: doc 1 tokens 4..19, doc 2 tokens 3..18
+    assert(out == Seq((1L, 4L, 19L, 16L, 9L), (2L, 3L, 18L, 16L, 9L)),
+      s"got $out")
+  }
+
   test("simhash: identical docs collide at hamming 0; disjoint docs do not pair") {
     val t = (1 to 50).map(i => s"word$i").mkString(" ")
     val out = Dedup.simhash(docs(1L -> t, 2L -> t,
