@@ -158,6 +158,9 @@ object SparkEntry {
     // 64-bit gram hash — identical spans barring a 2^-64 collision
     "dedup_substring" -> ((s, d) =>
       Dedup.duplicateSpans(Tables(s, d, "documents"))),
+    // the enforcement half: duplicated spans excised from every doc
+    "dedup_substring_scrub" -> ((s, d) =>
+      Dedup.exciseSpans(Tables(s, d, "documents"))),
     "dedup_embedding" -> ((s, d) =>
       Similarity.embeddingNearDup(Tables(s, d, "embeddings"))),
     // --- similarity search (SURVEY.md §2) ---
@@ -1565,6 +1568,34 @@ object SparkEntry {
         |  MAX(pos) - MIN(pos) + 8 AS span_tokens,
         |  CAST(COUNT(*) AS BIGINT) AS n_grams
         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
+    // Mirrors Dedup.exciseSpans: same span CTEs, then every covered
+    // token dropped and the survivors re-joined in position order.
+    "dedup_substring_scrub" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |        array_to_string(tk[i:i+7], ' ') AS gram
+        |      FROM tk, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |di AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |        FROM di),
+        |spans AS (SELECT doc_id, MIN(pos) AS s0, MAX(pos) + 7 AS s1
+        |          FROM isl GROUP BY doc_id, grp),
+        |t AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS tok
+        |      FROM tk, UNNEST(generate_series(1, len(tk))) AS u(i)),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM t
+        |         LEFT JOIN spans s ON t.doc_id = s.doc_id
+        |           AND t.pos BETWEEN s.s0 AND s.s1
+        |         WHERE s.doc_id IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |          CAST(COUNT(*) AS BIGINT) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+        |  CAST(len(tk.tk) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_removed
+        |FROM documents d JOIN tk USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "events_approx_stats" -> approxStatsSql,
     "hll_monthly" -> hllMonthlySql,
     // Mirrors Similarity.normalize: index-ordered double MAC + one

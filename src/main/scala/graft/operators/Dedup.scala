@@ -150,7 +150,14 @@ object Dedup {
     * oracle replays gram-STRING equality; hash equality diverges only
     * on a 64-bit collision (~#grams²/2⁶⁴, vanishing at any SF).
     */
-  def duplicateSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+  def duplicateSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame =
+    spanCore(docs, k, minDocs).orderBy("doc_id", "span_start")
+
+  /** [[duplicateSpans]] without the oracle's output sort, for
+    * composition (the sort would otherwise cost a range exchange
+    * inside [[exciseSpans]]' join).
+    */
+  private def spanCore(docs: DataFrame, k: Int, minDocs: Int): DataFrame = {
     val tk = col("tk")
     val idx = sequence(lit(1), greatest(size(tk) - (k - 1), lit(1)))
     val gramHashes = transform(idx, i =>
@@ -199,7 +206,51 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"),
         col("n_grams"))
-      .orderBy("doc_id", "span_start")
+  }
+
+  /** Rewrite each document with its cross-doc duplicate spans
+    * ([[duplicateSpans]]) EXCISED — the enforcement half of
+    * substring-level dedup: every token covered by a duplicated span
+    * is dropped from every document carrying it, the surviving tokens
+    * re-join in order.
+    *
+    * Shape: tokens explode positionally (24-byte-ish rows plus the
+    * token), spans attach per doc_id (an equi-join on doc_id with the
+    * position range as a post-join filter — spans per doc are few, so
+    * the per-key fan-out is bounded), covered tokens drop via
+    * left-anti, and the document reassembles with a single
+    * collect-and-sort aggregate per doc (struct(pos, tok) sorted —
+    * per-doc state is the document itself, the same bound every
+    * sessionization window here already accepts). Docs whose tokens
+    * all survive (or all drop) stay present via the final left join.
+    *
+    * Output: (doc_id, clean_text, n_removed), ordered by doc_id.
+    */
+  def exciseSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spans = spanCore(docs, k, minDocs)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val toks = docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val kept = toks.as("t")
+      .join(spans.as("s"),
+        col("t.doc_id") === col("s.doc_id") &&
+          col("t.pos").between(col("s.span_start"), col("s.span_end")),
+        "left_anti")
+    val reassembled = kept.groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("tok"))).as("pt"))
+      .select(col("doc_id"),
+        array_join(transform(array_sort(col("pt")), _.getField("tok")), " ")
+          .as("clean_text"),
+        size(col("pt")).cast("long").as("n_kept"))
+    docs.select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy("doc_id")
   }
 
   /** Exact n-gram Jaccard similar pairs via an inverted index.

@@ -138,6 +138,20 @@ class DedupSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("exciseSpans drops exactly the duplicated spans and keeps everything else") {
+    val d1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d2 = ("x1 x2 x3 " + (5 to 20).map(i => s"w$i").mkString(" ") + " y1 y2")
+    val d3 = (1 to 20).map(i => s"z$i").mkString(" ")
+    val out = Dedup.exciseSpans(docs(1L -> d1, 2L -> d2, 3L -> d3)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_removed"))).toSeq
+    val d1clean = ((1 to 4) ++ (21 to 30)).map(i => s"w$i").mkString(" ")
+    assert(out == Seq(
+      (1L, d1clean, 16L),
+      (2L, "x1 x2 x3 y1 y2", 16L),
+      (3L, d3, 0L)), s"got $out")
+  }
+
   test("simhash: identical docs collide at hamming 0; disjoint docs do not pair") {
     val t = (1 to 50).map(i => s"word$i").mkString(" ")
     val out = Dedup.simhash(docs(1L -> t, 2L -> t,
