@@ -157,18 +157,44 @@ object Dedup {
     * composition (the sort would otherwise cost a range exchange
     * inside [[exciseSpans]]' join).
     */
-  private def spanCore(docs: DataFrame, k: Int, minDocs: Int): DataFrame = {
+  /** The positional k-gram instance table (doc_id, pos: long, h: long)
+    * — gram strings are hashed inside the scan projection and never
+    * move.
+    */
+  private def spanInstances(docs: DataFrame, k: Int): DataFrame = {
     val tk = col("tk")
     val idx = sequence(lit(1), greatest(size(tk) - (k - 1), lit(1)))
     val gramHashes = transform(idx, i =>
       when(i + lit(k - 1) <= size(tk),
         xxhash64(array_join(slice(tk, i, lit(k)), " "))))
-    val inst = docs
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .select(col("doc_id"), posexplode(gramHashes))
       .toDF("doc_id", "pos", "h")
       .filter(col("h").isNotNull)
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+  }
+
+  /** Adjacent duplicated gram positions → maximal spans (the
+    * pos − row_number island merge), shared by every span operator.
+    * `marked` is any subset of a [[spanInstances]] frame.
+    */
+  private def islandSpans(marked: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_grams"))
+  }
+
+  private def spanCore(docs: DataFrame, k: Int, minDocs: Int): DataFrame = {
+    val inst = spanInstances(docs, k)
     // "appears in >= minDocs distinct docs" at the default minDocs=2 is
     // a SELF-semi-join: an instance survives iff ANOTHER doc carries
     // the same gram hash. Both join inputs are the identical instance
@@ -195,17 +221,40 @@ object Dedup {
           inst.groupBy("h").agg(count_distinct(col("doc_id")).as("nd"))
             .filter(col("nd") >= minDocs).select("h"),
           Seq("h"), "left_semi")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
-    marked
-      .withColumn("grp", col("pos") - row_number().over(w))
-      .groupBy("doc_id", "grp")
-      .agg(min("pos").as("span_start"),
-        (max("pos") + (k - 1)).as("span_end"),
-        count(lit(1)).as("n_grams"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        (col("span_end") - col("span_start") + 1).as("span_tokens"),
-        col("n_grams"))
+    islandSpans(marked, k)
+  }
+
+  /** The distinct gram-hash frame of a corpus — the persistable index
+    * for INCREMENTAL span dedup (8 bytes per distinct gram, no
+    * positions, no text): a batch probes it via [[duplicateSpansProbe]]
+    * and the corpus is never re-scanned. The span-grain sibling of
+    * [[bandedBuckets]].
+    */
+  def gramTable(docs: DataFrame, k: Int = 8): DataFrame =
+    spanInstances(docs, k).select("h").distinct()
+
+  /** [[duplicateSpans]] of a NEW batch against a PERSISTED corpus gram
+    * index: a batch gram is duplicated if the corpus has ever seen it
+    * (h semi-join against [[gramTable]] — existence alone implies a
+    * second document, assuming batch/corpus doc-ids are disjoint) or
+    * if another batch document carries it (the same self-semi-join as
+    * the one-shot form; all three consumers of the batch instance
+    * table key on h, so it computes once). Equals
+    * `duplicateSpans(corpus ∪ batch)` restricted to batch docs —
+    * spec-pinned — at work proportional to the batch, never the
+    * corpus.
+    */
+  def duplicateSpansProbe(batch: DataFrame, corpusGrams: DataFrame,
+                          k: Int = 8): DataFrame = {
+    val inst = spanInstances(batch, k)
+    val corpusHit = inst.join(corpusGrams.select("h"), Seq("h"), "left_semi")
+    val batchHit = inst.as("a").join(inst.as("b"),
+      col("a.h") === col("b.h") &&
+        col("a.doc_id") =!= col("b.doc_id") &&
+        col("a.pos") + col("b.pos") >= 0,
+      "left_semi")
+    islandSpans(corpusHit.unionByName(batchHit).distinct(), k)
+      .orderBy("doc_id", "span_start")
   }
 
   /** Rewrite each document with its cross-doc duplicate spans
@@ -226,8 +275,16 @@ object Dedup {
     *
     * Output: (doc_id, clean_text, n_removed), ordered by doc_id.
     */
-  def exciseSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val spans = spanCore(docs, k, minDocs)
+  def exciseSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame =
+    exciseWith(docs, spanCore(docs, k, minDocs))
+
+  /** The excision tail of [[exciseSpans]] against a caller-supplied
+    * spans frame (doc_id, span_start, span_end, ...) — lets the
+    * streaming path drop spans found by [[duplicateSpansProbe]]
+    * without re-deriving them.
+    */
+  def exciseWith(docs: DataFrame, spansIn: DataFrame): DataFrame = {
+    val spans = spansIn
       .select(col("doc_id"), col("span_start"), col("span_end"))
     val toks = docs
       .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))

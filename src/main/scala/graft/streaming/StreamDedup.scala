@@ -96,6 +96,61 @@ object StreamDedup {
   * both properties (cross-batch drops; no text column in any file
   * scan of the probe plan).
   */
+/** A persisted, incrementally-maintained gram-hash index for
+  * ingest-time SPAN dedup — the `foreachBatch` deployment of
+  * [[graft.operators.Dedup.duplicateSpansProbe]], and the span-grain
+  * sibling of [[NearDupIndex]].
+  *
+  * Layout: one parquet frame under `dir/grams` holding the distinct
+  * 64-bit gram hashes ever accepted — 8 bytes per distinct gram, no
+  * positions, no text. Each [[scrub]] probes the frame with
+  * batch-derived hashes (work ∝ batch + matches, never corpus),
+  * excises the duplicated spans from the batch's documents, and
+  * appends the batch's own distinct gram hashes so later batches
+  * dedupe against everything seen — including re-crawls of passages
+  * that were themselves excised. Appends accumulate per-batch
+  * distinct sets (not globally distinct): semi-join correctness is
+  * unaffected, and [[graft.etl.Maintenance.compact]] can fold the
+  * frame when file counts grow.
+  */
+class SpanIndex(spark: SparkSession, dir: String, k: Int = 8) {
+  private val gramsDir = s"$dir/grams"
+
+  locally {
+    if (!new java.io.File(gramsDir).exists()) {
+      val emptyDocs = spark.createDataFrame(
+        new java.util.ArrayList[Row](),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+      Dedup.gramTable(emptyDocs, k).write.parquet(gramsDir)
+    }
+  }
+
+  def grams: DataFrame = spark.read.parquet(gramsDir)
+
+  /** Index `docs` (doc_id, text, ...) without scrubbing — the one-time
+    * seed from an existing static corpus.
+    */
+  def append(docs: DataFrame): Unit =
+    Dedup.gramTable(docs, k).write.mode("append").parquet(gramsDir)
+
+  /** This batch's duplicate spans vs the index ∪ the batch itself. */
+  def spans(batch: DataFrame): DataFrame =
+    Dedup.duplicateSpansProbe(batch, grams, k)
+
+  /** Scrub one micro-batch: returns (doc_id, clean_text, n_removed)
+    * with every span already seen (or shared within the batch)
+    * excised, and grows the index with the batch's grams.
+    * localCheckpoint'd before the append for the same read-write
+    * reason as [[NearDupIndex.accept]].
+    */
+  def scrub(batch: DataFrame): DataFrame = {
+    val cleaned = Dedup.exciseWith(batch, spans(batch)).localCheckpoint()
+    append(batch)
+    cleaned
+  }
+}
+
 class NearDupIndex(spark: SparkSession, dir: String, n: Int = 3,
                    numHashes: Int = 32, bands: Int = 8,
                    minJaccard: Double = 0.5) {

@@ -152,6 +152,30 @@ class DedupSpec extends SparkSpec {
       (3L, d3, 0L)), s"got $out")
   }
 
+  test("duplicateSpansProbe against a gram index equals the union run " +
+       "restricted to the batch") {
+    val d1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d3 = (1 to 20).map(i => s"z$i").mkString(" ")
+    val fresh = (1 to 20).map(i => s"f$i").mkString(" ")
+    val corpus = docs(1L -> d1, 2L -> d3)
+    val batch = docs(
+      10L -> ("x1 x2 x3 " + (5 to 20).map(i => s"w$i").mkString(" ") + " y1 y2"),
+      11L -> ("pre " + fresh), // shares `fresh` with batch doc 12
+      12L -> (fresh + " post"),
+      13L -> (1 to 15).map(i => s"n$i").mkString(" "))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("span_tokens"),
+        r.getAs[Long]("n_grams"))).toSeq
+    val probe = rows(Dedup.duplicateSpansProbe(batch, Dedup.gramTable(corpus)))
+    val union = rows(Dedup.duplicateSpans(corpus.union(batch))
+      .filter($"doc_id" >= 10L))
+    assert(probe == union, s"probe $probe vs union $union")
+    // sanity on content: corpus-hit span in 10, batch-internal in 11+12,
+    // nothing in 13
+    assert(probe.map(_._1).toSet == Set(10L, 11L, 12L))
+  }
+
   test("simhash: identical docs collide at hamming 0; disjoint docs do not pair") {
     val t = (1 to 50).map(i => s"word$i").mkString(" ")
     val out = Dedup.simhash(docs(1L -> t, 2L -> t,

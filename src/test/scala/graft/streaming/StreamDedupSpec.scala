@@ -164,6 +164,48 @@ class StreamDedupSpec extends SparkSpec {
       s"per-batch plan reads a corpus text column ($s):\n$plan"))
   }
 
+  test("SpanIndex: duplicate passages excised across batches; " +
+       "probe plans read only gram hashes") {
+    val passage = (1 to 16).map(i => s"p$i").mkString(" ")
+    val q = (1 to 16).map(i => s"q$i").mkString(" ")
+    val static = Seq((1L, passage)).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_span").toString
+    val idx = new SpanIndex(spark, s"$root/index")
+    idx.append(static) // seed: the static corpus's passages are "seen"
+
+    // batch A: doc 10 embeds the seeded passage (excised), doc 11 is a
+    // fresh passage (kept whole, but now indexed)
+    val batchA = Seq(
+      (10L, "a1 a2 a3 " + passage + " a4 a5"),
+      (11L, q)).toDF("doc_id", "text")
+    val cleanA = idx.scrub(batchA).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_removed"))).toSeq
+    assert(cleanA == Seq((10L, "a1 a2 a3 a4 a5", 16L), (11L, q, 0L)),
+      s"got $cleanA")
+
+    // batch B: doc 20 re-crawls batch A's fresh passage — only the
+    // APPENDED index rows can catch it; doc 21 is novel
+    val batchB = Seq(
+      (20L, "b1 " + q + " b2"),
+      (21L, (1 to 10).map(i => s"r$i").mkString(" "))).toDF("doc_id", "text")
+    val cleanB = idx.scrub(batchB).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_removed"))).toSeq
+    assert(cleanB == Seq((20L, "b1 b2", 16L),
+      (21L, (1 to 10).map(i => s"r$i").mkString(" "), 0L)), s"got $cleanB")
+
+    // the probe plan reads ONLY gram hashes from files — never text
+    val probe = idx.spans(batchB)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, s"expected parquet index scans in:\n$plan")
+    schemas.foreach(s => assert(!s.contains("text"),
+      s"span probe plan reads a text column ($s):\n$plan"))
+  }
+
   test("batch mode matches the batch dedup operator's clusters") {
     val docs = Seq(
       (ts("2024-01-01 00:00:00"), 1L, "alpha"),
