@@ -271,7 +271,8 @@ object Dedup {
     * collect-and-sort aggregate per doc (struct(pos, tok) sorted —
     * per-doc state is the document itself, the same bound every
     * sessionization window here already accepts). Docs whose tokens
-    * all survive (or all drop) stay present via the final left join.
+    * all survive (or all drop) stay present via the final full-outer
+    * join of survivors against per-doc span widths.
     *
     * Output: (doc_id, clean_text, n_removed), ordered by doc_id.
     */
@@ -299,14 +300,21 @@ object Dedup {
       .agg(collect_list(struct(col("pos"), col("tok"))).as("pt"))
       .select(col("doc_id"),
         array_join(transform(array_sort(col("pt")), _.getField("tok")), " ")
-          .as("clean_text"),
-        size(col("pt")).cast("long").as("n_kept"))
-    docs.select(col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-      .join(reassembled, Seq("doc_id"), "left")
+          .as("clean_text"))
+    // n_removed comes from the spans themselves (islands are disjoint,
+    // so covered tokens = Σ span widths) — NOT from re-scanning the
+    // corpus text for token counts; that third full-text scan is the
+    // difference between 2 and 3 passes over 100 TB. Every doc appears
+    // in at least one side of the outer join: a doc missing from
+    // `reassembled` had all tokens covered (so it has spans), one
+    // missing from `removed` had no spans (so it kept tokens — even an
+    // empty text tokenizes to one empty token).
+    val removed = spans.groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start") + 1).as("n_removed"))
+    reassembled.join(removed, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
       .orderBy("doc_id")
   }
 
