@@ -72,6 +72,15 @@ object StreamDedup {
       Dedup.minhashProbe(
         batch, corpusPostings, corpusShingles, n, numHashes, bands, minJaccard),
       Seq("doc_id"), "left_semi")
+
+  /** Warehouse-path existence via the Hadoop filesystem of the path's
+    * scheme — a `java.io.File` check would silently report false for
+    * every hdfs:// or s3:// index dir and re-bootstrap it empty.
+    */
+  private[streaming] def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 }
 
 /** A persisted, incrementally-maintained MinHash-LSH corpus index for
@@ -117,7 +126,7 @@ class SpanIndex(spark: SparkSession, dir: String, k: Int = 8) {
   private val gramsDir = s"$dir/grams"
 
   locally {
-    if (!new java.io.File(gramsDir).exists()) {
+    if (!StreamDedup.pathExists(spark, gramsDir)) {
       val emptyDocs = spark.createDataFrame(
         new java.util.ArrayList[Row](),
         StructType(Seq(StructField("doc_id", LongType),
@@ -158,7 +167,7 @@ class NearDupIndex(spark: SparkSession, dir: String, n: Int = 3,
   private val shinglesDir = s"$dir/shingles"
 
   locally {
-    if (!new java.io.File(postingsDir).exists()) {
+    if (!StreamDedup.pathExists(spark, postingsDir)) {
       val emptyDocs = spark.createDataFrame(
         new java.util.ArrayList[Row](),
         StructType(Seq(StructField("doc_id", LongType),

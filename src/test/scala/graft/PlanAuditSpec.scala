@@ -351,6 +351,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("span excision: at most 2 corpus scans (spans reuse their exchange, " +
+       "no token-count scan), no cartesians") {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val plan = finalPlan(
+        Dedup.exciseSpans(graft.core.Tables(spark, sf(), "documents")))
+      // one scan for the span instance table (self-join sides reuse its
+      // exchange) + one for the positional token table; n_removed must
+      // come from span widths, never a third text scan
+      val scans = "Scan parquet".r.findAllMatchIn(plan).length
+      assert(scans <= 2, s"expected <=2 corpus scans, saw $scans:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"a join lost its keys:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("incremental near-dup probe: no windows, no cartesians, batch keepers anti-join") {
     val docs = graft.core.Tables(spark, sf(), "documents")
     val batch = docs.filter(col("doc_id") < 20)
