@@ -147,14 +147,17 @@ class SpanIndex(spark: SparkSession, dir: String, k: Int = 8) {
   def spans(batch: DataFrame): DataFrame =
     Dedup.duplicateSpansProbe(batch, grams, k)
 
-  /** Scrub one micro-batch: returns (doc_id, clean_text, n_removed)
-    * with every span already seen (or shared within the batch)
-    * excised, and grows the index with the batch's grams.
-    * localCheckpoint'd before the append for the same read-write
-    * reason as [[NearDupIndex.accept]].
+  /** Scrub one micro-batch: returns the batch with every span already
+    * seen (or shared within the batch) excised — all non-text batch
+    * columns preserved, `clean_text` and `n_removed` attached — and
+    * grows the index with the batch's grams. localCheckpoint'd before
+    * the append for the same read-write reason as
+    * [[NearDupIndex.accept]].
     */
   def scrub(batch: DataFrame): DataFrame = {
-    val cleaned = Dedup.exciseWith(batch, spans(batch)).localCheckpoint()
+    val cleaned = batch.drop("text")
+      .join(Dedup.exciseWith(batch, spans(batch)), Seq("doc_id"))
+      .localCheckpoint()
     append(batch)
     cleaned
   }

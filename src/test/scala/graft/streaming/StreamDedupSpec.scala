@@ -174,24 +174,28 @@ class StreamDedupSpec extends SparkSpec {
     idx.append(static) // seed: the static corpus's passages are "seen"
 
     // batch A: doc 10 embeds the seeded passage (excised), doc 11 is a
-    // fresh passage (kept whole, but now indexed)
+    // fresh passage (kept whole, but now indexed); the ts column must
+    // ride through the scrub untouched
     val batchA = Seq(
-      (10L, "a1 a2 a3 " + passage + " a4 a5"),
-      (11L, q)).toDF("doc_id", "text")
-    val cleanA = idx.scrub(batchA).collect()
+      (ts("2024-01-01 00:00:00"), 10L, "a1 a2 a3 " + passage + " a4 a5"),
+      (ts("2024-01-01 00:01:00"), 11L, q)).toDF("ts", "doc_id", "text")
+    val outA = idx.scrub(batchA)
+    assert(outA.columns.contains("ts"), "non-text batch columns must survive")
+    val cleanA = outA.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
-        r.getAs[Long]("n_removed"))).toSeq
+        r.getAs[Long]("n_removed"))).toSeq.sortBy(_._1)
     assert(cleanA == Seq((10L, "a1 a2 a3 a4 a5", 16L), (11L, q, 0L)),
       s"got $cleanA")
 
     // batch B: doc 20 re-crawls batch A's fresh passage — only the
     // APPENDED index rows can catch it; doc 21 is novel
     val batchB = Seq(
-      (20L, "b1 " + q + " b2"),
-      (21L, (1 to 10).map(i => s"r$i").mkString(" "))).toDF("doc_id", "text")
+      (ts("2024-01-01 00:10:00"), 20L, "b1 " + q + " b2"),
+      (ts("2024-01-01 00:11:00"), 21L, (1 to 10).map(i => s"r$i").mkString(" ")))
+      .toDF("ts", "doc_id", "text")
     val cleanB = idx.scrub(batchB).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
-        r.getAs[Long]("n_removed"))).toSeq
+        r.getAs[Long]("n_removed"))).toSeq.sortBy(_._1)
     assert(cleanB == Seq((20L, "b1 b2", 16L),
       (21L, (1 to 10).map(i => s"r$i").mkString(" "), 0L)), s"got $cleanB")
 
