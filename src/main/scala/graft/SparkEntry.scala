@@ -1583,18 +1583,23 @@ object SparkEntry {
         |        FROM di),
         |spans AS (SELECT doc_id, MIN(pos) AS s0, MAX(pos) + 7 AS s1
         |          FROM isl GROUP BY doc_id, grp),
-        |t AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk[i] AS tok
-        |      FROM tk, UNNEST(generate_series(1, len(tk))) AS u(i)),
+        |t AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, tk2[i] AS tok
+        |      FROM (SELECT doc_id,
+        |              string_split(COALESCE(text, ''), ' ') AS tk2
+        |            FROM documents),
+        |           UNNEST(generate_series(1, len(tk2))) AS u(i)),
         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM t
         |         LEFT JOIN spans s ON t.doc_id = s.doc_id
         |           AND t.pos BETWEEN s.s0 AND s.s1
         |         WHERE s.doc_id IS NULL),
-        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-        |          CAST(COUNT(*) AS BIGINT) AS n_kept
-        |        FROM kept GROUP BY doc_id)
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |        FROM kept GROUP BY doc_id),
+        |removed AS (SELECT doc_id, SUM(s1 - s0 + 1) AS n_removed
+        |            FROM spans GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
-        |  CAST(len(tk.tk) AS BIGINT) - COALESCE(a.n_kept, 0) AS n_removed
-        |FROM documents d JOIN tk USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        |  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |  LEFT JOIN removed r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "events_approx_stats" -> approxStatsSql,
     "hll_monthly" -> hllMonthlySql,

@@ -153,10 +153,6 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame =
     spanCore(docs, k, minDocs).orderBy("doc_id", "span_start")
 
-  /** [[duplicateSpans]] without the oracle's output sort, for
-    * composition (the sort would otherwise cost a range exchange
-    * inside [[exciseSpans]]' join).
-    */
   /** The positional k-gram instance table (doc_id, pos: long, h: long)
     * — gram strings are hashed inside the scan projection and never
     * move.
@@ -193,6 +189,10 @@ object Dedup {
         col("n_grams"))
   }
 
+  /** [[duplicateSpans]] without the oracle's output sort, for
+    * composition (the sort would otherwise cost a range exchange
+    * inside [[exciseSpans]]' join).
+    */
   private def spanCore(docs: DataFrame, k: Int, minDocs: Int): DataFrame = {
     val inst = spanInstances(docs, k)
     // "appears in >= minDocs distinct docs" at the default minDocs=2 is
@@ -287,8 +287,15 @@ object Dedup {
   def exciseWith(docs: DataFrame, spansIn: DataFrame): DataFrame = {
     val spans = spansIn
       .select(col("doc_id"), col("span_start"), col("span_end"))
+    // NULL text would explode to ZERO token rows and the doc — absent
+    // from both outer-join sides — would vanish from the output (a
+    // streaming batch row silently dropped from the sink). Coalesce to
+    // '' first: like an empty string it tokenizes to one empty token,
+    // so the doc survives with clean_text '' and n_removed 0. The
+    // oracle applies the same COALESCE.
     val toks = docs
-      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(coalesce(col("text"), lit("")))))
       .toDF("doc_id", "pos", "tok")
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
     val kept = toks.as("t")

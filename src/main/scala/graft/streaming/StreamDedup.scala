@@ -81,6 +81,22 @@ object StreamDedup {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** The empty (doc_id, text) frame the index bootstraps derive their
+    * real schemas from.
+    */
+  private[streaming] def emptyDocs(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+
+  /** The partition value index seeds ([[NearDupIndex.append]] /
+    * [[SpanIndex.append]]) write under — below any real foreachBatch
+    * batch id, so seed rows are never excluded by a probe's
+    * own-batch filter.
+    */
+  final val SeedBatchId = -1L
 }
 
 /** A persisted, incrementally-maintained MinHash-LSH corpus index for
@@ -88,23 +104,96 @@ object StreamDedup {
   * [[graft.operators.Dedup.minhashProbe]].
   *
   * Layout: two parquet frames under `dir` — `postings/` (doc_id, band,
-  * bucket) and `shingles/` (doc_id, sh) — exactly the frames
+  * bucket) and `shingles/` (doc_id, sh), exactly the frames
   * [[graft.operators.Dedup.bandedBuckets]] and
-  * [[graft.operators.Dedup.shingleTable]] emit, created empty (with
-  * the real schemas, derived from the same builders over an empty
-  * corpus) at construction so the per-batch probe plan is identical
-  * from batch 0 onward.
+  * [[graft.operators.Dedup.shingleTable]] emit — each partitioned by
+  * the writing micro-batch's id (`batch=<id>/`). Both are created
+  * empty (with the real schemas, derived from the same builders over
+  * an empty corpus) at construction, so the per-batch probe plan is
+  * identical from batch 0 onward; the bootstrap re-runs if EITHER
+  * frame is missing and overwrites both, so a crash between the two
+  * writes cannot leave the index half-initialized.
+  *
+  * Replay safety: `foreachBatch` delivers at-least-once, so a batch
+  * can re-run after its index rows landed but before the checkpoint
+  * committed. [[accept]] therefore (a) probes the index EXCLUDING the
+  * current batch id's partitions — a replayed batch never matches its
+  * own prior attempt's rows — and (b) OVERWRITES its own `batch=<id>`
+  * partitions rather than appending, so the re-run converges to the
+  * same index state (the same discipline as
+  * [[StreamSink.idempotentParquet]]). StreamDedupSpec replays a batch
+  * and asserts identical output and index.
   *
   * Scale shape: each [[accept]] reads the index frames (columnar,
-  * pruned to 3 / 2 columns), probes them with batch-derived buckets,
-  * and appends only the ACCEPTED batch's index rows. Corpus text is
-  * never stored in the index and never re-scanned — work per
-  * micro-batch is O(batch + bucket collisions) even as the indexed
-  * corpus grows to 100 TB, versus the O(corpus) re-derivation of the
-  * inline [[StreamDedup.scrubNearDups]] path. StreamDedupSpec pins
-  * both properties (cross-batch drops; no text column in any file
-  * scan of the probe plan).
+  * pruned columns, own-batch partitions pruned at the source), probes
+  * them with batch-derived buckets, and writes only the ACCEPTED
+  * batch's index rows. Corpus text is never stored in the index and
+  * never re-scanned — work per micro-batch is O(batch + bucket
+  * collisions) even as the indexed corpus grows to 100 TB, versus the
+  * O(corpus) re-derivation of the inline
+  * [[StreamDedup.scrubNearDups]] path. StreamDedupSpec pins both
+  * properties (cross-batch drops; no text column in any file scan of
+  * the probe plan).
   */
+class NearDupIndex(spark: SparkSession, dir: String, n: Int = 3,
+                   numHashes: Int = 32, bands: Int = 8,
+                   minJaccard: Double = 0.5) {
+  private val postingsDir = s"$dir/postings"
+  private val shinglesDir = s"$dir/shingles"
+
+  locally {
+    if (!StreamDedup.pathExists(spark, postingsDir) ||
+        !StreamDedup.pathExists(spark, shinglesDir)) {
+      val e = StreamDedup.emptyDocs(spark)
+      Dedup.bandedBuckets(e, n, numHashes, bands).write.mode("overwrite")
+        .parquet(s"$postingsDir/batch=${StreamDedup.SeedBatchId}")
+      Dedup.shingleTable(e, n).write.mode("overwrite")
+        .parquet(s"$shinglesDir/batch=${StreamDedup.SeedBatchId}")
+    }
+  }
+
+  def postings: DataFrame = spark.read.parquet(postingsDir)
+  def shingles: DataFrame = spark.read.parquet(shinglesDir)
+
+  private def except(df: DataFrame, batchId: Long) =
+    df.filter(col("batch") =!= lit(batchId))
+
+  /** Index `docs` (doc_id, text, ...) without scrubbing — the one-time
+    * backfill that seeds the index from an existing static corpus.
+    * (The corpus text is read ONCE, here; never again at probe time.)
+    */
+  def append(docs: DataFrame): Unit = {
+    Dedup.bandedBuckets(docs, n, numHashes, bands).write.mode("append")
+      .parquet(s"$postingsDir/batch=${StreamDedup.SeedBatchId}")
+    Dedup.shingleTable(docs, n).write.mode("append")
+      .parquet(s"$shinglesDir/batch=${StreamDedup.SeedBatchId}")
+  }
+
+  /** Scrub one micro-batch against the index and grow it: returns the
+    * accepted rows (all batch columns) and overwrites the batch's own
+    * index partitions, so the NEXT batch's probe sees them —
+    * cross-batch near-dups drop — while a REPLAY of this batch id
+    * neither matches its own prior rows nor duplicates them.
+    *
+    * The accepted frame is localCheckpoint'd (materialized) BEFORE the
+    * write: its plan reads the very parquet dirs being written, and a
+    * lazy plan re-evaluated afterwards would see the batch's own
+    * postings and drop everything as a self-match.
+    */
+  def accept(batch: DataFrame, batchId: Long): DataFrame = {
+    val kept = StreamDedup.scrubNearDupsIndexed(
+      batch, except(postings, batchId), except(shingles, batchId),
+      n, numHashes, bands, minJaccard)
+      .localCheckpoint()
+    val keptDocs = kept.select(col("doc_id"), col("text"))
+    Dedup.bandedBuckets(keptDocs, n, numHashes, bands).write.mode("overwrite")
+      .parquet(s"$postingsDir/batch=$batchId")
+    Dedup.shingleTable(keptDocs, n).write.mode("overwrite")
+      .parquet(s"$shinglesDir/batch=$batchId")
+    kept
+  }
+}
+
 /** A persisted, incrementally-maintained gram-hash index for
   * ingest-time SPAN dedup — the `foreachBatch` deployment of
   * [[graft.operators.Dedup.duplicateSpansProbe]], and the span-grain
@@ -112,26 +201,29 @@ object StreamDedup {
   *
   * Layout: one parquet frame under `dir/grams` holding the distinct
   * 64-bit gram hashes ever accepted — 8 bytes per distinct gram, no
-  * positions, no text. Each [[scrub]] probes the frame with
-  * batch-derived hashes (work ∝ batch + matches, never corpus),
-  * excises the duplicated spans from the batch's documents, and
-  * appends the batch's own distinct gram hashes so later batches
-  * dedupe against everything seen — including re-crawls of passages
-  * that were themselves excised. Appends accumulate per-batch
-  * distinct sets (not globally distinct): semi-join correctness is
-  * unaffected, and [[graft.etl.Maintenance.compact]] can fold the
-  * frame when file counts grow.
+  * positions, no text — partitioned by the writing micro-batch's id.
+  * Each [[scrub]] probes the frame with batch-derived hashes (work ∝
+  * batch + matches, never corpus), excises the duplicated spans from
+  * the batch's documents, and writes the batch's own distinct gram
+  * hashes so later batches dedupe against everything seen — including
+  * re-crawls of passages that were themselves excised. Writes
+  * accumulate per-batch distinct sets (not globally distinct):
+  * semi-join correctness is unaffected, and
+  * [[graft.etl.Maintenance.compact]] can fold the frame when file
+  * counts grow.
+  *
+  * Replay safety mirrors [[NearDupIndex]]: the probe excludes the
+  * current batch id's partition (a replayed batch never sees its own
+  * prior grams — which would otherwise mark EVERY position duplicated
+  * and gut the batch) and the write overwrites that partition.
   */
 class SpanIndex(spark: SparkSession, dir: String, k: Int = 8) {
   private val gramsDir = s"$dir/grams"
 
   locally {
     if (!StreamDedup.pathExists(spark, gramsDir)) {
-      val emptyDocs = spark.createDataFrame(
-        new java.util.ArrayList[Row](),
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("text", StringType))))
-      Dedup.gramTable(emptyDocs, k).write.parquet(gramsDir)
+      Dedup.gramTable(StreamDedup.emptyDocs(spark), k).write.mode("overwrite")
+        .parquet(s"$gramsDir/batch=${StreamDedup.SeedBatchId}")
     }
   }
 
@@ -141,73 +233,30 @@ class SpanIndex(spark: SparkSession, dir: String, k: Int = 8) {
     * seed from an existing static corpus.
     */
   def append(docs: DataFrame): Unit =
-    Dedup.gramTable(docs, k).write.mode("append").parquet(gramsDir)
+    Dedup.gramTable(docs, k).write.mode("append")
+      .parquet(s"$gramsDir/batch=${StreamDedup.SeedBatchId}")
 
-  /** This batch's duplicate spans vs the index ∪ the batch itself. */
-  def spans(batch: DataFrame): DataFrame =
-    Dedup.duplicateSpansProbe(batch, grams, k)
+  /** This batch's duplicate spans vs the index ∪ the batch itself,
+    * excluding any prior attempt of the same batch id.
+    */
+  def spans(batch: DataFrame, batchId: Long): DataFrame =
+    Dedup.duplicateSpansProbe(
+      batch, grams.filter(col("batch") =!= lit(batchId)), k)
 
   /** Scrub one micro-batch: returns the batch with every span already
     * seen (or shared within the batch) excised — all non-text batch
     * columns preserved, `clean_text` and `n_removed` attached — and
-    * grows the index with the batch's grams. localCheckpoint'd before
-    * the append for the same read-write reason as
+    * grows the index with the batch's grams (own-partition overwrite;
+    * see the class doc's replay contract). localCheckpoint'd before
+    * the write for the same read-write reason as
     * [[NearDupIndex.accept]].
     */
-  def scrub(batch: DataFrame): DataFrame = {
+  def scrub(batch: DataFrame, batchId: Long): DataFrame = {
     val cleaned = batch.drop("text")
-      .join(Dedup.exciseWith(batch, spans(batch)), Seq("doc_id"))
+      .join(Dedup.exciseWith(batch, spans(batch, batchId)), Seq("doc_id"))
       .localCheckpoint()
-    append(batch)
+    Dedup.gramTable(batch, k).write.mode("overwrite")
+      .parquet(s"$gramsDir/batch=$batchId")
     cleaned
-  }
-}
-
-class NearDupIndex(spark: SparkSession, dir: String, n: Int = 3,
-                   numHashes: Int = 32, bands: Int = 8,
-                   minJaccard: Double = 0.5) {
-  private val postingsDir = s"$dir/postings"
-  private val shinglesDir = s"$dir/shingles"
-
-  locally {
-    if (!StreamDedup.pathExists(spark, postingsDir)) {
-      val emptyDocs = spark.createDataFrame(
-        new java.util.ArrayList[Row](),
-        StructType(Seq(StructField("doc_id", LongType),
-          StructField("text", StringType))))
-      Dedup.bandedBuckets(emptyDocs, n, numHashes, bands)
-        .write.parquet(postingsDir)
-      Dedup.shingleTable(emptyDocs, n).write.parquet(shinglesDir)
-    }
-  }
-
-  def postings: DataFrame = spark.read.parquet(postingsDir)
-  def shingles: DataFrame = spark.read.parquet(shinglesDir)
-
-  /** Index `docs` (doc_id, text, ...) without scrubbing — the one-time
-    * backfill that seeds the index from an existing static corpus.
-    * (The corpus text is read ONCE, here; never again at probe time.)
-    */
-  def append(docs: DataFrame): Unit = {
-    Dedup.bandedBuckets(docs, n, numHashes, bands)
-      .write.mode("append").parquet(postingsDir)
-    Dedup.shingleTable(docs, n).write.mode("append").parquet(shinglesDir)
-  }
-
-  /** Scrub one micro-batch against the index and grow it: returns the
-    * accepted rows (all batch columns) and appends their index rows, so
-    * the NEXT batch's probe sees them — cross-batch near-dups drop.
-    *
-    * The accepted frame is localCheckpoint'd (materialized) BEFORE the
-    * append: its plan reads the very parquet dirs being appended to,
-    * and a lazy plan re-evaluated after the append would see the
-    * batch's own postings and drop everything as a self-match.
-    */
-  def accept(batch: DataFrame): DataFrame = {
-    val kept = StreamDedup.scrubNearDupsIndexed(
-      batch, postings, shingles, n, numHashes, bands, minJaccard)
-      .localCheckpoint()
-    append(kept.select(col("doc_id"), col("text")))
-    kept
   }
 }

@@ -41,6 +41,22 @@ class BenchLineSpec extends AnyFunSuite {
       s"compressed full-precision line is ${line.length} chars (> 1996)")
   }
 
+  test("derived keys never collide with the dashboard stand-in names") {
+    // q1i..q5i / q1m..q5m pass through compression outside the map, so
+    // a derived key equal to one would emit duplicate JSON keys. Sweep
+    // enough q-initial one-word names that, unguarded, dozens would
+    // hash into the reserved set.
+    val qNames = (0 until 5000).map(i => s"qword$i")
+    val keys = Bench.shortKeys(names ++ qNames)
+    keys.foreach { case (n, k) =>
+      assert(n == k || !Bench.ReservedKeys(k),
+        s"derived key for $n collides with stand-in $k")
+    }
+    val dups = keys.groupBy(_._2).filter(_._2.size > 1)
+    assert(dups.isEmpty,
+      s"collision after steering: ${dups.map { case (k, m) => s"$k<-${m.keys.mkString("/")}" }.mkString(", ")}")
+  }
+
   test("BENCH_KEYS.md is in sync with the bench surface") {
     // the committed legend is what makes a compressed bench artifact
     // decodable without stderr; regenerate with

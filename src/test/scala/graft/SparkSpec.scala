@@ -8,6 +8,20 @@ import org.scalatest.BeforeAndAfterAll
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Executes `df` and asserts no FILE scan in its plan reads a `text`
+    * column — the shared audit for probe-an-index-not-the-corpus
+    * operators (in-memory batch scans don't appear as ReadSchema).
+    */
+  def assertNoTextScan(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(schemas.nonEmpty, s"expected parquet index scans in:\n$plan")
+    schemas.foreach(s => assert(!s.contains("text"),
+      s"plan reads a text column ($s):\n$plan"))
+  }
 }
 
 object SparkSpec {

@@ -104,12 +104,7 @@ class DedupSpec extends SparkSpec {
     // the probe plan's only FILE scans are the two index frames: every
     // ReadSchema must be index columns, never a corpus text column
     // (the batch's own text comes from the in-memory local scan)
-    val plan = out.queryExecution.executedPlan.toString
-    val schemas = "ReadSchema: struct<([^>]*)>".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(schemas.nonEmpty, s"expected parquet index scans in:\n$plan")
-    schemas.foreach(s => assert(!s.contains("text"),
-      s"probe plan reads a corpus text column ($s):\n$plan"))
+    assertNoTextScan(out)
     // row parity with the text-rescanning convenience wrapper
     val viaWrapper = Dedup.minhashIncremental(batch, corpus)
       .collect().map(_.getAs[Long]("doc_id")).toSeq
@@ -142,14 +137,19 @@ class DedupSpec extends SparkSpec {
     val d1 = (1 to 30).map(i => s"w$i").mkString(" ")
     val d2 = ("x1 x2 x3 " + (5 to 20).map(i => s"w$i").mkString(" ") + " y1 y2")
     val d3 = (1 to 20).map(i => s"z$i").mkString(" ")
-    val out = Dedup.exciseSpans(docs(1L -> d1, 2L -> d2, 3L -> d3)).collect()
+    // doc 4 has NULL text: it must SURVIVE the excision (clean '',
+    // 0 removed) — an exploded-to-zero-rows doc silently vanishing
+    // from the output was the round-6 review's data-loss finding
+    val out = Dedup.exciseSpans(
+      docs(1L -> d1, 2L -> d2, 3L -> d3, 4L -> (null: String))).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
         r.getAs[Long]("n_removed"))).toSeq
     val d1clean = ((1 to 4) ++ (21 to 30)).map(i => s"w$i").mkString(" ")
     assert(out == Seq(
       (1L, d1clean, 16L),
       (2L, "x1 x2 x3 y1 y2", 16L),
-      (3L, d3, 0L)), s"got $out")
+      (3L, d3, 0L),
+      (4L, "", 0L)), s"got $out")
   }
 
   test("duplicateSpansProbe against a gram index equals the union run " +

@@ -103,16 +103,14 @@ class StreamDedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val root = java.nio.file.Files.createTempDirectory("graft_ndi").toString
     val sink = s"$root/accepted"
-    Seq.empty[(Timestamp, Long, String)].toDF("ts", "doc_id", "text")
-      .write.parquet(sink)
 
     val idx = new NearDupIndex(spark, s"$root/index")
     idx.append(static) // one-time seed: corpus text read here, never again
 
     val mem = MemoryStream[(Timestamp, Long, String)]
     val q = mem.toDF().toDF("ts", "doc_id", "text").writeStream
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        idx.accept(b).write.mode("append").parquet(sink)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        idx.accept(b, id).write.mode("overwrite").parquet(s"$sink/batch=$id")
       }
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_ndi_ck").toString)
@@ -133,7 +131,7 @@ class StreamDedupSpec extends SparkSpec {
       q.processAllAvailable()
     } finally q.stop()
 
-    val accepted = spark.read.parquet(sink)
+    val accepted = spark.read.parquet(s"$sink/batch=*")
       .select("doc_id").as[Long].collect().toSet
     assert(accepted == Set(11L, 14L), s"accepted $accepted")
 
@@ -153,15 +151,17 @@ class StreamDedupSpec extends SparkSpec {
     // the probe plan a batch executes reads ONLY index frames from
     // files: no ReadSchema may contain a text column, even with the
     // grown index (post-batch-B state)
-    val probe = StreamDedup.scrubNearDupsIndexed(
-      batchB, idx.postings, idx.shingles)
-    probe.collect()
-    val plan = probe.queryExecution.executedPlan.toString
-    val schemas = "ReadSchema: struct<([^>]*)>".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(schemas.nonEmpty, s"expected parquet index scans in:\n$plan")
-    schemas.foreach(s => assert(!s.contains("text"),
-      s"per-batch plan reads a corpus text column ($s):\n$plan"))
+    assertNoTextScan(StreamDedup.scrubNearDupsIndexed(
+      batchB, idx.postings, idx.shingles))
+
+    // REPLAY of batch id 1 (at-least-once delivery): must neither
+    // match the batch against its own prior-attempt index rows (which
+    // would drop 14 as a self-dup) nor grow the index
+    val before = idx.postings.count()
+    val replayKept = idx.accept(batchB, 1L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(replayKept == Set(14L), s"replay changed the outcome: $replayKept")
+    assert(idx.postings.count() == before, "replay grew the index")
   }
 
   test("SpanIndex: duplicate passages excised across batches; " +
@@ -179,7 +179,7 @@ class StreamDedupSpec extends SparkSpec {
     val batchA = Seq(
       (ts("2024-01-01 00:00:00"), 10L, "a1 a2 a3 " + passage + " a4 a5"),
       (ts("2024-01-01 00:01:00"), 11L, q)).toDF("ts", "doc_id", "text")
-    val outA = idx.scrub(batchA)
+    val outA = idx.scrub(batchA, 0L)
     assert(outA.columns.contains("ts"), "non-text batch columns must survive")
     val cleanA = outA.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
@@ -193,21 +193,21 @@ class StreamDedupSpec extends SparkSpec {
       (ts("2024-01-01 00:10:00"), 20L, "b1 " + q + " b2"),
       (ts("2024-01-01 00:11:00"), 21L, (1 to 10).map(i => s"r$i").mkString(" ")))
       .toDF("ts", "doc_id", "text")
-    val cleanB = idx.scrub(batchB).collect()
+    def runB() = idx.scrub(batchB, 1L).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
         r.getAs[Long]("n_removed"))).toSeq.sortBy(_._1)
-    assert(cleanB == Seq((20L, "b1 b2", 16L),
-      (21L, (1 to 10).map(i => s"r$i").mkString(" "), 0L)), s"got $cleanB")
+    val expectedB = Seq((20L, "b1 b2", 16L),
+      (21L, (1 to 10).map(i => s"r$i").mkString(" "), 0L))
+    val cleanB = runB()
+    assert(cleanB == expectedB, s"got $cleanB")
+
+    // REPLAY of batch id 1: excluding its own prior grams, the re-run
+    // must produce the identical output (unguarded, every gram of the
+    // batch would be "seen" and every doc gutted to "")
+    assert(runB() == expectedB, "replayed batch was gutted by its own grams")
 
     // the probe plan reads ONLY gram hashes from files — never text
-    val probe = idx.spans(batchB)
-    probe.collect()
-    val plan = probe.queryExecution.executedPlan.toString
-    val schemas = "ReadSchema: struct<([^>]*)>".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(schemas.nonEmpty, s"expected parquet index scans in:\n$plan")
-    schemas.foreach(s => assert(!s.contains("text"),
-      s"span probe plan reads a text column ($s):\n$plan"))
+    assertNoTextScan(idx.spans(batchB, 1L))
   }
 
   test("batch mode matches the batch dedup operator's clusters") {
