@@ -46,6 +46,23 @@ class EmptyInputSpec extends SparkSpec {
       .map(_.getLong(0)).toSet -- dropped)
   }
 
+  test("span dedup: empty corpus in, empty (or identity) out") {
+    assert(Dedup.duplicateSpans(docs0).count() == 0)
+    assert(Dedup.exciseSpans(docs0).count() == 0)
+    assert(Dedup.gramTable(docs0).count() == 0)
+    // empty batch probes to nothing; an empty gram index finds only
+    // batch-internal spans (none in 3 distinct docs)
+    val some = Tables(spark, sf(), "documents").limit(3)
+    assert(Dedup.duplicateSpansProbe(docs0, Dedup.gramTable(some)).count() == 0)
+    assert(Dedup.duplicateSpansProbe(some, Dedup.gramTable(docs0)).count()
+      == Dedup.duplicateSpans(some).count())
+    // excision against zero spans is the identity modulo tokenization
+    val untouched = Dedup.exciseWith(some,
+      Seq.empty[(Long, Long, Long)].toDF("doc_id", "span_start", "span_end"))
+    assert(untouched.count() == 3)
+    assert(untouched.filter(col("n_removed") =!= 0L).count() == 0)
+  }
+
   test("connectedComponents on zero edges returns zero labels (union-find fast path)") {
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Corpus.connectedComponents(pairs, "doc_a", "doc_b").count() == 0)

@@ -206,8 +206,15 @@ class StreamDedupSpec extends SparkSpec {
     // batch would be "seen" and every doc gutted to "")
     assert(runB() == expectedB, "replayed batch was gutted by its own grams")
 
-    // the probe plan reads ONLY gram hashes from files — never text
-    assertNoTextScan(idx.spans(batchB, 1L))
+    // the probe plan reads ONLY gram hashes from files — never text —
+    // and the own-batch exclusion is a PARTITION filter (the replayed
+    // batch's prior rows are pruned at the source, zero data read, not
+    // row-filtered after a scan)
+    val probe = idx.spans(batchB, 1L)
+    assertNoTextScan(probe)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*batch".r.findFirstIn(plan).isDefined,
+      s"own-batch exclusion not pushed to partition pruning:\n$plan")
   }
 
   test("batch mode matches the batch dedup operator's clusters") {
