@@ -156,19 +156,26 @@ object Dedup {
   /** The positional k-gram instance table (doc_id, pos: long, h: long)
     * — gram strings are hashed inside the scan projection and never
     * move.
+    *
+    * Deliberately LAMBDA-FREE (explode a 1-based position sequence,
+    * then `slice` with the position column) rather than a
+    * `transform(...)` over the token array: self-joining a frame makes
+    * DeduplicateRelations re-mint lambda-variable ids, and
+    * NamedLambdaVariable ids do not canonicalize away — a
+    * lambda-bearing instance subtree can therefore never match its
+    * self-join twin for exchange reuse, and the probe would compute
+    * the table once per consumer.
     */
   private def spanInstances(docs: DataFrame, k: Int): DataFrame = {
     val tk = col("tk")
-    val idx = sequence(lit(1), greatest(size(tk) - (k - 1), lit(1)))
-    val gramHashes = transform(idx, i =>
-      when(i + lit(k - 1) <= size(tk),
-        xxhash64(array_join(slice(tk, i, lit(k)), " "))))
     docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), posexplode(gramHashes))
-      .toDF("doc_id", "pos", "h")
-      .filter(col("h").isNotNull)
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("h"))
+      .select(col("doc_id"), tk,
+        explode(sequence(lit(1), greatest(size(tk) - (k - 1), lit(1))))
+          .as("i"))
+      .filter(col("i") + (k - 1) <= size(tk))
+      .select(col("doc_id"), (col("i") - 1).cast("long").as("pos"),
+        xxhash64(array_join(slice(tk, col("i"), lit(k)), " ")).as("h"))
   }
 
   /** Adjacent duplicated gram positions → maximal spans (the

@@ -351,6 +351,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("span probe: all three instance-table consumers reuse one exchange") {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try {
+      val docs = graft.core.Tables(spark, sf(), "documents")
+      val batch = docs.filter(col("doc_id") < 50)
+      val corpus = docs.filter(col("doc_id") >= 50)
+      val plan = finalPlan(
+        Dedup.duplicateSpansProbe(batch, Dedup.gramTable(corpus)))
+      // corpus-hit semi + both self-join sides all key on h over the
+      // same batch instance subtree: expect 2 reuses (3 consumers)
+      val n = "ReusedExchange".r.findAllMatchIn(plan).length
+      assert(n >= 2, s"instance table computed more than once ($n reuses):\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("span excision: at most 2 corpus scans (spans reuse their exchange, " +
        "no token-count scan), no cartesians") {
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
