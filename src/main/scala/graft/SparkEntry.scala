@@ -1594,8 +1594,11 @@ object SparkEntry {
         |         WHERE s.doc_id IS NULL),
         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
         |        FROM kept GROUP BY doc_id),
-        |removed AS (SELECT doc_id, SUM(s1 - s0 + 1) AS n_removed
-        |            FROM spans GROUP BY doc_id)
+        |removed AS (SELECT doc_id, COUNT(*) AS n_removed FROM (
+        |              SELECT DISTINCT t.doc_id, t.pos FROM t
+        |              JOIN spans s ON t.doc_id = s.doc_id
+        |                AND t.pos BETWEEN s.s0 AND s.s1)
+        |            GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
         |  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
         |FROM documents d LEFT JOIN agg a USING (doc_id)

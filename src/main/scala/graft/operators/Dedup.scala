@@ -300,31 +300,48 @@ object Dedup {
     // '' first: like an empty string it tokenizes to one empty token,
     // so the doc survives with clean_text '' and n_removed 0. The
     // oracle applies the same COALESCE.
+    // the explicit doc_id non-null filter (a NULL id has no dedup
+    // identity anyway) keeps the two coverage joins' token subtrees
+    // identical: the semi twin INFERS IsNotNull(doc_id) from its join
+    // keys while the anti twin does not, and that asymmetry alone
+    // would block the exchange reuse and cost a third corpus scan
     val toks = docs
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         posexplode(TextOps.tokens(coalesce(col("text"), lit("")))))
       .toDF("doc_id", "pos", "tok")
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-    val kept = toks.as("t")
+    // the vacuously-true `length(tok) + span_start >= 0` term (both
+    // non-negative) references BOTH sides so it stays in the join: it
+    // pins tok into the semi twin's input, where column pruning would
+    // otherwise shrink its subtree below the anti twin's and break the
+    // exchange reuse that keeps this at two corpus scans (the same
+    // device as the instance self-join's `a.pos + b.pos >= 0`)
+    def coverageJoin(joinType: String) = toks.as("t")
       .join(spans.as("s"),
         col("t.doc_id") === col("s.doc_id") &&
-          col("t.pos").between(col("s.span_start"), col("s.span_end")),
-        "left_anti")
+          col("t.pos").between(col("s.span_start"), col("s.span_end")) &&
+          length(col("t.tok")) + col("s.span_start") >= 0,
+        joinType)
+    val kept = coverageJoin("left_anti")
     val reassembled = kept.groupBy("doc_id")
       .agg(collect_list(struct(col("pos"), col("tok"))).as("pt"))
       .select(col("doc_id"),
         array_join(transform(array_sort(col("pt")), _.getField("tok")), " ")
           .as("clean_text"))
-    // n_removed comes from the spans themselves (islands are disjoint,
-    // so covered tokens = Σ span widths) — NOT from re-scanning the
-    // corpus text for token counts; that third full-text scan is the
-    // difference between 2 and 3 passes over 100 TB. Every doc appears
-    // in at least one side of the outer join: a doc missing from
-    // `reassembled` had all tokens covered (so it has spans), one
-    // missing from `removed` had no spans (so it kept tokens — even an
-    // empty text tokenizes to one empty token).
-    val removed = spans.groupBy("doc_id")
-      .agg(sum(col("span_end") - col("span_start") + 1).as("n_removed"))
+    // n_removed counts the COVERED tokens via the semi twin of the
+    // keep join (same children → both its exchanges are reused, no
+    // extra scan). It must NOT be derived as Σ span widths: islands
+    // are disjoint in GRAM-position space, but their token ranges
+    // overlap whenever the gram gap between two islands is < k, and
+    // summing widths double-counts the overlap. A semi join counts
+    // each covered token once regardless of how many spans cover it.
+    // Every doc appears in at least one side of the outer join: a doc
+    // missing from `reassembled` had all tokens covered, one missing
+    // from `removed` had none (even empty/NULL text tokenizes to one
+    // empty token, which is then kept).
+    val removed = coverageJoin("left_semi").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_removed"))
     reassembled.join(removed, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),

@@ -97,6 +97,50 @@ object StreamDedup {
     * own-batch filter.
     */
   final val SeedBatchId = -1L
+
+  /** The shared own-batch replay-exclusion filter — one definition so
+    * the two indexes cannot silently diverge in replay behavior.
+    */
+  private[streaming] def exceptBatch(df: DataFrame, batchId: Long): DataFrame =
+    df.filter(col("batch") =!= lit(batchId))
+
+  /** Bootstrap one index frame if (and only if) it is missing — each
+    * frame independently, so a crash between two frames' bootstraps
+    * leaves the done one alone and the re-run fills only the gap;
+    * overwriting BOTH on "either missing" would wipe the seed rows of
+    * a frame that still holds real data.
+    */
+  private[streaming] def bootstrapFrame(spark: SparkSession, dirPath: String,
+                                        empty: => DataFrame): Unit =
+    if (!pathExists(spark, dirPath))
+      empty.write.mode("overwrite").parquet(s"$dirPath/batch=$SeedBatchId")
+
+  /** Offline index maintenance shared by [[NearDupIndex.compact]] and
+    * [[SpanIndex.compact]]: fold every `batch=<id>` partition of one
+    * frame into the seed partition. Crash-safe by ordering — the
+    * folded superset lands in `batch=-1` (idempotent overwrite) BEFORE
+    * any old partition is deleted, so a failure at any point leaves a
+    * frame whose content is a superset of the original (duplicate rows
+    * are harmless to the semi-join probes) and a re-run converges.
+    *
+    * PRECONDITION: the stream is STOPPED and its checkpoint has
+    * committed past every folded batch. A batch replayed after its
+    * rows were folded into the seed partition would no longer be
+    * excluded by the own-batch filter — the exact self-match the
+    * per-batch layout exists to prevent.
+    */
+  private[streaming] def compactFrame(spark: SparkSession, dirPath: String): Unit = {
+    val all = spark.read.parquet(dirPath).drop("batch").distinct()
+      .localCheckpoint() // materialize BEFORE rewriting the dirs being read
+    all.write.mode("overwrite").parquet(s"$dirPath/batch=$SeedBatchId")
+    val root = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("batch=") &&
+        s.getPath.getName != s"batch=$SeedBatchId")
+      .foreach(s => fs.delete(s.getPath, true))
+  }
 }
 
 /** A persisted, incrementally-maintained MinHash-LSH corpus index for
@@ -142,21 +186,14 @@ class NearDupIndex(spark: SparkSession, dir: String, n: Int = 3,
   private val shinglesDir = s"$dir/shingles"
 
   locally {
-    if (!StreamDedup.pathExists(spark, postingsDir) ||
-        !StreamDedup.pathExists(spark, shinglesDir)) {
-      val e = StreamDedup.emptyDocs(spark)
-      Dedup.bandedBuckets(e, n, numHashes, bands).write.mode("overwrite")
-        .parquet(s"$postingsDir/batch=${StreamDedup.SeedBatchId}")
-      Dedup.shingleTable(e, n).write.mode("overwrite")
-        .parquet(s"$shinglesDir/batch=${StreamDedup.SeedBatchId}")
-    }
+    StreamDedup.bootstrapFrame(spark, postingsDir,
+      Dedup.bandedBuckets(StreamDedup.emptyDocs(spark), n, numHashes, bands))
+    StreamDedup.bootstrapFrame(spark, shinglesDir,
+      Dedup.shingleTable(StreamDedup.emptyDocs(spark), n))
   }
 
   def postings: DataFrame = spark.read.parquet(postingsDir)
   def shingles: DataFrame = spark.read.parquet(shinglesDir)
-
-  private def except(df: DataFrame, batchId: Long) =
-    df.filter(col("batch") =!= lit(batchId))
 
   /** Index `docs` (doc_id, text, ...) without scrubbing — the one-time
     * backfill that seeds the index from an existing static corpus.
@@ -182,7 +219,8 @@ class NearDupIndex(spark: SparkSession, dir: String, n: Int = 3,
     */
   def accept(batch: DataFrame, batchId: Long): DataFrame = {
     val kept = StreamDedup.scrubNearDupsIndexed(
-      batch, except(postings, batchId), except(shingles, batchId),
+      batch, StreamDedup.exceptBatch(postings, batchId),
+      StreamDedup.exceptBatch(shingles, batchId),
       n, numHashes, bands, minJaccard)
       .localCheckpoint()
     val keptDocs = kept.select(col("doc_id"), col("text"))
@@ -191,6 +229,15 @@ class NearDupIndex(spark: SparkSession, dir: String, n: Int = 3,
     Dedup.shingleTable(keptDocs, n).write.mode("overwrite")
       .parquet(s"$shinglesDir/batch=$batchId")
     kept
+  }
+
+  /** Fold all batch partitions of both frames into their seed
+    * partitions — see [[StreamDedup.compactFrame]] for the crash-safety
+    * argument and the stopped-stream precondition.
+    */
+  def compact(): Unit = {
+    StreamDedup.compactFrame(spark, postingsDir)
+    StreamDedup.compactFrame(spark, shinglesDir)
   }
 }
 
@@ -208,9 +255,10 @@ class NearDupIndex(spark: SparkSession, dir: String, n: Int = 3,
   * hashes so later batches dedupe against everything seen — including
   * re-crawls of passages that were themselves excised. Writes
   * accumulate per-batch distinct sets (not globally distinct):
-  * semi-join correctness is unaffected, and
-  * [[graft.etl.Maintenance.compact]] can fold the frame when file
-  * counts grow.
+  * semi-join correctness is unaffected, and [[compact]] folds the
+  * partitions (between runs) when file counts grow — do NOT run a
+  * generic directory compaction like Maintenance.compact here, it
+  * would flatten the batch partitioning the replay contract needs.
   *
   * Replay safety mirrors [[NearDupIndex]]: the probe excludes the
   * current batch id's partition (a replayed batch never sees its own
@@ -221,10 +269,8 @@ class SpanIndex(spark: SparkSession, dir: String, k: Int = 8) {
   private val gramsDir = s"$dir/grams"
 
   locally {
-    if (!StreamDedup.pathExists(spark, gramsDir)) {
-      Dedup.gramTable(StreamDedup.emptyDocs(spark), k).write.mode("overwrite")
-        .parquet(s"$gramsDir/batch=${StreamDedup.SeedBatchId}")
-    }
+    StreamDedup.bootstrapFrame(spark, gramsDir,
+      Dedup.gramTable(StreamDedup.emptyDocs(spark), k))
   }
 
   def grams: DataFrame = spark.read.parquet(gramsDir)
@@ -241,7 +287,7 @@ class SpanIndex(spark: SparkSession, dir: String, k: Int = 8) {
     */
   def spans(batch: DataFrame, batchId: Long): DataFrame =
     Dedup.duplicateSpansProbe(
-      batch, grams.filter(col("batch") =!= lit(batchId)), k)
+      batch, StreamDedup.exceptBatch(grams, batchId), k)
 
   /** Scrub one micro-batch: returns the batch with every span already
     * seen (or shared within the batch) excised — all non-text batch
@@ -259,4 +305,10 @@ class SpanIndex(spark: SparkSession, dir: String, k: Int = 8) {
       .parquet(s"$gramsDir/batch=$batchId")
     cleaned
   }
+
+  /** Fold all batch partitions into the seed partition — see
+    * [[StreamDedup.compactFrame]] for the crash-safety argument and
+    * the stopped-stream precondition.
+    */
+  def compact(): Unit = StreamDedup.compactFrame(spark, gramsDir)
 }

@@ -152,6 +152,24 @@ class DedupSpec extends SparkSpec {
       (4L, "", 0L)), s"got $out")
   }
 
+  test("exciseSpans counts overlapping-island coverage once (union, not span-width sum)") {
+    // doc 1 = t0..t12; doc 2 duplicates its first 8-gram, doc 3 its
+    // last — doc 1 gets TWO islands ({0} and {5}) whose token ranges
+    // [0,7] and [5,12] overlap on 5..7. The removed count must be the
+    // UNION (all 13 tokens), not the 16 a span-width sum reports.
+    val a = (0 to 12).map(i => s"t$i").mkString(" ")
+    val x = (0 to 7).map(i => s"t$i").mkString(" ")
+    val y = (5 to 12).map(i => s"t$i").mkString(" ")
+    val spans = Dedup.duplicateSpans(docs(1L -> a, 2L -> x, 3L -> y))
+      .filter($"doc_id" === 1L).collect()
+      .map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end"))).toSeq
+    assert(spans == Seq((0L, 7L), (5L, 12L)), s"got $spans") // fixture sanity
+    val out = Dedup.exciseSpans(docs(1L -> a, 2L -> x, 3L -> y)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_removed"))).toSeq
+    assert(out == Seq((1L, "", 13L), (2L, "", 8L), (3L, "", 8L)), s"got $out")
+  }
+
   test("duplicateSpansProbe against a gram index equals the union run " +
        "restricted to the batch") {
     val d1 = (1 to 30).map(i => s"w$i").mkString(" ")

@@ -162,6 +162,17 @@ class StreamDedupSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(replayKept == Set(14L), s"replay changed the outcome: $replayKept")
     assert(idx.postings.count() == before, "replay grew the index")
+
+    // offline compaction folds the batch partitions; the folded index
+    // must still catch near-dups of everything accepted so far
+    idx.compact()
+    assert(idx.postings.select("batch").distinct().count() == 1,
+      "compaction left extra partitions")
+    val afterCompact = idx.accept(
+      Seq((30L, novel.replace("alt40", "q"))).toDF("doc_id", "text"), 2L)
+      .collect()
+    assert(afterCompact.isEmpty,
+      "compacted index missed a near-dup of an accepted doc")
   }
 
   test("SpanIndex: duplicate passages excised across batches; " +
@@ -215,6 +226,19 @@ class StreamDedupSpec extends SparkSpec {
     val plan = probe.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*batch".r.findFirstIn(plan).isDefined,
       s"own-batch exclusion not pushed to partition pruning:\n$plan")
+
+    // offline compaction folds the batch partitions; passages accepted
+    // before the fold must still be caught afterwards
+    idx.compact()
+    assert(idx.grams.select("batch").distinct().count() == 1,
+      "compaction left extra partitions")
+    val afterCompact = idx.scrub(
+      Seq((ts("2024-01-01 00:20:00"), 30L, "c1 " + passage + " c2"))
+        .toDF("ts", "doc_id", "text"), 2L)
+      .collect().map(r => (r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_removed"))).toSeq
+    assert(afterCompact == Seq(("c1 c2", 16L)),
+      s"compacted index missed a seeded passage: $afterCompact")
   }
 
   test("batch mode matches the batch dedup operator's clusters") {
