@@ -1553,8 +1553,13 @@ object SparkEntry {
     // 8-grams, grams in >=2 distinct docs, adjacent positions merged
     // into spans. Gram STRINGS here vs 64-bit gram hashes in Spark —
     // span parity barring a 2^-64 hash collision.
+    // NULL-id docs carry no dedup identity: Spark filters them at the
+    // instance scan, so they must not appear in the oracle's spans
+    // either (and COUNT(DISTINCT doc_id) already ignores NULLs, so a
+    // NULL-id doc can't make a gram "duplicated" on either side)
     "dedup_substring" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |        FROM documents WHERE doc_id IS NOT NULL),
         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
         |        array_to_string(tk[i:i+7], ' ') AS gram
         |      FROM tk, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)),
@@ -1570,8 +1575,13 @@ object SparkEntry {
         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""".stripMargin,
     // Mirrors Dedup.exciseSpans: same span CTEs, then every covered
     // token dropped and the survivors re-joined in position order.
+    // NULL-id docs route through untouched (clean_text = their text,
+    // 0 removed) exactly like exciseWith's pass-through union — the
+    // USING joins below never match a NULL key, so the CASE supplies
+    // the pass-through instead of coalescing to ''.
     "dedup_substring_scrub" ->
-      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |        FROM documents WHERE doc_id IS NOT NULL),
         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
         |        array_to_string(tk[i:i+7], ' ') AS gram
         |      FROM tk, UNNEST(generate_series(1, len(tk) - 7)) AS u(i)),
@@ -1599,11 +1609,14 @@ object SparkEntry {
         |              JOIN spans s ON t.doc_id = s.doc_id
         |                AND t.pos BETWEEN s.s0 AND s.s1)
         |            GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
-        |  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id IS NULL THEN COALESCE(d.text, '')
+        |       ELSE COALESCE(a.clean_text, '') END AS clean_text,
+        |  CAST(CASE WHEN d.doc_id IS NULL THEN 0
+        |       ELSE COALESCE(r.n_removed, 0) END AS BIGINT) AS n_removed
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |  LEFT JOIN removed r USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+        |ORDER BY d.doc_id NULLS FIRST""".stripMargin,
     "events_approx_stats" -> approxStatsSql,
     "hll_monthly" -> hllMonthlySql,
     // Mirrors Similarity.normalize: index-ordered double MAC + one

@@ -138,12 +138,13 @@ object Dedup {
     * `h` is a 64-bit hash of the gram — hashed IN the scan projection,
     * so gram strings never leave the scan and the shuffled rows are
     * 24 bytes regardless of k. A gram is duplicated when it appears in
-    * ≥ `minDocs` distinct docs (hash aggregate, map-side combined);
-    * instances of duplicated grams semi-join back (both sides keyed on
-    * `h` — the aggregate's exchange is reused) and adjacent positions
-    * merge into islands via the pos − row_number trick (the
-    * events_streaks pattern) under a per-doc window. A span of g
-    * consecutive duplicated grams covers g + k − 1 tokens.
+    * ≥ `minDocs` distinct docs, decided by a hash aggregate (map-side
+    * combined, so hot boilerplate grams never funnel a partition — see
+    * spanCore); instances semi-join the one-row-per-gram duplicated
+    * set and adjacent positions merge into islands via the
+    * pos − row_number trick (the events_streaks pattern) under a
+    * per-doc window. A span of g consecutive duplicated grams covers
+    * g + k − 1 tokens.
     *
     * Output: (doc_id, span_start, span_end, span_tokens, n_grams) —
     * token positions 0-based inclusive — ordered for the oracle. The
@@ -159,16 +160,22 @@ object Dedup {
     *
     * Deliberately LAMBDA-FREE (explode a 1-based position sequence,
     * then `slice` with the position column) rather than a
-    * `transform(...)` over the token array: self-joining a frame makes
-    * DeduplicateRelations re-mint lambda-variable ids, and
-    * NamedLambdaVariable ids do not canonicalize away — a
-    * lambda-bearing instance subtree can therefore never match its
-    * self-join twin for exchange reuse, and the probe would compute
-    * the table once per consumer.
+    * `transform(...)` over the token array: NamedLambdaVariable ids
+    * are re-minted by DeduplicateRelations and never canonicalize
+    * away, so a lambda-bearing subtree can never match an aliased
+    * twin of itself for exchange reuse — keeping the kernel
+    * lambda-free keeps every composition of this table eligible.
     */
   private def spanInstances(docs: DataFrame, k: Int): DataFrame = {
     val tk = col("tk")
+    // NULL-id docs have no dedup identity and their instances are inert
+    // in every marking path anyway (`doc_id =!= NULL` never matches, so
+    // they neither mark nor get marked); filtering them at the scan
+    // also makes the hot-gram stats' min/max(doc_id) non-null by
+    // construction, which the hot/rare split's vacuous join terms rely
+    // on. [[exciseWith]] routes NULL-id docs around excision untouched.
     docs
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
       .select(col("doc_id"), tk,
         explode(sequence(lit(1), greatest(size(tk) - (k - 1), lit(1))))
@@ -202,33 +209,44 @@ object Dedup {
     */
   private def spanCore(docs: DataFrame, k: Int, minDocs: Int): DataFrame = {
     val inst = spanInstances(docs, k)
-    // "appears in >= minDocs distinct docs" at the default minDocs=2 is
-    // a SELF-semi-join: an instance survives iff ANOTHER doc carries
-    // the same gram hash. Both join inputs are the identical instance
-    // subtree, so the corpus-sized table is computed and h-shuffled
-    // ONCE (ReusedExchange, plan-audited) — the aggregate formulation
-    // (kept below for minDocs > 2) plans a (h, doc_id) distinct phase
-    // whose partitioning differs from the probe side's and forces a
-    // second scan + shuffle. The vacuously-true `a.pos + b.pos >= 0`
-    // term (positions are non-negative by construction) references
-    // BOTH sides so it cannot be pushed below the join: it keeps pos
-    // in the right copy's projection, where column pruning would
-    // otherwise de-canonicalize the two subtrees and break the reuse.
-    // A semi join probes until first match, so hot boilerplate grams
-    // exit on the first foreign instance.
-    val marked =
+    // "appears in >= minDocs distinct docs" is decided at GRAM grain,
+    // never by joining posting lists against each other: the duplicated
+    // gram set comes from a hash aggregate over the instances — at the
+    // default minDocs = 2, min(doc_id) ≠ max(doc_id) IS "≥ 2 distinct
+    // docs", a single-level aggregate whose partial combine collapses a
+    // hot gram's instances map-side (a boilerplate gram crossing every
+    // partition still ships ≤ one row per partition) — and the
+    // instances then semi-join a build side holding ONE ROW PER GRAM.
+    // This is the shape an earlier revision's instance-level
+    // self-semi-join lacked: there, a ubiquitous 8-gram (licence
+    // boilerplate, HTML artifacts) funneled its ENTIRE posting list
+    // into a single build partition keyed on h, which AQE cannot split
+    // for the non-stream side of a left-semi. Here no posting list is
+    // ever materialized per-key anywhere: the build side is uniform by
+    // construction, and the stream side — where a hot gram's instances
+    // do colocate — is the splittable side of a left-semi under AQE's
+    // skew rule. The shuffle_hash hint keeps the probe sort-free
+    // (a sort-merge would re-introduce a per-task sort of the hot
+    // stream partition when AQE leaves it unsplit).
+    //
+    // Cost vs the self-join formulation: one extra corpus scan (the
+    // aggregate side cannot share the probe side's exchange), bought
+    // deliberately — it is the same rows-for-skew-safety trade
+    // [[ngramJaccard]]'s `maxDf` hash aggregate makes, with none of
+    // its precision cut: both formulations decide exactly "gram
+    // occurs in ≥ minDocs docs", so the oracle replays the result
+    // verbatim, and a doc degenerately repeating one gram millions of
+    // times is still correctly unmarked (min = max).
+    val dupGrams =
       if (minDocs <= 2)
-        inst.as("a").join(inst.as("b"),
-          col("a.h") === col("b.h") &&
-            col("a.doc_id") =!= col("b.doc_id") &&
-            col("a.pos") + col("b.pos") >= 0,
-          "left_semi")
+        inst.groupBy("h")
+          .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+          .filter(col("d0") =!= col("d1")).select("h")
       else
-        inst.join(
-          inst.groupBy("h").agg(count_distinct(col("doc_id")).as("nd"))
-            .filter(col("nd") >= minDocs).select("h"),
-          Seq("h"), "left_semi")
-    islandSpans(marked, k)
+        inst.groupBy("h").agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= minDocs).select("h")
+    islandSpans(inst.join(dupGrams.hint("shuffle_hash"),
+      Seq("h"), "left_semi"), k)
   }
 
   /** The distinct gram-hash frame of a corpus — the persistable index
@@ -242,25 +260,28 @@ object Dedup {
 
   /** [[duplicateSpans]] of a NEW batch against a PERSISTED corpus gram
     * index: a batch gram is duplicated if the corpus has ever seen it
-    * (h semi-join against [[gramTable]] — existence alone implies a
-    * second document, assuming batch/corpus doc-ids are disjoint) or
-    * if another batch document carries it (the same self-semi-join as
-    * the one-shot form; all three consumers of the batch instance
-    * table key on h, so it computes once). Equals
-    * `duplicateSpans(corpus ∪ batch)` restricted to batch docs —
-    * spec-pinned — at work proportional to the batch, never the
-    * corpus.
+    * (existence in [[gramTable]] alone implies a second document,
+    * assuming batch/corpus doc-ids are disjoint) or if another batch
+    * document carries it (the same min≠max hash aggregate as the
+    * one-shot form — gram-grain, so even a backfill-sized "batch"
+    * with a hot boilerplate gram never funnels a join partition; see
+    * spanCore). The two gram sets union BEFORE the single semi-join —
+    * a build side of bare 8-byte hashes, one row per gram, never a
+    * posting list. Equals `duplicateSpans(corpus ∪ batch)` restricted
+    * to batch docs — spec-pinned — at work proportional to the batch,
+    * never the corpus.
     */
   def duplicateSpansProbe(batch: DataFrame, corpusGrams: DataFrame,
                           k: Int = 8): DataFrame = {
     val inst = spanInstances(batch, k)
-    val corpusHit = inst.join(corpusGrams.select("h"), Seq("h"), "left_semi")
-    val batchHit = inst.as("a").join(inst.as("b"),
-      col("a.h") === col("b.h") &&
-        col("a.doc_id") =!= col("b.doc_id") &&
-        col("a.pos") + col("b.pos") >= 0,
-      "left_semi")
-    islandSpans(corpusHit.unionByName(batchHit).distinct(), k)
+    val batchDup = inst.groupBy("h")
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") =!= col("d1")).select("h")
+    // no distinct over the union: duplicate h rows on a semi-join's
+    // build side are harmless (existence is existence), and the
+    // distinct would cost the only extra shuffle in the probe
+    val dup = corpusGrams.select("h").unionByName(batchDup)
+    islandSpans(inst.join(dup.hint("shuffle_hash"), Seq("h"), "left_semi"), k)
       .orderBy("doc_id", "span_start")
   }
 
@@ -300,11 +321,19 @@ object Dedup {
     // '' first: like an empty string it tokenizes to one empty token,
     // so the doc survives with clean_text '' and n_removed 0. The
     // oracle applies the same COALESCE.
-    // the explicit doc_id non-null filter (a NULL id has no dedup
-    // identity anyway) keeps the two coverage joins' token subtrees
-    // identical: the semi twin INFERS IsNotNull(doc_id) from its join
-    // keys while the anti twin does not, and that asymmetry alone
-    // would block the exchange reuse and cost a third corpus scan
+    // NULL-id docs route AROUND the excision untouched (unioned back
+    // below): a NULL id has no dedup identity — spanInstances drops it
+    // from span detection, equi-grouping would merge every NULL-id doc
+    // into one row, and silently dropping it would lose a streaming
+    // batch row from the sink. The non-null filter also keeps the two
+    // coverage joins' token subtrees identical: the semi twin INFERS
+    // IsNotNull(doc_id) from its join keys while the anti twin does
+    // not, and that asymmetry alone would block the exchange reuse
+    // and cost a third corpus scan.
+    val nullIdDocs = docs.filter(col("doc_id").isNull)
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("clean_text"),
+        lit(0L).as("n_removed"))
     val toks = docs
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
@@ -346,6 +375,7 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .unionByName(nullIdDocs)
       .orderBy("doc_id")
   }
 

@@ -324,8 +324,8 @@ class PlanAuditSpec extends SparkSpec {
       s"an equi-join lost its keys:\n$plan")
   }
 
-  test("duplicate spans: instance table computed once (exchange reused), " +
-       "windows doc-partitioned, no cartesians") {
+  test("duplicate spans: gram-grain build side (no posting list ever meets a " +
+       "partition), sort-free probe, windows doc-partitioned, no cartesians") {
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
     val saved = keys.map(k => k -> spark.conf.getOption(k))
@@ -333,10 +333,22 @@ class PlanAuditSpec extends SparkSpec {
     try {
       val plan = finalPlan(
         Dedup.duplicateSpans(graft.core.Tables(spark, sf(), "documents")))
-      // the duplicated-gram aggregate and the semi-join back both key
-      // on h: the instance subtree's exchange must be computed once
-      assert(plan.contains("ReusedExchange"),
-        s"instance table computed twice:\n$plan")
+      // the duplicated-gram set must come from a map-side-combined hash
+      // aggregate (one row per gram on the build side) — NEVER an
+      // instance-level self-join, whose build side funnels a hot
+      // boilerplate gram's whole posting list into one unsplittable
+      // partition at web scale
+      assert(plan.contains("partial_min(doc_id"),
+        s"dup-gram set not from a partial-combined aggregate:\n$plan")
+      // the probe is a hash join, not sort-merge: no per-task sort of
+      // a hot gram's stream partition when AQE leaves it unsplit
+      assert(plan.contains("ShuffledHashJoin"),
+        s"span probe not a shuffled hash join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"sort-merge re-introduced on the instance probe:\n$plan")
+      // one scan for the aggregate side, one for the probe side
+      val scans = "Scan parquet".r.findAllMatchIn(plan).length
+      assert(scans <= 2, s"expected <=2 corpus scans, saw $scans:\n$plan")
       assert(!plan.contains("CartesianProduct"),
         s"semi-join lost its key:\n$plan")
       // the island window must be doc-partitioned, never global
@@ -351,7 +363,8 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("span probe: all three instance-table consumers reuse one exchange") {
+  test("span probe: gram-grain build side (corpus index ∪ batch aggregate), " +
+       "hash-join probe, no cartesians") {
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
     val saved = keys.map(k => k -> spark.conf.getOption(k))
@@ -362,18 +375,23 @@ class PlanAuditSpec extends SparkSpec {
       val corpus = docs.filter(col("doc_id") >= 50)
       val plan = finalPlan(
         Dedup.duplicateSpansProbe(batch, Dedup.gramTable(corpus)))
-      // corpus-hit semi + both self-join sides all key on h over the
-      // same batch instance subtree: expect 2 reuses (3 consumers)
-      val n = "ReusedExchange".r.findAllMatchIn(plan).length
-      assert(n >= 2, s"instance table computed more than once ($n reuses):\n$plan")
+      // in-batch duplication decided by the min≠max aggregate (partial
+      // combined), unioned with the corpus gram set below ONE semi-join
+      assert(plan.contains("partial_min(doc_id"),
+        s"batch dup-gram set not from a partial-combined aggregate:\n$plan")
+      assert(plan.contains("ShuffledHashJoin"),
+        s"probe not a shuffled hash join:\n$plan")
+      assert(plan.contains("Union"),
+        s"corpus and batch gram sets must union below one probe:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), plan)
       assert(!plan.contains("CartesianProduct"), plan)
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
 
-  test("span excision: at most 2 corpus scans (spans reuse their exchange, " +
-       "no token-count scan), no cartesians") {
+  test("span excision: at most 3 corpus scans (coverage twins reuse their " +
+       "exchanges, no separate token-count scan), no cartesians") {
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
     val saved = keys.map(k => k -> spark.conf.getOption(k))
@@ -381,11 +399,15 @@ class PlanAuditSpec extends SparkSpec {
     try {
       val plan = finalPlan(
         Dedup.exciseSpans(graft.core.Tables(spark, sf(), "documents")))
-      // one scan for the span instance table (self-join sides reuse its
-      // exchange) + one for the positional token table; n_removed must
-      // come from span widths, never a third text scan
+      // two scans inside spanCore (the dup-gram aggregate side and the
+      // instance probe side — deliberately unshared, see spanCore's
+      // skew note) + one for the positional token table, whose semi
+      // and anti coverage twins reuse one exchange; n_removed must
+      // come from the reused semi twin of the coverage join (a
+      // span-width sum would double-count overlapping island token
+      // ranges), never a separate text scan
       val scans = "Scan parquet".r.findAllMatchIn(plan).length
-      assert(scans <= 2, s"expected <=2 corpus scans, saw $scans:\n$plan")
+      assert(scans <= 3, s"expected <=3 corpus scans, saw $scans:\n$plan")
       assert(!plan.contains("CartesianProduct"),
         s"a join lost its keys:\n$plan")
     } finally saved.foreach { case (k, v) =>

@@ -133,6 +133,26 @@ class DedupSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("duplicateSpans hot gram: boilerplate shared by 100 docs marks every " +
+       "instance; a gram hot ONLY by within-doc repetition never does") {
+    // the 100-TB failure shape in miniature: one 8-gram carried by
+    // every doc (a licence header), plus one doc that repeats a
+    // DIFFERENT 8-gram 50 times by itself — instance-count-hot but in
+    // a single doc, so it must NOT be marked (min = max in the
+    // dup-gram aggregate). Also pins that the gram-grain build path
+    // and the per-doc island merge agree on a corpus whose gram df is
+    // far above anything the oracle tables produce.
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val hot = (1L to 100L).map(i => i -> s"u${i}x $boiler u${i}y")
+    val selfRep = 200L ->
+      Seq.fill(50)((1 to 8).map(i => s"s$i").mkString(" ")).mkString(" ")
+    val out = Dedup.duplicateSpans(docs((hot :+ selfRep): _*)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).toSeq
+    // each hot doc: exactly the boilerplate tokens 1..8; doc 200: nothing
+    assert(out == (1L to 100L).map(i => (i, 1L, 8L)), s"got $out")
+  }
+
   test("exciseSpans drops exactly the duplicated spans and keeps everything else") {
     val d1 = (1 to 30).map(i => s"w$i").mkString(" ")
     val d2 = ("x1 x2 x3 " + (5 to 20).map(i => s"w$i").mkString(" ") + " y1 y2")
@@ -150,6 +170,26 @@ class DedupSpec extends SparkSpec {
       (2L, "x1 x2 x3 y1 y2", 16L),
       (3L, d3, 0L),
       (4L, "", 0L)), s"got $out")
+  }
+
+  test("exciseSpans routes NULL-doc_id docs through untouched (and they " +
+       "never contribute to span detection)") {
+    val d1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d2 = "x1 x2 x3 " + (5 to 20).map(i => s"w$i").mkString(" ") + " y1 y2"
+    // the NULL-id doc ALSO carries the shared passage: it must neither
+    // be excised itself (no dedup identity) nor be what makes the
+    // passage "duplicated" (two real docs already share it)
+    val df = Seq((Option(1L), d1), (Option(2L), d2),
+      (None: Option[Long], "n1 " + (5 to 20).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.exciseSpans(df).collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toSeq
+    val d1clean = ((1 to 4) ++ (21 to 30)).map(i => s"w$i").mkString(" ")
+    assert(out.toSet == Set(
+      (None, "n1 " + (5 to 20).map(i => s"w$i").mkString(" "), 0L),
+      (Some(1L), d1clean, 16L),
+      (Some(2L), "x1 x2 x3 y1 y2", 16L)), s"got $out")
   }
 
   test("exciseSpans counts overlapping-island coverage once (union, not span-width sum)") {
