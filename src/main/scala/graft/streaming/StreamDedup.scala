@@ -115,31 +115,94 @@ object StreamDedup {
     if (!pathExists(spark, dirPath))
       empty.write.mode("overwrite").parquet(s"$dirPath/batch=$SeedBatchId")
 
+  /** Dot-prefixed so in-progress compaction output is HIDDEN from
+    * every reader of the frame root (Spark's listing skips `.`/`_`
+    * children) while still directly readable as an explicit path.
+    */
+  private val CompactStagePrefix = ".compacting-"
+
+  /** Highest batch id the streaming checkpoint's commit log records
+    * (`<checkpoint>/commits/<batchId>`) — the durable proof
+    * [[compactFrame]]'s precondition demands. None before any batch
+    * has committed.
+    */
+  def lastCommittedBatch(spark: SparkSession, checkpointDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$checkpointDir/commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).flatMap(s => scala.util.Try(
+      s.getPath.getName.stripSuffix(".compact").toLong).toOption)
+      .maxOption
+  }
+
   /** Offline index maintenance shared by [[NearDupIndex.compact]] and
     * [[SpanIndex.compact]]: fold every `batch=<id>` partition of one
-    * frame into the seed partition. Crash-safe by ordering — the
-    * folded superset lands in `batch=-1` (idempotent overwrite) BEFORE
-    * any old partition is deleted, so a failure at any point leaves a
-    * frame whose content is a superset of the original (duplicate rows
-    * are harmless to the semi-join probes) and a re-run converges.
+    * frame into the seed partition.
     *
-    * PRECONDITION: the stream is STOPPED and its checkpoint has
-    * committed past every folded batch. A batch replayed after its
-    * rows were folded into the seed partition would no longer be
-    * excluded by the own-batch filter — the exact self-match the
-    * per-batch layout exists to prevent.
+    * ENFORCED precondition: every folded batch id must be ≤
+    * `lastCommittedBatchId` (the checkpoint's commit-log high-water
+    * mark — [[lastCommittedBatch]] reads it) or the call throws
+    * before touching a byte. A batch replayed after its rows were
+    * folded into the seed partition would no longer be excluded by
+    * the probe's own-batch filter — the exact self-match the
+    * per-batch layout exists to prevent — so "the stream is stopped
+    * and committed past every folded batch" is a contract the caller
+    * must PROVE, not a comment they must remember.
+    *
+    * Crash safety by staging, never in-place: the folded superset is
+    * written to a fresh hidden `.compacting-<n>` directory FIRST
+    * (invisible to readers of the frame root), and only then are the
+    * old partitions — including the old seed — deleted and the stage
+    * renamed into place. Re-runs fold any leftover stage directories
+    * back in, so at every crash point the union of what remains on
+    * disk is a superset of the original rows (duplicates are harmless
+    * to the semi-join probes) and re-running converges. The one
+    * window between the deletes and the rename leaves the frame
+    * momentarily EMPTY-looking to a reader — but compaction is
+    * offline by contract (stream stopped), and re-running restores
+    * the frame; no row is ever lost. (The previous in-place
+    * `overwrite` of the seed partition destroyed the only copy of
+    * seed-resident rows before the replacement committed — a crash
+    * there silently and permanently weakened the index.)
     */
-  private[streaming] def compactFrame(spark: SparkSession, dirPath: String): Unit = {
-    val all = spark.read.parquet(dirPath).drop("batch").distinct()
-      .localCheckpoint() // materialize BEFORE rewriting the dirs being read
-    all.write.mode("overwrite").parquet(s"$dirPath/batch=$SeedBatchId")
+  private[streaming] def compactFrame(spark: SparkSession, dirPath: String,
+                                      lastCommittedBatchId: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(dirPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(root)
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("batch=") &&
-        s.getPath.getName != s"batch=$SeedBatchId")
-      .foreach(s => fs.delete(s.getPath, true))
+    val children = fs.listStatus(root).filter(_.isDirectory)
+    val batchDirs = children.filter(_.getPath.getName.startsWith("batch="))
+    val staged = children.filter(_.getPath.getName.startsWith(CompactStagePrefix))
+    val uncommitted = batchDirs
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(id => id != SeedBatchId && id > lastCommittedBatchId)
+    if (uncommitted.nonEmpty)
+      throw new IllegalStateException(
+        s"compact() would fold batch partitions ${uncommitted.sorted.mkString(",")} " +
+          s"of $dirPath, but the checkpoint has only committed through " +
+          s"$lastCommittedBatchId: a replay of an uncommitted batch would " +
+          "match its own folded rows. Stop the stream and pass its " +
+          "commit-log high-water mark (lastCommittedBatch).")
+    // a dir a crashed run created but never wrote data into has no
+    // schema to read — folding it in means skipping it
+    def readable(s: org.apache.hadoop.fs.FileStatus) =
+      fs.listStatus(s.getPath).exists(f => f.isFile &&
+        !f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_"))
+    val srcs = (batchDirs ++ staged).filter(readable).map(_.getPath.toString)
+    if (srcs.isEmpty) return
+    val folded = srcs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .distinct()
+    val stageN = staged.flatMap(s => scala.util.Try(
+      s.getPath.getName.stripPrefix(CompactStagePrefix).toLong).toOption)
+      .maxOption.getOrElse(-1L) + 1
+    val stage = new org.apache.hadoop.fs.Path(root, s"$CompactStagePrefix$stageN")
+    // the lazy `folded` plan reads the OLD dirs while writing the NEW
+    // stage — no read-own-write hazard, so no checkpoint needed
+    folded.write.mode("overwrite").parquet(stage.toString)
+    batchDirs.foreach(s => fs.delete(s.getPath, true))
+    staged.foreach(s => fs.delete(s.getPath, true)) // stageN not in `staged`
+    if (!fs.rename(stage, new org.apache.hadoop.fs.Path(root, s"batch=$SeedBatchId")))
+      throw new IllegalStateException(
+        s"rename of compacted stage $stage into batch=$SeedBatchId failed")
   }
 }
 
@@ -154,9 +217,10 @@ object StreamDedup {
   * the writing micro-batch's id (`batch=<id>/`). Both are created
   * empty (with the real schemas, derived from the same builders over
   * an empty corpus) at construction, so the per-batch probe plan is
-  * identical from batch 0 onward; the bootstrap re-runs if EITHER
-  * frame is missing and overwrites both, so a crash between the two
-  * writes cannot leave the index half-initialized.
+  * identical from batch 0 onward; each frame bootstraps INDEPENDENTLY
+  * and only if missing ([[StreamDedup.bootstrapFrame]]), so a crash
+  * between the two creates leaves the completed frame's rows alone
+  * and the re-run fills only the gap.
   *
   * Replay safety: `foreachBatch` delivers at-least-once, so a batch
   * can re-run after its index rows landed but before the checkpoint
@@ -232,13 +296,23 @@ class NearDupIndex(spark: SparkSession, dir: String, n: Int = 3,
   }
 
   /** Fold all batch partitions of both frames into their seed
-    * partitions — see [[StreamDedup.compactFrame]] for the crash-safety
-    * argument and the stopped-stream precondition.
+    * partitions. `lastCommittedBatchId` is the stopped stream's
+    * commit-log high-water mark ([[StreamDedup.lastCommittedBatch]]);
+    * a partition beyond it throws instead of silently breaking the
+    * replay contract — see [[StreamDedup.compactFrame]] for the
+    * enforcement and crash-safety arguments.
     */
-  def compact(): Unit = {
-    StreamDedup.compactFrame(spark, postingsDir)
-    StreamDedup.compactFrame(spark, shinglesDir)
+  def compact(lastCommittedBatchId: Long): Unit = {
+    StreamDedup.compactFrame(spark, postingsDir, lastCommittedBatchId)
+    StreamDedup.compactFrame(spark, shinglesDir, lastCommittedBatchId)
   }
+
+  /** [[compact]] proving the precondition from the stream's own
+    * checkpoint commit log.
+    */
+  def compact(checkpointDir: String): Unit =
+    compact(StreamDedup.lastCommittedBatch(spark, checkpointDir)
+      .getOrElse(StreamDedup.SeedBatchId))
 }
 
 /** A persisted, incrementally-maintained gram-hash index for
@@ -298,17 +372,35 @@ class SpanIndex(spark: SparkSession, dir: String, k: Int = 8) {
     * [[NearDupIndex.accept]].
     */
   def scrub(batch: DataFrame, batchId: Long): DataFrame = {
-    val cleaned = batch.drop("text")
+    // NULL-id rows re-attach by construction, not by key: the equi-join
+    // would silently drop them from the sink (NULL never equi-matches)
+    // even though exciseWith now routes them through untouched
+    val nullIdRows = batch.filter(col("doc_id").isNull)
+      .withColumn("clean_text", coalesce(col("text"), lit("")))
+      .withColumn("n_removed", lit(0L))
+      .drop("text")
+    val cleaned = batch.filter(col("doc_id").isNotNull).drop("text")
       .join(Dedup.exciseWith(batch, spans(batch, batchId)), Seq("doc_id"))
+      .unionByName(nullIdRows)
       .localCheckpoint()
     Dedup.gramTable(batch, k).write.mode("overwrite")
       .parquet(s"$gramsDir/batch=$batchId")
     cleaned
   }
 
-  /** Fold all batch partitions into the seed partition — see
-    * [[StreamDedup.compactFrame]] for the crash-safety argument and
-    * the stopped-stream precondition.
+  /** Fold all batch partitions into the seed partition.
+    * `lastCommittedBatchId` is the stopped stream's commit-log
+    * high-water mark ([[StreamDedup.lastCommittedBatch]]); a
+    * partition beyond it throws instead of silently breaking the
+    * replay contract — see [[StreamDedup.compactFrame]].
     */
-  def compact(): Unit = StreamDedup.compactFrame(spark, gramsDir)
+  def compact(lastCommittedBatchId: Long): Unit =
+    StreamDedup.compactFrame(spark, gramsDir, lastCommittedBatchId)
+
+  /** [[compact]] proving the precondition from the stream's own
+    * checkpoint commit log.
+    */
+  def compact(checkpointDir: String): Unit =
+    compact(StreamDedup.lastCommittedBatch(spark, checkpointDir)
+      .getOrElse(StreamDedup.SeedBatchId))
 }

@@ -108,12 +108,12 @@ class StreamDedupSpec extends SparkSpec {
     idx.append(static) // one-time seed: corpus text read here, never again
 
     val mem = MemoryStream[(Timestamp, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ndi_ck").toString
     val q = mem.toDF().toDF("ts", "doc_id", "text").writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
         idx.accept(b, id).write.mode("overwrite").parquet(s"$sink/batch=$id")
       }
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ndi_ck").toString)
+      .option("checkpointLocation", ckpt)
       .start()
     try {
       // batch A: near-dup of seeded 1 (drop), fresh keeper (keep),
@@ -163,9 +163,13 @@ class StreamDedupSpec extends SparkSpec {
     assert(replayKept == Set(14L), s"replay changed the outcome: $replayKept")
     assert(idx.postings.count() == before, "replay grew the index")
 
-    // offline compaction folds the batch partitions; the folded index
-    // must still catch near-dups of everything accepted so far
-    idx.compact()
+    // offline compaction folds the batch partitions, proving the
+    // precondition from the STOPPED stream's own commit log (batches
+    // 0 and 1 committed → high-water mark 1 covers every partition);
+    // the folded index must still catch near-dups of everything
+    // accepted so far
+    assert(StreamDedup.lastCommittedBatch(spark, ckpt).contains(1L))
+    idx.compact(ckpt)
     assert(idx.postings.select("batch").distinct().count() == 1,
       "compaction left extra partitions")
     val afterCompact = idx.accept(
@@ -227,9 +231,10 @@ class StreamDedupSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*batch".r.findFirstIn(plan).isDefined,
       s"own-batch exclusion not pushed to partition pruning:\n$plan")
 
-    // offline compaction folds the batch partitions; passages accepted
-    // before the fold must still be caught afterwards
-    idx.compact()
+    // offline compaction folds the batch partitions (ids 0 and 1, so
+    // a high-water mark of 1 proves the precondition); passages
+    // accepted before the fold must still be caught afterwards
+    idx.compact(1L)
     assert(idx.grams.select("batch").distinct().count() == 1,
       "compaction left extra partitions")
     val afterCompact = idx.scrub(
@@ -252,5 +257,86 @@ class StreamDedupSpec extends SparkSpec {
     val clusters = graft.operators.Dedup.exact(docs)
       .select("content_hash").as[String].collect().toSet
     assert(kept == clusters)
+  }
+
+  test("SpanIndex.scrub keeps NULL-doc_id batch rows (pass-through, not a " +
+       "silent equi-join drop)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snull").toString
+    val idx = new SpanIndex(spark, s"$root/index")
+    val passage = (1 to 16).map(i => s"p$i").mkString(" ")
+    idx.append(Seq((1L, passage)).toDF("doc_id", "text"))
+    val batch = Seq((Option(10L), "a1 " + passage + " a2"),
+      (None: Option[Long], "keep me whole"))
+      .toDF("doc_id", "text")
+    val out = idx.scrub(batch, 0L).collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toSet
+    assert(out == Set((Some(10L), "a1 a2", 16L), (None, "keep me whole", 0L)),
+      s"got $out")
+  }
+
+  test("compact refuses to fold a batch the checkpoint has not committed") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cpre").toString
+    val idx = new SpanIndex(spark, s"$root/index")
+    val passage = (1 to 16).map(i => s"p$i").mkString(" ")
+    idx.scrub(Seq((1L, passage)).toDF("doc_id", "text"), 0L)
+    idx.scrub(Seq((2L, (1 to 16).map(i => s"q$i").mkString(" ")))
+      .toDF("doc_id", "text"), 5L)
+    // partition batch=5 exists but the claimed commit high-water mark
+    // is 4: folding would let a replay of batch 5 match its own grams
+    val e = intercept[IllegalStateException] { idx.compact(4L) }
+    assert(e.getMessage.contains("5"), e.getMessage)
+    // nothing was touched: both data-bearing partitions intact (the
+    // bootstrap seed is row-empty), then a proven compact works
+    assert(idx.grams.select("batch").distinct().count() == 2)
+    idx.compact(5L)
+    assert(idx.grams.select("batch").distinct().count() == 1)
+    // a checkpoint dir with no commits proves nothing beyond the seed
+    val emptyCkpt = java.nio.file.Files.createTempDirectory("graft_eck").toString
+    assert(StreamDedup.lastCommittedBatch(spark, emptyCkpt).isEmpty)
+    idx.scrub(Seq((3L, (1 to 16).map(i => s"r$i").mkString(" ")))
+      .toDF("doc_id", "text"), 6L)
+    intercept[IllegalStateException] { idx.compact(emptyCkpt) }
+  }
+
+  test("compact is crash-safe: a leftover stage dir is folded back in and " +
+       "an interrupted run never loses seed rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ccrash").toString
+    val dir = s"$root/index"
+    val idx = new SpanIndex(spark, dir)
+    val passage = (1 to 16).map(i => s"p$i").mkString(" ")
+    val other = (1 to 16).map(i => s"q$i").mkString(" ")
+    idx.append(Seq((1L, passage)).toDF("doc_id", "text")) // seed rows
+    idx.scrub(Seq((2L, other)).toDF("doc_id", "text"), 0L)
+    val allGrams = idx.grams.select("h").distinct().count()
+
+    // simulate a run that crashed AFTER staging the fold and deleting
+    // the old partitions (the maximal-damage point): the stage holds
+    // the superset, the visible frame is empty
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gramsDir = s"$dir/grams"
+    idx.grams.select("h").distinct()
+      .write.parquet(s"$gramsDir/.compacting-0")
+    fs.listStatus(new org.apache.hadoop.fs.Path(gramsDir))
+      .filter(_.getPath.getName.startsWith("batch="))
+      .foreach(s => fs.delete(s.getPath, true))
+
+    // the re-run converges: every gram — including the seed-resident
+    // passage the old in-place overwrite could permanently lose — is
+    // back in the seed partition, stage dirs are gone
+    idx.compact(0L)
+    assert(idx.grams.select("batch").distinct().count() == 1)
+    assert(idx.grams.select("h").distinct().count() == allGrams,
+      "compaction lost rows across the simulated crash")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(gramsDir))
+      .exists(_.getPath.getName.startsWith(".compacting-")),
+      "stage dir not cleaned up")
+    // and the folded index still catches a re-crawl of the seed passage
+    val out = idx.scrub(
+      Seq((9L, "c1 " + passage + " c2")).toDF("doc_id", "text"), 1L)
+      .collect().map(r => (r.getAs[String]("clean_text"),
+        r.getAs[Long]("n_removed"))).toSeq
+    assert(out == Seq(("c1 c2", 16L)), s"got $out")
   }
 }
