@@ -292,14 +292,21 @@ object Similarity {
     * the form graph consumers (connected components, kNN ranking)
     * compose with, since they re-shuffle anyway.
     */
-  def nearDupPairs(corpus: DataFrame, minCosine: Double = 0.35,
-                   bands: Int = 8, rowsPerBand: Int = 6,
-                   dims: Int = 64): DataFrame = {
-    val emb = corpus.select(col("vec_id"), col("embedding"))
-    // bucket = the band's sign bits packed into an integer — exact
-    // bucket identity (a hash here would only ADD murmur-collision
-    // candidates), and plain integer arithmetic any engine reproduces
-    val banded = emb.select(col("vec_id"),
+  /** (vec_id, band, bucket) sign-bit LSH postings — bucket = the
+    * band's sign bits against the deterministic [[hyperplane]]s packed
+    * into an integer (exact bucket identity — a hash here would only
+    * ADD murmur-collision candidates — and plain integer arithmetic
+    * any engine reproduces). One codegen'd projection over the scan,
+    * no shuffle. This IS the persistable embedding near-dup index: a
+    * warehouse stores these postings (plus the vectors for the exact
+    * verify) once per corpus and [[embeddingProbe]] probes them per
+    * batch without re-deriving a single corpus signature —
+    * [[graft.streaming.EmbeddingIndex]] is the foreachBatch
+    * deployment.
+    */
+  def embeddingPostings(corpus: DataFrame, bands: Int = 8,
+                        rowsPerBand: Int = 6, dims: Int = 64): DataFrame =
+    corpus.select(col("vec_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           (b * rowsPerBand until (b + 1) * rowsPerBand).zipWithIndex.map {
@@ -308,6 +315,12 @@ object Similarity {
                 .cast("long") * (1L << i)
           }.reduce(_ + _).as("bucket"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+
+  def nearDupPairs(corpus: DataFrame, minCosine: Double = 0.35,
+                   bands: Int = 8, rowsPerBand: Int = 6,
+                   dims: Int = 64): DataFrame = {
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val banded = embeddingPostings(emb, bands, rowsPerBand, dims)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -324,6 +337,75 @@ object Similarity {
       .filter(col("cos_sim") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
+
+  /** Incremental-append EMBEDDING near-dup scrub against a PERSISTED
+    * corpus index — the [[graft.operators.Dedup.minhashProbe]]
+    * discipline on the semantic column of the dedup matrix. Of a new
+    * batch of vectors, keep only those that are (a) not a cosine
+    * near-dup (≥ `minCosine`) of any indexed corpus vector and (b) the
+    * min-id keeper among their batch-local near-dup matches (greedy: a
+    * near-dup of a dropped vector is still dropped, consistent with
+    * the sequential-accept semantics the spec pins).
+    *
+    * The corpus side is the stored (vec_id, band, bucket) postings
+    * ([[embeddingPostings]]) plus the stored (vec_id, embedding)
+    * vectors for the exact-cosine verify — the corpus TABLE is never
+    * rescanned, and only bucket-colliding candidates ever load a
+    * stored vector. Work per batch ∝ batch + bucket collisions, never
+    * corpus size. Precision is exact (native cosine per candidate);
+    * only recall is probabilistic, same curve as [[nearDupPairs]].
+    */
+  def embeddingProbe(newVecs: DataFrame, corpusPostings: DataFrame,
+                     corpusVectors: DataFrame, minCosine: Double = 0.35,
+                     bands: Int = 8, rowsPerBand: Int = 6,
+                     dims: Int = 64): DataFrame = {
+    val newEmb = newVecs.select(col("vec_id"), col("embedding"))
+    val newBanded = embeddingPostings(newEmb, bands, rowsPerBand, dims)
+    val matched = newBanded.as("a")
+      .join(corpusPostings.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("corpus_id"))
+      .distinct()
+      .join(newEmb.select(col("vec_id").as("new_id"),
+        col("embedding").as("emb_a")), "new_id")
+      .join(corpusVectors.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("emb_b")), "corpus_id")
+      .filter(cosine(col("emb_a"), col("emb_b")) >= minCosine)
+      .select(col("new_id").as("vec_id")).distinct()
+    // batch-internal pairs over the SAME banded subtree the corpus
+    // probe built (identical subtrees → ReusedExchange)
+    val inBatchDropped = newBanded.as("a")
+      .join(newBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+      .join(newEmb.select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a")), "id_a")
+      .join(newEmb.select(col("vec_id").as("id_b"),
+        col("embedding").as("emb_b")), "id_b")
+      .filter(cosine(col("emb_a"), col("emb_b")) >= minCosine)
+      .select(col("id_b").as("vec_id")).distinct()
+    newVecs.select(col("vec_id"))
+      .join(matched, Seq("vec_id"), "left_anti")
+      .join(inBatchDropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
+  /** [[embeddingProbe]] with the corpus index derived inline — fine
+    * for a one-shot backfill, but it re-scans corpus vectors on every
+    * call; the deployment shape for a growing corpus is
+    * [[graft.streaming.EmbeddingIndex]]. Spec-pinned row-identical to
+    * the probe form.
+    */
+  def embeddingIncremental(newVecs: DataFrame, corpus: DataFrame,
+                           minCosine: Double = 0.35, bands: Int = 8,
+                           rowsPerBand: Int = 6, dims: Int = 64): DataFrame =
+    embeddingProbe(newVecs,
+      embeddingPostings(corpus.select(col("vec_id"), col("embedding")),
+        bands, rowsPerBand, dims),
+      corpus.select(col("vec_id"), col("embedding")),
+      minCosine, bands, rowsPerBand, dims)
 
   // ---------------------------------------------------------------- PQ
 

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+
+/** A persisted, incrementally-maintained sign-bit-LSH embedding index
+  * for ingest-time SEMANTIC near-dup scrubbing — the `foreachBatch`
+  * deployment of [[graft.operators.Similarity.embeddingProbe]], and
+  * the embedding-column sibling of [[NearDupIndex]] (text MinHash) and
+  * [[SpanIndex]] (gram spans): with it, every column of the dedup
+  * matrix (exact / near / span / semantic) has a batch, an
+  * incremental, and a persisted-streaming shape.
+  *
+  * Layout: two parquet frames under `dir` — `postings/` (vec_id, band,
+  * bucket), exactly what [[graft.operators.Similarity.embeddingPostings]]
+  * emits, and `vectors/` (vec_id, embedding) for the exact-cosine
+  * verify — each partitioned by the writing micro-batch's id
+  * (`batch=<id>/`), bootstrapped independently-if-missing with their
+  * real schemas so the per-batch probe plan is identical from batch 0
+  * onward.
+  *
+  * Replay safety mirrors [[NearDupIndex]] exactly (the shared
+  * [[StreamDedup.exceptBatch]] filter and own-partition overwrite):
+  * [[accept]] probes the index EXCLUDING the current batch id — a
+  * replayed batch never matches its own prior attempt's rows — and
+  * overwrites its own partitions, so at-least-once foreachBatch
+  * delivery converges to the same index state.
+  *
+  * Scale shape: per-batch work is O(batch + bucket collisions) even as
+  * the indexed corpus grows — the corpus TABLE is never rescanned
+  * (EmbeddingIndexSpec pins that every file scan in a probe plan reads
+  * from under the index directory), signatures come from one codegen'd
+  * projection per side, and only bucket-colliding candidates ever load
+  * a stored vector. Raw vectors at 64-dim float are 256 B each; for a
+  * trillion-vector corpus, swap the `vectors/` frame for PQ codes
+  * ([[graft.operators.Similarity.pqEncode]], 8 B, 32×) and verify by
+  * asymmetric distance with an exact re-rank — same frames, same
+  * replay contract.
+  */
+class EmbeddingIndex(spark: SparkSession, dir: String,
+                     minCosine: Double = 0.35, bands: Int = 8,
+                     rowsPerBand: Int = 6, dims: Int = 64) {
+  private val postingsDir = s"$dir/postings"
+  private val vectorsDir = s"$dir/vectors"
+
+  private def emptyVecs: DataFrame = spark.createDataFrame(
+    new java.util.ArrayList[Row](),
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+
+  locally {
+    StreamDedup.bootstrapFrame(spark, postingsDir,
+      Similarity.embeddingPostings(emptyVecs, bands, rowsPerBand, dims))
+    StreamDedup.bootstrapFrame(spark, vectorsDir, emptyVecs)
+  }
+
+  def postings: DataFrame = spark.read.parquet(postingsDir)
+  def vectors: DataFrame = spark.read.parquet(vectorsDir)
+
+  /** Index `vecs` (vec_id, embedding, ...) without scrubbing — the
+    * one-time backfill that seeds the index from an existing corpus
+    * (read once, here; never again at probe time).
+    */
+  def append(vecs: DataFrame): Unit = {
+    val v = vecs.select(col("vec_id"), col("embedding"))
+    Similarity.embeddingPostings(v, bands, rowsPerBand, dims)
+      .write.mode("append")
+      .parquet(s"$postingsDir/batch=${StreamDedup.SeedBatchId}")
+    v.write.mode("append")
+      .parquet(s"$vectorsDir/batch=${StreamDedup.SeedBatchId}")
+  }
+
+  /** Scrub one micro-batch against the index and grow it: returns the
+    * accepted rows (all batch columns) and overwrites the batch's own
+    * index partitions — cross-batch semantic near-dups drop, a replay
+    * of this batch id neither matches its own prior rows nor
+    * duplicates them. localCheckpoint'd before the write: the kept
+    * plan reads the very parquet dirs being written.
+    */
+  def accept(batch: DataFrame, batchId: Long): DataFrame = {
+    val kept = batch.join(
+      Similarity.embeddingProbe(batch,
+        StreamDedup.exceptBatch(postings, batchId),
+        StreamDedup.exceptBatch(vectors, batchId),
+        minCosine, bands, rowsPerBand, dims),
+      Seq("vec_id"), "left_semi")
+      .localCheckpoint()
+    val keptVecs = kept.select(col("vec_id"), col("embedding"))
+    Similarity.embeddingPostings(keptVecs, bands, rowsPerBand, dims)
+      .write.mode("overwrite").parquet(s"$postingsDir/batch=$batchId")
+    keptVecs.write.mode("overwrite").parquet(s"$vectorsDir/batch=$batchId")
+    kept
+  }
+
+  /** Fold all batch partitions of both frames into their seed
+    * partitions. `lastCommittedBatchId` is the stopped stream's
+    * commit-log high-water mark ([[StreamDedup.lastCommittedBatch]]);
+    * a partition beyond it throws instead of silently breaking the
+    * replay contract — see [[StreamDedup.compactFrame]].
+    */
+  def compact(lastCommittedBatchId: Long): Unit = {
+    StreamDedup.compactFrame(spark, postingsDir, lastCommittedBatchId)
+    StreamDedup.compactFrame(spark, vectorsDir, lastCommittedBatchId)
+  }
+
+  /** [[compact]] proving the precondition from the stream's own
+    * checkpoint commit log.
+    */
+  def compact(checkpointDir: String): Unit =
+    compact(StreamDedup.lastCommittedBatch(spark, checkpointDir)
+      .getOrElse(StreamDedup.SeedBatchId))
+}

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Similarity
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The persisted embedding index: cross-batch semantic near-dup drops,
+  * replay safety, corpus-never-rescanned probe plans, compaction, and
+  * parity with the batch operators ([[Similarity.embeddingIncremental]]
+  * wrapper and [[Similarity.semanticDedup]] on clique-shaped corpora).
+  */
+class EmbeddingIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Unit axis vector e_axis, optionally perturbed by `eps` along a
+    * second axis — cos(e_i, e_i + eps·e_j) ≈ 1 (near-dup), while
+    * distinct axes are exactly orthogonal (cos 0, never a near-dup
+    * regardless of bucket luck).
+    */
+  private def vec(axis: Int, eps: Float = 0f, epsAxis: Int = 1): Array[Float] = {
+    val a = Array.fill(64)(0f)
+    a(axis) = 1f
+    if (eps != 0f) a(epsAxis) = eps
+    a
+  }
+
+  private def vdf(rows: (Long, Array[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  /** Every FILE scan in a probe plan must read from under the index
+    * directory: the corpus table (raw vectors) is never rescanned —
+    * the EmbeddingIndex analog of DedupSpec's no-text-column audit.
+    */
+  private def assertIndexOnlyScans(df: org.apache.spark.sql.DataFrame,
+                                   indexDir: String): Unit = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val locs = "InMemoryFileIndex\\(\\d+ paths\\)\\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(locs.nonEmpty, s"expected parquet index scans in:\n$plan")
+    locs.foreach(l => assert(l.contains(indexDir),
+      s"probe plan scans a file outside the index dir ($l):\n$plan"))
+  }
+
+  test("EmbeddingIndex: cross-batch semantic near-dups drop via the persisted " +
+       "index; replay converges; probe scans only index files") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_emb").toString
+    val indexDir = s"$root/index"
+    val sink = s"$root/accepted"
+    val idx = new EmbeddingIndex(spark, indexDir)
+    idx.append(vdf(1L -> vec(0), 2L -> vec(1))) // one-time corpus seed
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_emb_ck").toString
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        idx.accept(b, id).write.mode("overwrite").parquet(s"$sink/batch=$id")
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      // batch 0: near-dup of seeded 1 (drop), fresh keeper (keep),
+      // in-batch near-dup of the keeper (drop)
+      mem.addData((10L, vec(0, 0.1f)), (11L, vec(2)), (12L, vec(2, 0.1f, 3)))
+      q.processAllAvailable()
+      // batch 1: cross-batch near-dup of accepted 11 — only the
+      // APPENDED index rows can catch it — plus a novel vector (keep)
+      mem.addData((13L, vec(2, 0.1f, 4)), (14L, vec(5)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val accepted = spark.read.parquet(s"$sink/batch=*")
+      .select("vec_id").as[Long].collect().toSet
+    assert(accepted == Set(11L, 14L), s"accepted $accepted")
+
+    // parity with the inline (corpus-rescanning) wrapper, sequentially
+    val static = vdf(1L -> vec(0), 2L -> vec(1))
+    val batch0 = vdf(10L -> vec(0, 0.1f), 11L -> vec(2), 12L -> vec(2, 0.1f, 3))
+    val kept0 = Similarity.embeddingIncremental(batch0, static)
+      .as[Long].collect().toSet
+    assert(kept0 == Set(11L), s"wrapper kept $kept0")
+
+    // probe plans read ONLY index files — the corpus table is never
+    // rescanned even as the index grows
+    val batch1 = vdf(13L -> vec(2, 0.1f, 4), 14L -> vec(5))
+    assertIndexOnlyScans(Similarity.embeddingProbe(
+      batch1, idx.postings, idx.vectors), indexDir)
+
+    // REPLAY of batch id 1 (at-least-once delivery): must neither match
+    // the batch against its own prior rows nor grow the index
+    val before = idx.postings.count()
+    val replayKept = idx.accept(batch1, 1L).select("vec_id")
+      .as[Long].collect().toSet
+    assert(replayKept == Set(14L), s"replay changed the outcome: $replayKept")
+    assert(idx.postings.count() == before, "replay grew the index")
+
+    // compaction proves its precondition from the stream's commit log,
+    // and the folded index still catches near-dups of accepted vectors
+    idx.compact(ckpt)
+    assert(idx.postings.select("batch").distinct().count() == 1,
+      "compaction left extra partitions")
+    val afterCompact = idx.accept(vdf(30L -> vec(5, 0.1f, 6)), 2L)
+      .select("vec_id").as[Long].collect()
+    assert(afterCompact.isEmpty,
+      "compacted index missed a near-dup of an accepted vector")
+  }
+
+  test("sequential accepts equal semanticDedup keepers on a clique-shaped " +
+       "corpus (union-run parity)") {
+    // three exact cliques: {1,2,3} around e0, {4,5} around e3, and a
+    // singleton 6 — every within-clique pair is a near-dup, so greedy
+    // sequential acceptance and connected-components keeper selection
+    // agree (divergence is only possible on non-transitive chains)
+    val all = Seq(
+      1L -> vec(0), 2L -> vec(0, 0.05f, 1), 3L -> vec(0, 0.05f, 2),
+      4L -> vec(3), 5L -> vec(3, 0.05f, 4), 6L -> vec(6))
+    val dropList = Similarity.semanticDedup(vdf(all: _*))
+      .select("vec_id").as[Long].collect().toSet
+    assert(dropList == Set(2L, 3L, 5L), s"semanticDedup dropped $dropList")
+
+    val root = java.nio.file.Files.createTempDirectory("graft_embp").toString
+    val idx = new EmbeddingIndex(spark, s"$root/index")
+    val batches = Seq(Seq(1L, 4L), Seq(2L, 6L), Seq(3L, 5L))
+    val byId = all.toMap
+    val survivors = batches.zipWithIndex.flatMap { case (ids, bid) =>
+      idx.accept(vdf(ids.map(i => i -> byId(i)): _*), bid.toLong)
+        .select("vec_id").as[Long].collect()
+    }.toSet
+    assert(survivors == all.map(_._1).toSet -- dropList,
+      s"sequential survivors $survivors diverge from semanticDedup keepers")
+  }
+}
