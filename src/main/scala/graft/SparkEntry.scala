@@ -288,6 +288,7 @@ object SparkEntry {
     "shard_pack" -> ((s, d) => Sampling.shardPack(Tables(s, d, "documents"))),
     "train_test_split" -> ((s, d) => Corpus.trainTestSplit(Tables(s, d, "documents"))),
     "quality_filter" -> ((s, d) => Corpus.qualityFilter(Tables(s, d, "documents"))),
+    "gopher_gate" -> ((s, d) => Corpus.gopherGate(Tables(s, d, "documents"))),
     // one-row funnel over the whole prep pipeline: raw -> exact-unique
     // -> predicted-en -> full quality gate (each stage one aggregate;
     // 1-row frames cross-joined, all broadcast)
@@ -1126,6 +1127,40 @@ object SparkEntry {
          |  ON q.doc_id = k.doc_id
          |WHERE l.predicted_lang = 'en' AND q.quality_score >= 0.5
          |ORDER BY q.doc_id""".stripMargin,
+    // Mirrors Corpus.gopherGate: the full Gopher rulebook — length
+    // bounds, mean word length, symbol ratio, quality floor, lang,
+    // repetition caps — over the quality/lang fragments plus the
+    // doc_repetition 3-gram CTEs (same rounding), survivors with
+    // their signals.
+    "gopher_gate" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |g AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS s
+         |      FROM tk, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)),
+         |cnt AS (SELECT doc_id, s, COUNT(*) AS c FROM g GROUP BY doc_id, s),
+         |rep AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total_ngrams,
+         |          CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+         |          CAST(MAX(c) AS BIGINT) AS top_ngram_freq
+         |        FROM cnt GROUP BY doc_id),
+         |sig AS (SELECT q.doc_id, q.n_tokens, q.avg_token_len, q.punct_ratio,
+         |          q.quality_score, l.predicted_lang,
+         |          CASE WHEN r.total_ngrams IS NULL THEN 0.0
+         |               ELSE ROUND(1.0 - CAST(r.distinct_ngrams AS DOUBLE) / r.total_ngrams, 4)
+         |          END AS repetition_ratio,
+         |          CASE WHEN r.total_ngrams IS NULL THEN 0.0
+         |               ELSE ROUND(CAST(r.top_ngram_freq AS DOUBLE) / r.total_ngrams, 4)
+         |          END AS top_ngram_ratio
+         |        FROM ($textQualityBody) q
+         |        JOIN ($langIdBody) l ON q.doc_id = l.doc_id
+         |        LEFT JOIN rep r ON q.doc_id = r.doc_id)
+         |SELECT doc_id, n_tokens, avg_token_len, punct_ratio, quality_score,
+         |  predicted_lang, repetition_ratio, top_ngram_ratio
+         |FROM sig
+         |WHERE n_tokens BETWEEN 15 AND 100000
+         |  AND avg_token_len BETWEEN 3.0 AND 10.0
+         |  AND punct_ratio <= 0.2 AND quality_score >= 0.5
+         |  AND predicted_lang = 'en'
+         |  AND repetition_ratio <= 0.05 AND top_ngram_ratio <= 0.10
+         |ORDER BY doc_id""".stripMargin,
     // Mirrors the pipeline_summary funnel (scalar-subquery composition
     // of the lang/quality/keeper fragments).
     "pipeline_summary" ->

@@ -56,6 +56,58 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style composed quality gate: one corpus scan computes
+    * EVERY per-document signal ([[TextAnalysis.gateSignals]] — length
+    * bounds, mean word length, symbol ratio, stopword-derived quality
+    * score, language ID, and the n-gram repetition ratios) and one
+    * filter applies the whole rulebook. Returns the PASSING documents
+    * with their signals, so the gate doubles as the audit trail of why
+    * survivors survived.
+    *
+    * This is the [[qualityFilter]] composition pattern taken to the
+    * full Gopher rule set: at 100 TB the difference between one
+    * signal-bundle scan and six per-signal queries is five corpus
+    * re-reads, and the filter runs inside the scan's codegen stage so
+    * rejected rows never leave it. PlanAuditSpec pins the single scan.
+    * An LM-perplexity rule (the CCNet signal) composes on top via
+    * [[gateWithLm]] — kept out of the base gate because the reference
+    * LM is a second input, not a property of the gated corpus.
+    */
+  def gopherGate(docs: DataFrame, lang: String = "en",
+                 minTokens: Long = 15, maxTokens: Long = 100000,
+                 minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
+                 maxPunctRatio: Double = 0.2, minScore: Double = 0.5,
+                 maxRepetitionRatio: Double = 0.05,
+                 maxTopNgramRatio: Double = 0.10): DataFrame =
+    TextAnalysis.gateSignals(docs)
+      .filter(col("n_tokens").between(minTokens, maxTokens) &&
+        col("avg_token_len").between(minAvgTokenLen, maxAvgTokenLen) &&
+        col("punct_ratio") <= maxPunctRatio &&
+        col("quality_score") >= minScore &&
+        col("predicted_lang") === lang &&
+        col("repetition_ratio") <= maxRepetitionRatio &&
+        col("top_ngram_ratio") <= maxTopNgramRatio)
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+        col("punct_ratio"), col("quality_score"), col("predicted_lang"),
+        col("repetition_ratio"), col("top_ngram_ratio"))
+      .orderBy("doc_id")
+
+  /** [[gopherGate]] with the CCNet perplexity rule composed on top:
+    * survivors must also score ≤ `maxLmScore` under the reference
+    * n-gram LM (`lm` is a [[TextAnalysis.ngramCounts]] frame — at
+    * scale, trained ONCE on a trusted corpus and reused; deriving it
+    * from the gated corpus itself would be a second full scan by
+    * construction). Docs too short to have any LM gram (NULL score)
+    * fail the gate — no silent pass on no evidence.
+    */
+  def gateWithLm(docs: DataFrame, lm: DataFrame, maxLmScore: Double,
+                 lang: String = "en", n: Int = 3): DataFrame =
+    gopherGate(docs, lang)
+      .join(TextAnalysis.lmScore(docs, lm, n)
+        .filter(col("lm_score") <= maxLmScore)
+        .select(col("doc_id"), col("lm_score")), Seq("doc_id"))
+      .orderBy("doc_id")
+
   /** Benchmark decontamination: drop train documents that share any
     * word `n`-gram with the held-out test set (the standard guard
     * against test-set leakage into LLM training data; long n-grams so

@@ -56,6 +56,54 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  /** Every per-row gate signal in ONE projection over the scan — the
+    * bundle [[graft.operators.Corpus.gopherGate]] thresholds. Tokens
+    * split once into an attribute (five marker scorers share it),
+    * repetition stats from the native single-pass kernel; the
+    * length/quality/lang arithmetic is expression-identical to
+    * [[quality]], [[langId]] and [[repetition]] so a composed gate
+    * hash-agrees with the standalone queries' oracles.
+    */
+  def gateSignals(docs: DataFrame, n: Int = 3): DataFrame = {
+    val text = col("text")
+    val base = docs.select(col("doc_id"),
+      TextOps.tokens(text).as("toks"),
+      length(text).cast("long").as("n_chars"),
+      nTokensExpr(text).as("n_tokens"),
+      length(regexp_replace(text, "[a-z ]", "")).cast("long").as("punct"),
+      GraftFunctions.repetitionStats(text, n).as("st"))
+    val Seq(en, es, fr, de) = Markers.map { case (l, ws) =>
+      markerCount(col("toks"), ws).as(s"score_$l")
+    }
+    val punctRatio = col("punct").cast("double") / col("n_chars")
+    val stopRatio = col("score_en").cast("double") / col("n_tokens")
+    base.select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("punct"), col("st"), en, es, fr, de)
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        ((col("n_chars") - col("n_tokens") + 1).cast("double") /
+          col("n_tokens")).as("avg_token_len"),
+        punctRatio.as("punct_ratio"),
+        stopRatio.as("stopword_ratio"),
+        (least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - punctRatio) * 0.3 +
+          least(stopRatio * 5.0, lit(1.0)) * 0.3).as("quality_score"),
+        when(col("score_en") >= col("score_es") &&
+          col("score_en") >= col("score_fr") &&
+          col("score_en") >= col("score_de") && col("score_en") > 0, "en")
+          .when(col("score_es") >= col("score_fr") &&
+            col("score_es") >= col("score_de") && col("score_es") > 0, "es")
+          .when(col("score_fr") >= col("score_de") &&
+            col("score_fr") > 0, "fr")
+          .when(col("score_de") > 0, "de")
+          .otherwise("und").as("predicted_lang"),
+        when(col("st.total_ngrams") === 0, 0.0)
+          .otherwise(round(lit(1.0) - col("st.distinct_ngrams").cast("double") /
+            col("st.total_ngrams"), 4)).as("repetition_ratio"),
+        when(col("st.total_ngrams") === 0, 0.0)
+          .otherwise(round(col("st.top_ngram_freq").cast("double") /
+            col("st.total_ngrams"), 4)).as("top_ngram_ratio"))
+  }
+
   /** Language ID: count stopword markers per language, argmax with a
     * fixed priority order (en > es > fr > de) on ties; no marker at all
     * → "und" (undetermined).

@@ -216,6 +216,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(n == 2, s"expected 2 document scans, saw $n:\n$plan")
   }
 
+  test("gopher gate: the whole rulebook runs in a single corpus scan, " +
+       "no joins, filter inside the scan's codegen stage") {
+    val plan = finalPlan(Corpus.gopherGate(
+      graft.core.Tables(spark, sf(), "documents")))
+    val n = "Scan parquet".r.findAllMatchIn(plan).length
+    assert(n == 1, s"expected 1 document scan, saw $n:\n$plan")
+    assert(!plan.contains("Join"),
+      s"a per-signal join crept into the composed gate:\n$plan")
+  }
+
   test("repetition stats stay a pure scan projection (no hash exchange, no join)") {
     val plan = finalPlan(graft.operators.TextAnalysis.repetition(
       graft.core.Tables(spark, sf(), "documents")))

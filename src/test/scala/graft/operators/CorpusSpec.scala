@@ -90,6 +90,42 @@ class CorpusSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0L, 0.0)))
   }
 
+  test("gopherGate applies every rule; gateWithLm composes the perplexity " +
+       "cut on top") {
+    val fluent = "the quick cat sat near the tall tree and " +
+      "the small dog ran to the old house with joy"
+    // passes every Gopher rule EXCEPT language (no en marker beats es)
+    val spanish = "el gato la casa de los perros que corren el sol " +
+      "la luna los vientos de la tarde que pasa"
+    // passes lang/quality but degenerately repetitive: one 3-gram loop
+    val loop = Seq.fill(10)("the cat sat").mkString(" ")
+    val short = "the a of"
+    val gated = Corpus.gopherGate(Seq(
+      1L -> fluent, 2L -> spanish, 3L -> loop, 4L -> short)
+      .toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated == Set(1L), s"gated $gated")
+
+    // LM trained on the fluent doc's grams: a same-register doc scores
+    // low, an unseen-vocabulary doc pays the smoothing floor — the
+    // midpoint threshold keeps exactly the in-register one
+    val ref = Seq(10L -> fluent, 11L -> fluent).toDF("doc_id", "text")
+    val lm = TextAnalysis.ngramCounts(ref, 3, minCount = 1)
+    val inRegister = 20L -> ("the quick cat sat near the tall tree and " +
+      "the small dog ran to the old barn with glee")
+    val offRegister = 21L -> ("yon zephyr vex gnarly quokka jumbo flax " +
+      "wyvern the prism and oxbow kudzu to the vino plume and brine dew")
+    val docs = Seq(inRegister, offRegister).toDF("doc_id", "text")
+    assert(Corpus.gopherGate(docs).count() == 2, "fixture must pass the gate")
+    val scores = TextAnalysis.lmScore(docs, lm).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("lm_score")).toMap
+    assert(scores(20L) < scores(21L), s"scores $scores")
+    val mid = (scores(20L) + scores(21L)) / 2
+    val kept = Corpus.gateWithLm(docs, lm, maxLmScore = mid)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(20L), s"kept $kept")
+  }
+
   test("connectedComponents labels every member with the component min") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L))
       .toDF("doc_a", "doc_b")
