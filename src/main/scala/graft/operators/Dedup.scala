@@ -109,7 +109,21 @@ object Dedup {
       .select(col("new_id").as("doc_id")).distinct()
     // batch-internal pairs mined over the SAME banded/shingle subtrees
     // the corpus probe built (identical subtrees → one computation /
-    // ReusedExchange), not a second minhashLsh pass over the batch
+    // ReusedExchange), not a second minhashLsh pass over the batch.
+    //
+    // BOUND: this self-join's fan-out is bucket_occupancy² per
+    // (band, bucket), and occupancy is capped by the BATCH size — the
+    // corpus never enters it — so at the micro-batch scale this
+    // operator is deployed at ([[graft.streaming.NearDupIndex]]), a
+    // hot bucket costs at most |batch|² shingle verifies. Do NOT feed
+    // a backfill-sized "batch" through the probe: a million identical
+    // re-crawls in one call is 10^12 candidate pairs. Backfills go
+    // through [[minhashLsh]]+[[exact]] (whose hot-bucket behavior is
+    // the one-shot family's documented trade) or are chunked into
+    // real micro-batches, where the sequential index probe drops each
+    // chunk's dupes against the grown index for |chunk|²-bounded
+    // work. DedupSpec pins the wrapper parity that makes chunking
+    // safe (a near-dup of a dropped doc is still dropped).
     val inBatchDropped = newBanded.as("a")
       .join(newBanded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -55,4 +55,28 @@ object StreamSink {
       .start()
     q.awaitTermination()
   }
+
+  /** [[ingestAvailableNow]] for transforms that need the BATCH ID —
+    * the index-maintaining scrubs ([[SpanIndex.scrub]],
+    * [[NearDupIndex.accept]], [[EmbeddingIndex.accept]]) and
+    * batch-id-keyed sinks ([[idempotentParquet]]): each unprocessed
+    * file drop becomes a `foreachBatch` call, the checkpoint
+    * remembers processed files, and the run stops when the backlog is
+    * drained. Composing the three pieces
+    * (`ingestAvailableNowBatches` + scrub + `idempotentParquet`) is
+    * the full deployment shape of ingest-time dedup — file drop in,
+    * scrubbed exactly-once parquet out, index grown — and
+    * StreamSinkSpec drives it end-to-end.
+    */
+  def ingestAvailableNowBatches(spark: SparkSession, landingDir: String,
+                                schema: StructType, checkpointDir: String,
+                                onBatch: (DataFrame, Long) => Unit): Unit = {
+    val q = spark.readStream.schema(schema).parquet(landingDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: Dataset[Row], id: Long) => onBatch(b, id) }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -69,6 +69,31 @@ class BenchLineSpec extends AnyFunSuite {
       "BENCH_KEYS.md is stale — run: sbt \"runMain graft.tools.GenBenchKeys\"")
   }
 
+  test("over-budget check: band normalization cancels a uniform host shift, " +
+       "flags only idiosyncratic regressions") {
+    val budget = """{
+      |  "sentinel": 0.10,
+      |  "budgets": {
+      |    "q_a": 1.0, "q_b": 2.0, "q_c": 4.0, "q_regressed": 1.0
+      |  }
+      |}""".stripMargin
+    // host uniformly 1.5x slower: a/b/c all at 1.5x set the median
+    // band; q_regressed at 4.5s is 4.5x raw = 3x band-normalized —
+    // flagged; q_new has no budget entry — skipped, never a false alarm
+    val over = Bench.overBudgetFrom(budget,
+      Seq("q_a" -> 1.5, "q_b" -> 3.0, "q_c" -> 6.0,
+        "q_regressed" -> 4.5, "q_new" -> 9.0))
+    assert(over.map(_._1) == Seq("q_regressed"), s"got $over")
+    assert(math.abs(over.head._2 - 3.0) < 1e-9)
+    // an identical-throughput host with no regression flags nothing
+    assert(Bench.overBudgetFrom(budget,
+      Seq("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 4.0)).isEmpty)
+    // degenerate inputs never divide by zero or flag
+    assert(Bench.overBudgetFrom("""{"budgets":{}}""",
+      Seq("q_a" -> 1.5)).isEmpty)
+    assert(Bench.overBudgetFrom(budget, Seq.empty).isEmpty)
+  }
+
   test("compressed line holds 160 queries at 1 decimal (growth headroom)") {
     // +~60 queries over today's surface still fits with every distinct
     // timing present once the precision ladder reaches 1 decimal

@@ -400,8 +400,9 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("span excision: at most 3 corpus scans (coverage twins reuse their " +
-       "exchanges, no separate token-count scan), no cartesians") {
+  test("span excision: at most 3 working corpus scans + a stats-pruned " +
+       "NULL-id scan (coverage twins reuse their exchanges, no separate " +
+       "token-count scan), no cartesians") {
     val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
       "spark.sql.adaptive.autoBroadcastJoinThreshold")
     val saved = keys.map(k => k -> spark.conf.getOption(k))
@@ -415,9 +416,14 @@ class PlanAuditSpec extends SparkSpec {
       // and anti coverage twins reuse one exchange; n_removed must
       // come from the reused semi twin of the coverage join (a
       // span-width sum would double-count overlapping island token
-      // ranges), never a separate text scan
+      // ranges), never a separate text scan. The fourth scan is the
+      // NULL-id pass-through union — its IsNull(doc_id) filter must
+      // reach the parquet scan, where row-group null-count stats
+      // prune it to footer reads on any corpus without NULL ids
       val scans = "Scan parquet".r.findAllMatchIn(plan).length
-      assert(scans <= 3, s"expected <=3 corpus scans, saw $scans:\n$plan")
+      assert(scans <= 4, s"expected <=4 corpus scans, saw $scans:\n$plan")
+      assert(plan.contains("PushedFilters: [IsNull(doc_id)]"),
+        s"NULL-id pass-through scan not stats-prunable:\n$plan")
       assert(!plan.contains("CartesianProduct"),
         s"a join lost its keys:\n$plan")
     } finally saved.foreach { case (k, v) =>

@@ -66,4 +66,56 @@ class StreamSinkSpec extends SparkSpec {
     runOnce()
     assert(spark.read.parquet(out).count() == 8)
   }
+
+  test("file-drop span dedup end to end: ingest -> SpanIndex.scrub -> " +
+       "idempotent sink; re-runs are no-ops, re-crawled passages drop " +
+       "across drops") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_span_e2e").toString
+    val (in, out, ckpt) = (s"$root/landing", s"$root/clean", s"$root/ckpt")
+    val idx = new SpanIndex(spark, s"$root/index")
+    val seeded = (1 to 16).map(i => s"s$i").mkString(" ")
+    idx.append(Seq((100L, seeded)).toDF("doc_id", "text"))
+
+    def drop(rows: (Long, String)*): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(in)
+    // the full deployment composition: each unprocessed file drop is
+    // scrubbed against (and grows) the persisted gram index, then
+    // lands exactly-once under its batch id
+    def runOnce(): Unit = StreamSink.ingestAvailableNowBatches(
+      spark, in, StructType.fromDDL("doc_id LONG, text STRING"), ckpt,
+      (b, id) => StreamSink.idempotentParquet(out)(idx.scrub(b, id), id))
+    def cleaned(): Map[Long, (String, Long)] =
+      spark.read.parquet(s"$out/batch=*").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+
+    val fresh = (1 to 16).map(i => s"f$i").mkString(" ")
+    // drop 1: doc 1 re-crawls the SEEDED passage (excised), doc 2 is new
+    drop(1L -> ("a1 " + seeded + " a2"), 2L -> fresh)
+    runOnce()
+    assert(cleaned() == Map(1L -> ("a1 a2", 16L), 2L -> (fresh, 0L)),
+      s"got ${cleaned()}")
+    // re-run with no new files: a NO-OP — no new batches, sink and
+    // index byte-identical
+    val gramsBefore = idx.grams.count()
+    runOnce()
+    assert(cleaned() == Map(1L -> ("a1 a2", 16L), 2L -> (fresh, 0L)))
+    assert(idx.grams.count() == gramsBefore, "no-op re-run grew the index")
+    // drop 2: doc 3 re-crawls doc 2's passage from the PREVIOUS drop —
+    // only the grown index can catch it; doc 4 is novel
+    val novel = (1 to 10).map(i => s"n$i").mkString(" ")
+    drop(3L -> ("b1 " + fresh + " b2"), 4L -> novel)
+    runOnce()
+    assert(cleaned() == Map(1L -> ("a1 a2", 16L), 2L -> (fresh, 0L),
+      3L -> ("b1 b2", 16L), 4L -> (novel, 0L)), s"got ${cleaned()}")
+    // offline compaction proves its precondition from THIS stream's
+    // commit log, and the folded index still catches the seeds
+    idx.compact(ckpt)
+    val after = idx.scrub(
+      Seq((9L, "c1 " + seeded + " c2")).toDF("doc_id", "text"),
+      StreamDedup.lastCommittedBatch(spark, ckpt).get + 1)
+      .select("clean_text").as[String].collect().toSeq
+    assert(after == Seq("c1 c2"), s"got $after")
+  }
 }
