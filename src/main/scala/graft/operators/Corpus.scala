@@ -79,6 +79,24 @@ object Corpus {
                  maxPunctRatio: Double = 0.2, minScore: Double = 0.5,
                  maxRepetitionRatio: Double = 0.05,
                  maxTopNgramRatio: Double = 0.10): DataFrame =
+    gopherGateRows(docs, lang, minTokens, maxTokens, minAvgTokenLen,
+      maxAvgTokenLen, maxPunctRatio, minScore, maxRepetitionRatio,
+      maxTopNgramRatio)
+      .orderBy("doc_id")
+
+  /** [[gopherGate]] without the oracle's output sort — everything left
+    * is a stateless per-row projection + filter, so this form drops
+    * straight into a `readStream` (ingest-time quality gating, the
+    * [[graft.operators.Redact.scrubExpr]] deployment shape — gate the
+    * crawl as it lands instead of re-scanning the corpus later);
+    * StreamScrubSpec drives it through a streaming query.
+    */
+  def gopherGateRows(docs: DataFrame, lang: String = "en",
+                     minTokens: Long = 15, maxTokens: Long = 100000,
+                     minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
+                     maxPunctRatio: Double = 0.2, minScore: Double = 0.5,
+                     maxRepetitionRatio: Double = 0.05,
+                     maxTopNgramRatio: Double = 0.10): DataFrame =
     TextAnalysis.gateSignals(docs)
       .filter(col("n_tokens").between(minTokens, maxTokens) &&
         col("avg_token_len").between(minAvgTokenLen, maxAvgTokenLen) &&
@@ -90,7 +108,6 @@ object Corpus {
       .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
         col("punct_ratio"), col("quality_score"), col("predicted_lang"),
         col("repetition_ratio"), col("top_ngram_ratio"))
-      .orderBy("doc_id")
 
   /** [[gopherGate]] with the CCNet perplexity rule composed on top:
     * survivors must also score ≤ `maxLmScore` under the reference

@@ -80,14 +80,19 @@ class EmbeddingIndex(spark: SparkSession, dir: String,
     * plan reads the very parquet dirs being written.
     */
   def accept(batch: DataFrame, batchId: Long): DataFrame = {
-    val kept = batch.join(
+    // NULL-id rows pass through by construction (no dedup identity; an
+    // id-keyed semi-join would silently lose them from the sink) and
+    // stay out of the index — mirrors SpanIndex.scrub/NearDupIndex
+    val kept = batch.filter(col("vec_id").isNotNull).join(
       Similarity.embeddingProbe(batch,
         StreamDedup.exceptBatch(postings, batchId),
         StreamDedup.exceptBatch(vectors, batchId),
         minCosine, bands, rowsPerBand, dims),
       Seq("vec_id"), "left_semi")
+      .unionByName(batch.filter(col("vec_id").isNull))
       .localCheckpoint()
-    val keptVecs = kept.select(col("vec_id"), col("embedding"))
+    val keptVecs = kept.filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), col("embedding"))
     Similarity.embeddingPostings(keptVecs, bands, rowsPerBand, dims)
       .write.mode("overwrite").parquet(s"$postingsDir/batch=$batchId")
     keptVecs.write.mode("overwrite").parquet(s"$vectorsDir/batch=$batchId")

@@ -282,12 +282,19 @@ class NearDupIndex(spark: SparkSession, dir: String, n: Int = 3,
     * postings and drop everything as a self-match.
     */
   def accept(batch: DataFrame, batchId: Long): DataFrame = {
+    // NULL-id rows pass through by construction: they have no dedup
+    // identity (a NULL never equi-matches, so the probe could neither
+    // drop them nor index them) and the scrub's id-keyed semi-join
+    // would otherwise silently lose them from the sink
     val kept = StreamDedup.scrubNearDupsIndexed(
-      batch, StreamDedup.exceptBatch(postings, batchId),
+      batch.filter(col("doc_id").isNotNull),
+      StreamDedup.exceptBatch(postings, batchId),
       StreamDedup.exceptBatch(shingles, batchId),
       n, numHashes, bands, minJaccard)
+      .unionByName(batch.filter(col("doc_id").isNull))
       .localCheckpoint()
-    val keptDocs = kept.select(col("doc_id"), col("text"))
+    val keptDocs = kept.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("text"))
     Dedup.bandedBuckets(keptDocs, n, numHashes, bands).write.mode("overwrite")
       .parquet(s"$postingsDir/batch=$batchId")
     Dedup.shingleTable(keptDocs, n).write.mode("overwrite")

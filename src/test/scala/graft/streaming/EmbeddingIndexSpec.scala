@@ -106,6 +106,19 @@ class EmbeddingIndexSpec extends SparkSpec {
       "compacted index missed a near-dup of an accepted vector")
   }
 
+  test("accept keeps NULL-vec_id batch rows (pass-through, never indexed)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_enull").toString
+    val idx = new EmbeddingIndex(spark, s"$root/index")
+    idx.append(vdf(1L -> vec(0)))
+    val batch = Seq((Option(10L), vec(0, 0.1f)), (None: Option[Long], vec(7)))
+      .toDF("vec_id", "embedding")
+    val out = idx.accept(batch, 0L).collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long])).toSet
+    assert(out == Set(None), s"got $out") // near-dup drops, NULL-id survives
+    assert(idx.postings.filter(org.apache.spark.sql.functions.col("vec_id").isNull)
+      .count() == 0, "a NULL-id row leaked into the index")
+  }
+
   test("sequential accepts equal semanticDedup keepers on a clique-shaped " +
        "corpus (union-run parity)") {
     // three exact cliques: {1,2,3} around e0, {4,5} around e3, and a

@@ -259,6 +259,24 @@ class StreamDedupSpec extends SparkSpec {
     assert(kept == clusters)
   }
 
+  test("NearDupIndex.accept keeps NULL-doc_id batch rows (pass-through, " +
+       "never indexed)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_nnull").toString
+    val idx = new NearDupIndex(spark, s"$root/index")
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    idx.append(Seq((1L, base)).toDF("doc_id", "text"))
+    val batch = Seq((Option(10L), base.replace("tok40", "x")),
+      (None: Option[Long], "null id survives untouched"))
+      .toDF("doc_id", "text")
+    val out = idx.accept(batch, 0L).collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getAs[String]("text"))).toSet
+    // near-dup of the seed drops; the NULL-id row survives
+    assert(out == Set((None, "null id survives untouched")), s"got $out")
+    assert(idx.postings.filter($"doc_id".isNull).count() == 0,
+      "a NULL-id row leaked into the index")
+  }
+
   test("SpanIndex.scrub keeps NULL-doc_id batch rows (pass-through, not a " +
        "silent equi-join drop)") {
     val root = java.nio.file.Files.createTempDirectory("graft_snull").toString

@@ -40,4 +40,34 @@ class StreamScrubSpec extends SparkSpec {
         "clean row, nothing to redact"))
     } finally q.stop()
   }
+
+  test("streaming Gopher gate matches the batch gate row for row " +
+       "(ingest-time quality filtering, no state)") {
+    implicit val sqlCtx = spark.sqlContext
+    val fluent = "the quick cat sat near the tall tree and " +
+      "the small dog ran to the old house with joy"
+    val rows = Seq(
+      1L -> fluent,                                   // passes every rule
+      2L -> ("el gato la casa de los perros que corren el sol " +
+        "la luna los vientos de la tarde que pasa"),  // wrong language
+      3L -> Seq.fill(10)("the cat sat").mkString(" "), // repetition-capped
+      4L -> "the a of",                               // too short
+      5L -> fluent.replace("joy", "glee"))            // passes
+    val mem = MemoryStream[(Long, String)]
+    val gated = graft.operators.Corpus.gopherGateRows(
+      mem.toDF().toDF("doc_id", "text"))
+    val q = gated.writeStream.format("memory")
+      .queryName("gate_sink").outputMode("append").start()
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gate_sink").orderBy("doc_id").collect().toSeq
+      val batch = graft.operators.Corpus.gopherGate(rows.toDF("doc_id", "text"))
+        .collect().toSeq
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed.map(_.getAs[Long]("doc_id")) == Seq(1L, 5L))
+    } finally q.stop()
+  }
 }
