@@ -118,8 +118,15 @@ object Corpus {
     * fail the gate — no silent pass on no evidence.
     */
   def gateWithLm(docs: DataFrame, lm: DataFrame, maxLmScore: Double,
-                 lang: String = "en", n: Int = 3): DataFrame =
-    gopherGate(docs, lang)
+                 lang: String = "en", n: Int = 3,
+                 minTokens: Long = 15, maxTokens: Long = 100000,
+                 minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
+                 maxPunctRatio: Double = 0.2, minScore: Double = 0.5,
+                 maxRepetitionRatio: Double = 0.05,
+                 maxTopNgramRatio: Double = 0.10): DataFrame =
+    gopherGateRows(docs, lang, minTokens, maxTokens, minAvgTokenLen,
+      maxAvgTokenLen, maxPunctRatio, minScore, maxRepetitionRatio,
+      maxTopNgramRatio)
       .join(TextAnalysis.lmScore(docs, lm, n)
         .filter(col("lm_score") <= maxLmScore)
         .select(col("doc_id"), col("lm_score")), Seq("doc_id"))

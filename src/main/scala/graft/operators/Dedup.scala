@@ -182,12 +182,14 @@ object Dedup {
     */
   private def spanInstances(docs: DataFrame, k: Int): DataFrame = {
     val tk = col("tk")
-    // NULL-id docs have no dedup identity and their instances are inert
-    // in every marking path anyway (`doc_id =!= NULL` never matches, so
-    // they neither mark nor get marked); filtering them at the scan
-    // also makes the hot-gram stats' min/max(doc_id) non-null by
-    // construction, which the hot/rare split's vacuous join terms rely
-    // on. [[exciseWith]] routes NULL-id docs around excision untouched.
+    // NULL-id docs have no dedup identity: min/max ignore NULLs, so an
+    // unfiltered table would let a NULL-id doc's instances be MARKED by
+    // a gram two real docs share (emitting spans under a NULL key)
+    // while never making any gram duplicated itself — filtering at the
+    // scan keeps the semantics one sentence ("only identified docs
+    // participate") and the aggregate's min/max non-null by
+    // construction. [[exciseWith]] routes NULL-id docs around excision
+    // untouched.
     docs
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))

@@ -83,8 +83,9 @@ class EmbeddingIndex(spark: SparkSession, dir: String,
     // NULL-id rows pass through by construction (no dedup identity; an
     // id-keyed semi-join would silently lose them from the sink) and
     // stay out of the index — mirrors SpanIndex.scrub/NearDupIndex
-    val kept = batch.filter(col("vec_id").isNotNull).join(
-      Similarity.embeddingProbe(batch,
+    val realIds = batch.filter(col("vec_id").isNotNull)
+    val kept = realIds.join(
+      Similarity.embeddingProbe(realIds,
         StreamDedup.exceptBatch(postings, batchId),
         StreamDedup.exceptBatch(vectors, batchId),
         minCosine, bands, rowsPerBand, dims),

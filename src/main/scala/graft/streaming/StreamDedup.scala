@@ -386,8 +386,12 @@ class SpanIndex(spark: SparkSession, dir: String, k: Int = 8) {
       .withColumn("clean_text", coalesce(col("text"), lit("")))
       .withColumn("n_removed", lit(0L))
       .drop("text")
-    val cleaned = batch.filter(col("doc_id").isNotNull).drop("text")
-      .join(Dedup.exciseWith(batch, spans(batch, batchId)), Seq("doc_id"))
+    // excise only the real-id rows: feeding the full batch would just
+    // have exciseWith rebuild the same NULL pass-through rows this
+    // union already supplies, as a dead extra scan branch
+    val realIds = batch.filter(col("doc_id").isNotNull)
+    val cleaned = realIds.drop("text")
+      .join(Dedup.exciseWith(realIds, spans(batch, batchId)), Seq("doc_id"))
       .unionByName(nullIdRows)
       .localCheckpoint()
     Dedup.gramTable(batch, k).write.mode("overwrite")
