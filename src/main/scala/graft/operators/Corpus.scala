@@ -145,6 +145,34 @@ object Corpus {
     * and the corpus is scanned once per side with the n-gram kernel.
     * Returns the clean train doc_ids.
     */
+  /** The persistable benchmark-gram set for ingest-time
+    * decontamination: distinct word `n`-grams of a held-out
+    * evaluation corpus. Benchmarks are tiny next to training data, so
+    * this frame is build-once / probe-forever — the decontamination
+    * sibling of [[graft.operators.Dedup.gramTable]], and usually
+    * small enough that the probe's semi-join broadcasts it.
+    */
+  def benchmarkGrams(testDocs: DataFrame, n: Int = 8): DataFrame =
+    testDocs.select(explode(TextOps.shingles(col("text"), n)).as("g"))
+      .distinct()
+
+  /** [[decontaminate]] at INGEST time, against a persisted
+    * [[benchmarkGrams]] frame: of a batch of candidate training docs,
+    * keep (full rows) only those sharing no word n-gram with the
+    * benchmark set — new crawl drops are checked as they land instead
+    * of re-scanning the accumulated corpus before every training run.
+    * Work ∝ batch grams + matches; the held-out corpus itself is
+    * never re-read.
+    */
+  def decontaminateProbe(batch: DataFrame, benchGrams: DataFrame,
+                         n: Int = 8): DataFrame = {
+    val contaminated = batch
+      .select(col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("g"))
+      .join(benchGrams.select("g"), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    batch.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   def decontaminate(docs: DataFrame, n: Int = 8,
                     trainSlots: Int = 13): DataFrame = {
     val h = ascii(substring(md5(col("text")), 32, 1))

@@ -126,6 +126,27 @@ class CorpusSpec extends SparkSpec {
     assert(kept == Set(20L), s"kept $kept")
   }
 
+  test("decontaminateProbe drops exactly the batch docs sharing a benchmark " +
+       "gram, keeps full rows, and never rescans the held-out corpus") {
+    val bench = Seq(
+      100L -> (1 to 12).map(i => s"b$i").mkString(" "),
+      101L -> (1 to 12).map(i => s"c$i").mkString(" "))
+      .toDF("doc_id", "text")
+    val grams = Corpus.benchmarkGrams(bench)
+    val batch = Seq(
+      (1L, "x1 x2 " + (3 to 10).map(i => s"b$i").mkString(" ") + " x3", "web"),
+      (2L, (1 to 12).map(i => s"f$i").mkString(" "), "web"),
+      (3L, "y1 " + (2 to 9).map(i => s"c$i").mkString(" ") + " y2 y3", "books"),
+      (4L, (1 to 7).map(i => s"b$i").mkString(" "), "short")) // 7 < n: no gram
+      .toDF("doc_id", "text", "source")
+    val kept = Corpus.decontaminateProbe(batch, grams).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"))).toSet
+    // docs 1 and 3 embed a full benchmark 8-gram → dropped; doc 2 is
+    // clean; doc 4 shares words but no complete 8-gram → kept, with
+    // every batch column intact
+    assert(kept == Set((2L, "web"), (4L, "short")), s"kept $kept")
+  }
+
   test("connectedComponents labels every member with the component min") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (9L, 3L))
       .toDF("doc_a", "doc_b")
