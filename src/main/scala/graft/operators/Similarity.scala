@@ -143,15 +143,31 @@ object Similarity {
       .filter(col("cell_rank") <= n)
       .drop("cell_sim", "cell_rank")
 
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5,
-              centroidStride: Int = 50, nProbeCells: Int = 2,
-              centroids: Option[DataFrame] = None): DataFrame = {
-    val cents = broadcast(
-      centroids.getOrElse(strideCentroids(corpus, centroidStride)))
-    val assigned = nearestCells(corpus, cents, "vec_id", "embedding", 1)
+  /** The corpus half of the IVF index, made explicit for persistence:
+    * (vec_id, embedding, cell_id) — every vector tagged with its
+    * nearest coarse cell. At 100 TB this frame (plus its small
+    * centroid table) is built ONCE, written partitioned/bucketed by
+    * `cell_id` (cell-pruned scans at query time), and
+    * [[ivfTopKIndexed]] serves every query batch from it — the inline
+    * [[ivfTopK]] re-assigns the whole corpus per call, which is a
+    * backfill/test convenience, not the deployment shape.
+    */
+  def ivfAssignments(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    nearestCells(corpus, broadcast(centroids), "vec_id", "embedding", 1)
+
+  /** [[ivfTopK]] against PERSISTED index frames ([[ivfAssignments]] +
+    * its centroid table): probes are assigned to their `nProbeCells`
+    * closest cells via the broadcast centroids and scored ONLY
+    * against the matching cells' vectors — the corpus table itself is
+    * never read, and with the assignments stored partitioned by
+    * cell_id the scan prunes to the probed cells.
+    */
+  def ivfTopKIndexed(assigned: DataFrame, centroids: DataFrame,
+                     probes: DataFrame, k: Int = 5,
+                     nProbeCells: Int = 2): DataFrame = {
     val probeCells = nearestCells(
       probes.select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb")),
-      cents, "probe_id", "probe_emb", nProbeCells)
+      broadcast(centroids), "probe_id", "probe_emb", nProbeCells)
     probeCells.join(assigned, "cell_id")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
@@ -164,6 +180,13 @@ object Similarity {
       .select(col("probe_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), round(col("cos_sim"), 4).as("cos_sim"))
       .orderBy("probe_id", "rank")
+  }
+
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5,
+              centroidStride: Int = 50, nProbeCells: Int = 2,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(strideCentroids(corpus, centroidStride))
+    ivfTopKIndexed(ivfAssignments(corpus, cents), cents, probes, k, nProbeCells)
   }
 
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH,

@@ -69,6 +69,46 @@ class SimilaritySpec extends SparkSpec {
       .sorted == Seq(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("ivfTopKIndexed against PERSISTED index frames equals the inline run " +
+       "and scans only index files") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+      .select("vec_id", "embedding")
+    val probes = emb.filter($"vec_id" < 3)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    // build once: centroid table + cell-partitioned assignments — the
+    // deployment layout (query-time scans prune to the probed cells)
+    val cents = Similarity.strideCentroids(emb)
+    cents.write.parquet(s"$root/centroids")
+    Similarity.ivfAssignments(emb, cents)
+      .write.partitionBy("cell_id").parquet(s"$root/assigned")
+    val storedCents = spark.read.parquet(s"$root/centroids")
+    val storedAssigned = spark.read.parquet(s"$root/assigned")
+    val indexed = Similarity.ivfTopKIndexed(storedAssigned, storedCents, probes)
+    val inline = Similarity.ivfTopK(emb, probes).collect().toSeq
+    assert(indexed.collect().toSeq == inline, "indexed ≠ inline ivf results")
+    // the probe plan's file scans are the index frames only — the
+    // embeddings table is never re-read or re-assigned at query time
+    val planFull = indexed.queryExecution.executedPlan.toString
+    val plan = planFull.indexOf("== Initial Plan ==") match {
+      case -1 => planFull
+      case i  => planFull.substring(0, i)
+    }
+    val locs = "InMemoryFileIndex\\(\\d+ paths\\)\\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    // embeddings-table scans are PROBE-side only (the main read plus
+    // the dynamic-pruning subquery's copy); the corpus side comes
+    // exclusively from the persisted index frames
+    assert(locs.count(_.contains("embeddings.parquet")) <= 2,
+      s"corpus re-read/re-assigned at query time:\n$plan")
+    assert(locs.count(_.contains(root)) >= 2,
+      s"index frames not the corpus source:\n$plan")
+    // cell-partitioned layout pays off at query time: the assigned
+    // scan carries a dynamic partition-pruning filter on cell_id, so
+    // only the probed cells' files are read
+    assert(plan.contains("dynamicpruning"),
+      s"assigned scan not cell-pruned:\n$plan")
+  }
+
   test("kmeans-refined centroids slot into ivfTopK without degrading recall") {
     val emb = graft.core.Tables(spark, sf(), "embeddings")
     val probes = emb.filter($"vec_id" < 10)
