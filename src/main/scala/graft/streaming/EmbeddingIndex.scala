@@ -117,4 +117,13 @@ class EmbeddingIndex(spark: SparkSession, dir: String,
   def compact(checkpointDir: String): Unit =
     compact(StreamDedup.lastCommittedBatch(spark, checkpointDir)
       .getOrElse(StreamDedup.SeedBatchId))
+
+  /** Drop semantic-dedup protection for batches below `cutoff`
+    * (re-crawl-window retention — see
+    * [[StreamDedup.expireFrameBatchesBelow]]).
+    */
+  def expireBatchesBelow(cutoff: Long, lastCommittedBatchId: Long): Unit = {
+    StreamDedup.expireFrameBatchesBelow(spark, postingsDir, cutoff, lastCommittedBatchId)
+    StreamDedup.expireFrameBatchesBelow(spark, vectorsDir, cutoff, lastCommittedBatchId)
+  }
 }

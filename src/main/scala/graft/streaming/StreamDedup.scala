@@ -135,6 +135,43 @@ object StreamDedup {
       .maxOption
   }
 
+  /** Horizon-bounded index retention shared by the
+    * `expireBatchesBelow` methods: delete every `batch=<id>` partition
+    * with `SeedBatchId < id < cutoff` — dedup-protection for documents
+    * ingested before the horizon lapses, bounding index size the way
+    * `dropDuplicatesWithinWatermark` bounds streaming state (a
+    * re-crawl window, not an eternal memory). The seed partition
+    * (curated backfill) is deliberately retained; fold batches into it
+    * via compact() first when they should become permanent.
+    *
+    * ENFORCED precondition: `cutoff ≤ lastCommittedBatchId + 1`. An
+    * expired batch must never replay — a replayed batch id whose
+    * partition was deleted would re-accept every row it carried — and
+    * commitment is exactly the property that rules replay out.
+    */
+  private[streaming] def expireFrameBatchesBelow(spark: SparkSession,
+                                                 dirPath: String, cutoff: Long,
+                                                 lastCommittedBatchId: Long): Unit = {
+    if (cutoff > lastCommittedBatchId + 1)
+      throw new IllegalStateException(
+        s"expire cutoff $cutoff exceeds committed high-water mark " +
+          s"$lastCommittedBatchId + 1 for $dirPath: an uncommitted batch " +
+          "below the cutoff could replay after its partition is deleted " +
+          "and silently re-accept its rows")
+    val root = new org.apache.hadoop.fs.Path(dirPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root)
+      .filter(_.isDirectory)
+      .filter { s =>
+        val n = s.getPath.getName
+        n.startsWith("batch=") && {
+          val id = n.stripPrefix("batch=").toLong
+          id != SeedBatchId && id < cutoff
+        }
+      }
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
   /** Offline index maintenance shared by [[NearDupIndex.compact]] and
     * [[SpanIndex.compact]]: fold every `batch=<id>` partition of one
     * frame into the seed partition.
@@ -320,6 +357,15 @@ class NearDupIndex(spark: SparkSession, dir: String, n: Int = 3,
   def compact(checkpointDir: String): Unit =
     compact(StreamDedup.lastCommittedBatch(spark, checkpointDir)
       .getOrElse(StreamDedup.SeedBatchId))
+
+  /** Drop dedup-protection for batches below `cutoff` (re-crawl-window
+    * retention — see [[StreamDedup.expireFrameBatchesBelow]] for the
+    * bound and the enforced committed-past-cutoff precondition).
+    */
+  def expireBatchesBelow(cutoff: Long, lastCommittedBatchId: Long): Unit = {
+    StreamDedup.expireFrameBatchesBelow(spark, postingsDir, cutoff, lastCommittedBatchId)
+    StreamDedup.expireFrameBatchesBelow(spark, shinglesDir, cutoff, lastCommittedBatchId)
+  }
 }
 
 /** A persisted, incrementally-maintained gram-hash index for
@@ -414,4 +460,10 @@ class SpanIndex(spark: SparkSession, dir: String, k: Int = 8) {
   def compact(checkpointDir: String): Unit =
     compact(StreamDedup.lastCommittedBatch(spark, checkpointDir)
       .getOrElse(StreamDedup.SeedBatchId))
+
+  /** Drop span-protection for batches below `cutoff` (re-crawl-window
+    * retention — see [[StreamDedup.expireFrameBatchesBelow]]).
+    */
+  def expireBatchesBelow(cutoff: Long, lastCommittedBatchId: Long): Unit =
+    StreamDedup.expireFrameBatchesBelow(spark, gramsDir, cutoff, lastCommittedBatchId)
 }

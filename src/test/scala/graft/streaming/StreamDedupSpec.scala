@@ -317,6 +317,32 @@ class StreamDedupSpec extends SparkSpec {
     intercept[IllegalStateException] { idx.compact(emptyCkpt) }
   }
 
+  test("expireBatchesBelow bounds the index to the re-crawl window: old " +
+       "batches lose protection, the seed keeps it, uncommitted cutoffs refuse") {
+    val root = java.nio.file.Files.createTempDirectory("graft_exp").toString
+    val idx = new SpanIndex(spark, s"$root/index")
+    val seeded = (1 to 16).map(i => s"s$i").mkString(" ")
+    val old = (1 to 16).map(i => s"o$i").mkString(" ")
+    val recent = (1 to 16).map(i => s"r$i").mkString(" ")
+    idx.append(Seq((100L, seeded)).toDF("doc_id", "text"))
+    idx.scrub(Seq((1L, old)).toDF("doc_id", "text"), 0L)
+    idx.scrub(Seq((2L, recent)).toDF("doc_id", "text"), 5L)
+
+    // a cutoff past the committed high-water mark refuses: batch 7
+    // could still replay after its partition vanished
+    intercept[IllegalStateException] { idx.expireBatchesBelow(8L, 6L) }
+
+    idx.expireBatchesBelow(5L, 5L)
+    def scrubbed(doc: (Long, String), id: Long) =
+      idx.spans(Seq(doc).toDF("doc_id", "text"), id).count() > 0
+    // the expired batch's passage is re-acceptable (no span found)...
+    assert(!scrubbed(10L -> ("a " + old + " b"), 6L),
+      "expired batch still protects")
+    // ...while the recent batch and the SEED both still protect
+    assert(scrubbed(11L -> ("a " + recent + " b"), 7L))
+    assert(scrubbed(12L -> ("a " + seeded + " b"), 8L))
+  }
+
   test("compact is crash-safe: a leftover stage dir is folded back in and " +
        "an interrupted run never loses seed rows") {
     val root = java.nio.file.Files.createTempDirectory("graft_ccrash").toString
