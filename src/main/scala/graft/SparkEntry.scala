@@ -245,6 +245,7 @@ object SparkEntry {
     // --- multimodal plumbing (SURVEY.md §2) ---
     "multimodal_extract" -> ((s, d) => Multimodal.extract(s, Tables(s, d, "documents"))),
     "multimodal_frames" -> ((s, d) => Multimodal.frameSample(Tables(s, d, "documents"))),
+    "multimodal_dedup" -> ((s, d) => Multimodal.payloadDedup(Tables(s, d, "documents"))),
     "multimodal_resize" -> ((s, d) => Multimodal.resizePlan(Tables(s, d, "documents"))),
     // --- relational extensions (SURVEY.md §2: as-of / range / pivot / rollup) ---
     "asof_join" -> ((s, d) => {
@@ -1463,6 +1464,15 @@ object SparkEntry {
         |  64 + (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 448 AS height,
         |  1 + doc_id % 30 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors Multimodal.payloadDedup: per-format exact dedup by
+    // payload md5 (UTF-8 payload bytes ⇒ md5(text) is the same hash).
+    "multimodal_dedup" ->
+      """SELECT ['png','jpg','wav'][CAST(doc_id % 3 AS INT) + 1] AS format,
+        |  md5(text) AS content_hash,
+        |  MIN(doc_id) AS keeper_doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents
+        |GROUP BY 1, 2 ORDER BY format, content_hash""".stripMargin,
     // Mirrors Multimodal.resizePlan (box 224): same stub geometry as
     // multimodal_extract, fit-in-box via integral DIV (// here), byte
     // estimate scaled by the pixel ratio, md5 over the estimated-size

@@ -60,6 +60,20 @@ object Multimodal {
     (width, height, frames)
   }
 
+  /** Exact media dedup by payload content hash, per format — the
+    * first pass every image/audio corpus runs before any perceptual
+    * matching: identical bytes are identical media regardless of
+    * filename or crawl source. One hash-groupBy over the binary
+    * column (the md5 runs where the payload already is — no payload
+    * bytes ever shuffle, only 16-byte hashes), keeper = min doc_id,
+    * exactly [[Dedup.exact]]'s shape lifted onto binary payloads.
+    */
+  def payloadDedup(docs: DataFrame): DataFrame =
+    asPayloads(docs)
+      .groupBy(col("format"), md5(col("payload")).as("content_hash"))
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("format", "content_hash")
+
   /** Frame sampling: every `stride`-th frame of each payload as its own
     * row, with the frame's bytes sliced out of the binary column.
     *
