@@ -430,6 +430,70 @@ object Similarity {
       corpus.select(col("vec_id"), col("embedding")),
       minCosine, bands, rowsPerBand, dims)
 
+  /** [[embeddingProbe]] with the corpus verify side stored as PQ CODES
+    * instead of raw vectors — the footprint that makes a
+    * trillion-vector dedup index feasible (8 B/vector vs 256 B at
+    * 64-dim float32, 32×). Candidates still come from the exact
+    * sign-bit postings; verification is ASYMMETRIC-DISTANCE (the
+    * [[pqTopK]] kernel restricted to candidate pairs): the batch side
+    * keeps full precision, the stored side contributes only its
+    * codes, and a pair with ADC d² ≤ `maxD2` is a near-dup. Work in
+    * L2 — for unit-normalized vectors cos ≥ τ ⟺ d² ≤ 2(1−τ), so
+    * normalize before indexing and train the codebook on the
+    * normalized corpus. In-batch pairs verify with the exact codegen
+    * distance (both sides are full precision — no reason to quantize
+    * them). APPROXIMATE by construction: quantization error can admit
+    * or miss pairs near the threshold — that is the documented PQ
+    * trade, spec-bounded on a codebook that covers the fixture
+    * corpus; the raw-vector [[embeddingProbe]] remains the exact
+    * form.
+    */
+  def pqEmbeddingProbe(newVecs: DataFrame, corpusPostings: DataFrame,
+                       corpusCodes: DataFrame, codebook: DataFrame,
+                       maxD2: Double, bands: Int = 8, rowsPerBand: Int = 6,
+                       dims: Int = 64, m: Int = 8): DataFrame = {
+    val newEmb = newVecs.select(col("vec_id"), col("embedding"))
+    val newBanded = embeddingPostings(newEmb, bands, rowsPerBand, dims)
+    val candidates = newBanded.as("a")
+      .join(corpusPostings.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("corpus_id"))
+      .distinct()
+    // per-batch ADC distance table: batch × m × k rows, broadcast —
+    // the stored side never contributes more than its code bytes
+    val dtab = subspaces(newEmb, m, dims)
+      .join(codebook, "sub_id")
+      .select(col("vec_id").as("new_id"), col("sub_id"), col("code"),
+        sqDist(col("sub_vec"), col("centroid")).as("d2"))
+    val matched = candidates
+      .join(corpusCodes.select(col("vec_id").as("corpus_id"), col("codes")),
+        "corpus_id")
+      .select(col("new_id"), col("corpus_id"), posexplode(col("codes")))
+      .select(col("new_id"), col("corpus_id"),
+        col("pos").cast("int").as("sub_id"), col("col").cast("int").as("code"))
+      .join(broadcast(dtab), Seq("new_id", "sub_id", "code"))
+      .groupBy("new_id", "corpus_id")
+      .agg(sum("d2").as("adc_d2"))
+      .filter(col("adc_d2") <= maxD2)
+      .select(col("new_id").as("vec_id")).distinct()
+    val inBatchDropped = newBanded.as("a")
+      .join(newBanded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+      .join(newEmb.select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a")), "id_a")
+      .join(newEmb.select(col("vec_id").as("id_b"),
+        col("embedding").as("emb_b")), "id_b")
+      .filter(sqDist(col("emb_a"), col("emb_b")) <= maxD2)
+      .select(col("id_b").as("vec_id")).distinct()
+    newVecs.select(col("vec_id"))
+      .join(matched, Seq("vec_id"), "left_anti")
+      .join(inBatchDropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   // ---------------------------------------------------------------- PQ
 
   /** Squared L2 distance via three [[dot]] kernels — stays inside

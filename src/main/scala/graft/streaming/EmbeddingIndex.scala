@@ -127,3 +127,100 @@ class EmbeddingIndex(spark: SparkSession, dir: String,
     StreamDedup.expireFrameBatchesBelow(spark, vectorsDir, cutoff, lastCommittedBatchId)
   }
 }
+
+/** [[EmbeddingIndex]] with the verify side stored as PQ CODES — the
+  * trillion-vector footprint (8 B/vector vs 256 B raw at 64-dim
+  * float32). Same frames-per-batch-id layout, replay exclusion,
+  * own-partition overwrite, staged compaction, and horizon expiry;
+  * what changes is only what the index REMEMBERS about each vector:
+  * its sign-bit postings plus an m-byte code, never the vector
+  * itself. Verification is asymmetric-distance
+  * ([[graft.operators.Similarity.pqEmbeddingProbe]]) and therefore
+  * APPROXIMATE near the threshold — the documented PQ trade; use
+  * [[EmbeddingIndex]] when exactness beats footprint.
+  *
+  * The codebook is persisted INSIDE the index (`codebook/`, written
+  * once at first construction, read back ever after), so codes stay
+  * decodable across restarts no matter what the caller passes later —
+  * an index whose codes and codebook drift apart is silently garbage.
+  * Train it on (a normalized sample of) the corpus the index will
+  * serve, and pick `maxD2` as 2·(1 − minCosine) for unit vectors.
+  */
+class PqEmbeddingIndex(spark: SparkSession, dir: String,
+                       codebookIn: => DataFrame, maxD2: Double,
+                       bands: Int = 8, rowsPerBand: Int = 6,
+                       dims: Int = 64, m: Int = 8) {
+  private val postingsDir = s"$dir/postings"
+  private val codesDir = s"$dir/codes"
+  private val codebookDir = s"$dir/codebook"
+
+  private def emptyVecs: DataFrame = spark.createDataFrame(
+    new java.util.ArrayList[Row](),
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+
+  locally {
+    if (!StreamDedup.pathExists(spark, codebookDir))
+      codebookIn.write.parquet(codebookDir)
+  }
+
+  def codebook: DataFrame = spark.read.parquet(codebookDir)
+
+  locally {
+    StreamDedup.bootstrapFrame(spark, postingsDir,
+      Similarity.embeddingPostings(emptyVecs, bands, rowsPerBand, dims))
+    StreamDedup.bootstrapFrame(spark, codesDir,
+      Similarity.pqEncode(emptyVecs, codebook, m, dims))
+  }
+
+  def postings: DataFrame = spark.read.parquet(postingsDir)
+  def codes: DataFrame = spark.read.parquet(codesDir)
+
+  /** One-time backfill seed: the only time raw corpus vectors are
+    * read; the index keeps their postings and codes.
+    */
+  def append(vecs: DataFrame): Unit = {
+    val v = vecs.select(col("vec_id"), col("embedding"))
+    Similarity.embeddingPostings(v, bands, rowsPerBand, dims)
+      .write.mode("append")
+      .parquet(s"$postingsDir/batch=${StreamDedup.SeedBatchId}")
+    Similarity.pqEncode(v, codebook, m, dims).write.mode("append")
+      .parquet(s"$codesDir/batch=${StreamDedup.SeedBatchId}")
+  }
+
+  /** Scrub one micro-batch (ADC-verified) and grow the index — same
+    * replay/NULL-id contract as [[EmbeddingIndex.accept]].
+    */
+  def accept(batch: DataFrame, batchId: Long): DataFrame = {
+    val realIds = batch.filter(col("vec_id").isNotNull)
+    val kept = realIds.join(
+      Similarity.pqEmbeddingProbe(realIds,
+        StreamDedup.exceptBatch(postings, batchId),
+        StreamDedup.exceptBatch(codes, batchId),
+        codebook, maxD2, bands, rowsPerBand, dims, m),
+      Seq("vec_id"), "left_semi")
+      .unionByName(batch.filter(col("vec_id").isNull))
+      .localCheckpoint()
+    val keptVecs = kept.filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    Similarity.embeddingPostings(keptVecs, bands, rowsPerBand, dims)
+      .write.mode("overwrite").parquet(s"$postingsDir/batch=$batchId")
+    Similarity.pqEncode(keptVecs, codebook, m, dims)
+      .write.mode("overwrite").parquet(s"$codesDir/batch=$batchId")
+    kept
+  }
+
+  def compact(lastCommittedBatchId: Long): Unit = {
+    StreamDedup.compactFrame(spark, postingsDir, lastCommittedBatchId)
+    StreamDedup.compactFrame(spark, codesDir, lastCommittedBatchId)
+  }
+
+  def compact(checkpointDir: String): Unit =
+    compact(StreamDedup.lastCommittedBatch(spark, checkpointDir)
+      .getOrElse(StreamDedup.SeedBatchId))
+
+  def expireBatchesBelow(cutoff: Long, lastCommittedBatchId: Long): Unit = {
+    StreamDedup.expireFrameBatchesBelow(spark, postingsDir, cutoff, lastCommittedBatchId)
+    StreamDedup.expireFrameBatchesBelow(spark, codesDir, cutoff, lastCommittedBatchId)
+  }
+}

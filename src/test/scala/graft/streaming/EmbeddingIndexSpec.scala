@@ -119,6 +119,54 @@ class EmbeddingIndexSpec extends SparkSpec {
       .count() == 0, "a NULL-id row leaked into the index")
   }
 
+  test("PqEmbeddingIndex: stored side is 8-byte codes (no embedding column " +
+       "in any frame), ADC catches cross-batch near-dups, replay converges") {
+    // codebook trained on the fixture family (ids 0..7 seed the k=8
+    // codes), so quantization error on in-family vectors is ~0 and the
+    // ADC accept/drop decisions are deterministic
+    val train = vdf(0L -> vec(0), 1L -> vec(2), 2L -> vec(5),
+      3L -> vec(0, 0.05f, 1), 4L -> vec(2, 0.05f, 3), 5L -> vec(7),
+      6L -> vec(8), 7L -> vec(9))
+    val cb = Similarity.pqTrain(train, m = 8, k = 8, iters = 2, seedStride = 1)
+    val root = java.nio.file.Files.createTempDirectory("graft_pqe").toString
+    val indexDir = s"$root/index"
+    val idx = new PqEmbeddingIndex(spark, indexDir, cb, maxD2 = 0.5)
+    idx.append(vdf(1L -> vec(0)))
+
+    // batch 0: ADC near-dup of the seed (drop), fresh keeper (keep)
+    val kept0 = idx.accept(vdf(10L -> vec(0, 0.1f), 11L -> vec(2)), 0L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept0 == Set(11L), s"kept $kept0")
+    // batch 1: cross-batch ADC near-dup of accepted 11 (drop), novel (keep)
+    val b1 = vdf(12L -> vec(2, 0.1f, 4), 13L -> vec(5))
+    val kept1 = idx.accept(b1, 1L).select("vec_id").as[Long].collect().toSet
+    assert(kept1 == Set(13L), s"kept $kept1")
+
+    // the footprint claim, structurally: NO index frame carries an
+    // embedding column — the corpus side is postings + m-byte codes
+    assert(!idx.postings.columns.contains("embedding"))
+    assert(!idx.codes.columns.contains("embedding"))
+    assert(idx.codes.schema("codes").dataType.typeName == "array")
+
+    // replay of batch 1: same outcome, index unchanged
+    val before = idx.codes.count()
+    val replay = idx.accept(b1, 1L).select("vec_id").as[Long].collect().toSet
+    assert(replay == Set(13L), s"replay changed the outcome: $replay")
+    assert(idx.codes.count() == before, "replay grew the index")
+
+    // probe plans scan only index files (the batch is an in-memory
+    // relation; corpus vectors exist nowhere to scan)
+    assertIndexOnlyScans(Similarity.pqEmbeddingProbe(
+      b1, idx.postings, idx.codes, idx.codebook, 0.5), indexDir)
+
+    // compaction + the folded index still catches an accepted vector
+    idx.compact(1L)
+    val afterCompact = idx.accept(vdf(30L -> vec(5, 0.1f, 6)), 2L)
+      .select("vec_id").as[Long].collect()
+    assert(afterCompact.isEmpty,
+      "compacted PQ index missed a near-dup of an accepted vector")
+  }
+
   test("sequential accepts equal semanticDedup keepers on a clique-shaped " +
        "corpus (union-run parity)") {
     // three exact cliques: {1,2,3} around e0, {4,5} around e3, and a
