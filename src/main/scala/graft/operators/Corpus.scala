@@ -166,11 +166,18 @@ object Corpus {
     */
   def decontaminateProbe(batch: DataFrame, benchGrams: DataFrame,
                          n: Int = 8): DataFrame = {
-    val contaminated = batch
+    // NULL-id rows are DROPPED, not passed through: contamination is
+    // established per doc_id, so an unidentified doc could carry a
+    // verbatim benchmark passage straight through the anti-join (NULL
+    // never equi-matches). Unlike the dedup indexes — where keeping
+    // an unmatchable row merely keeps a duplicate — the conservative
+    // default for a test-set-leak gate is exclusion.
+    val identified = batch.filter(col("doc_id").isNotNull)
+    val contaminated = identified
       .select(col("doc_id"), explode(TextOps.shingles(col("text"), n)).as("g"))
       .join(benchGrams.select("g"), Seq("g"), "left_semi")
       .select("doc_id").distinct()
-    batch.join(contaminated, Seq("doc_id"), "left_anti")
+    identified.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
   def decontaminate(docs: DataFrame, n: Int = 8,

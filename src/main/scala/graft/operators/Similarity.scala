@@ -378,26 +378,28 @@ object Similarity {
     * corpus size. Precision is exact (native cosine per candidate);
     * only recall is probabilistic, same curve as [[nearDupPairs]].
     */
-  def embeddingProbe(newVecs: DataFrame, corpusPostings: DataFrame,
-                     corpusVectors: DataFrame, minCosine: Double = 0.35,
-                     bands: Int = 8, rowsPerBand: Int = 6,
-                     dims: Int = 64): DataFrame = {
-    val newEmb = newVecs.select(col("vec_id"), col("embedding"))
-    val newBanded = embeddingPostings(newEmb, bands, rowsPerBand, dims)
-    val matched = newBanded.as("a")
+  /** (new_id, corpus_id) bucket-collision candidate pairs — the
+    * shared mining step of [[embeddingProbe]] and
+    * [[pqEmbeddingProbe]], so the two verify paths (exact cosine vs
+    * ADC) can never diverge on WHICH pairs they verify.
+    */
+  private def bandedCandidates(newBanded: DataFrame,
+                               corpusPostings: DataFrame): DataFrame =
+    newBanded.as("a")
       .join(corpusPostings.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("corpus_id"))
       .distinct()
-      .join(newEmb.select(col("vec_id").as("new_id"),
-        col("embedding").as("emb_a")), "new_id")
-      .join(corpusVectors.select(col("vec_id").as("corpus_id"),
-        col("embedding").as("emb_b")), "corpus_id")
-      .filter(cosine(col("emb_a"), col("emb_b")) >= minCosine)
-      .select(col("new_id").as("vec_id")).distinct()
-    // batch-internal pairs over the SAME banded subtree the corpus
-    // probe built (identical subtrees → ReusedExchange)
-    val inBatchDropped = newBanded.as("a")
+
+  /** Batch-internal candidate pairs with both embeddings attached
+    * (id_a < id_b, emb_a/emb_b) — shared by both probes; mined over
+    * the SAME banded subtree the corpus probe built (identical
+    * subtrees → ReusedExchange). The caller applies its verify
+    * predicate and drops id_b (greedy min-id keeper).
+    */
+  private def inBatchPairs(newBanded: DataFrame,
+                           newEmb: DataFrame): DataFrame =
+    newBanded.as("a")
       .join(newBanded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -407,6 +409,21 @@ object Similarity {
         col("embedding").as("emb_a")), "id_a")
       .join(newEmb.select(col("vec_id").as("id_b"),
         col("embedding").as("emb_b")), "id_b")
+
+  def embeddingProbe(newVecs: DataFrame, corpusPostings: DataFrame,
+                     corpusVectors: DataFrame, minCosine: Double = 0.35,
+                     bands: Int = 8, rowsPerBand: Int = 6,
+                     dims: Int = 64): DataFrame = {
+    val newEmb = newVecs.select(col("vec_id"), col("embedding"))
+    val newBanded = embeddingPostings(newEmb, bands, rowsPerBand, dims)
+    val matched = bandedCandidates(newBanded, corpusPostings)
+      .join(newEmb.select(col("vec_id").as("new_id"),
+        col("embedding").as("emb_a")), "new_id")
+      .join(corpusVectors.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("emb_b")), "corpus_id")
+      .filter(cosine(col("emb_a"), col("emb_b")) >= minCosine)
+      .select(col("new_id").as("vec_id")).distinct()
+    val inBatchDropped = inBatchPairs(newBanded, newEmb)
       .filter(cosine(col("emb_a"), col("emb_b")) >= minCosine)
       .select(col("id_b").as("vec_id")).distinct()
     newVecs.select(col("vec_id"))
@@ -454,14 +471,16 @@ object Similarity {
                        dims: Int = 64, m: Int = 8): DataFrame = {
     val newEmb = newVecs.select(col("vec_id"), col("embedding"))
     val newBanded = embeddingPostings(newEmb, bands, rowsPerBand, dims)
-    val candidates = newBanded.as("a")
-      .join(corpusPostings.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
-      .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("corpus_id"))
-      .distinct()
-    // per-batch ADC distance table: batch × m × k rows, broadcast —
-    // the stored side never contributes more than its code bytes
-    val dtab = subspaces(newEmb, m, dims)
+    val candidates = bandedCandidates(newBanded, corpusPostings)
+    // ADC distance table restricted to batch vectors that actually
+    // collided (semi-join first): its size is |colliding vectors|·m·k,
+    // NOT |batch|·m·k — a giant backfill batch with few collisions
+    // stays cheap, and no batch-proportional broadcast is forced (the
+    // planner / AQE picks the join strategy for the (new_id, sub_id,
+    // code) equi-join; a hot batch simply shuffles)
+    val dtab = subspaces(
+      newEmb.join(candidates.select(col("new_id").as("vec_id")),
+        Seq("vec_id"), "left_semi"), m, dims)
       .join(codebook, "sub_id")
       .select(col("vec_id").as("new_id"), col("sub_id"), col("code"),
         sqDist(col("sub_vec"), col("centroid")).as("d2"))
@@ -471,21 +490,14 @@ object Similarity {
       .select(col("new_id"), col("corpus_id"), posexplode(col("codes")))
       .select(col("new_id"), col("corpus_id"),
         col("pos").cast("int").as("sub_id"), col("col").cast("int").as("code"))
-      .join(broadcast(dtab), Seq("new_id", "sub_id", "code"))
+      .join(dtab, Seq("new_id", "sub_id", "code"))
       .groupBy("new_id", "corpus_id")
       .agg(sum("d2").as("adc_d2"))
       .filter(col("adc_d2") <= maxD2)
       .select(col("new_id").as("vec_id")).distinct()
-    val inBatchDropped = newBanded.as("a")
-      .join(newBanded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
-      .join(newEmb.select(col("vec_id").as("id_a"),
-        col("embedding").as("emb_a")), "id_a")
-      .join(newEmb.select(col("vec_id").as("id_b"),
-        col("embedding").as("emb_b")), "id_b")
+    // in-batch pairs verify with the exact codegen distance — both
+    // sides are full precision, no reason to quantize them
+    val inBatchDropped = inBatchPairs(newBanded, newEmb)
       .filter(sqDist(col("emb_a"), col("emb_b")) <= maxD2)
       .select(col("id_b").as("vec_id")).distinct()
     newVecs.select(col("vec_id"))

@@ -1,9 +1,8 @@
 package graft.streaming
 
 import graft.operators.Similarity
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
 
 /** A persisted, incrementally-maintained sign-bit-LSH embedding index
   * for ingest-time SEMANTIC near-dup scrubbing — the `foreachBatch`
@@ -39,21 +38,19 @@ import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, 
   * asymmetric distance with an exact re-rank — same frames, same
   * replay contract.
   */
-class EmbeddingIndex(spark: SparkSession, dir: String,
+class EmbeddingIndex(protected val spark: SparkSession, dir: String,
                      minCosine: Double = 0.35, bands: Int = 8,
-                     rowsPerBand: Int = 6, dims: Int = 64) {
+                     rowsPerBand: Int = 6, dims: Int = 64)
+    extends IndexMaintenance {
   private val postingsDir = s"$dir/postings"
   private val vectorsDir = s"$dir/vectors"
-
-  private def emptyVecs: DataFrame = spark.createDataFrame(
-    new java.util.ArrayList[Row](),
-    StructType(Seq(StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType)))))
+  protected def frameDirs: Seq[String] = Seq(postingsDir, vectorsDir)
 
   locally {
     StreamDedup.bootstrapFrame(spark, postingsDir,
-      Similarity.embeddingPostings(emptyVecs, bands, rowsPerBand, dims))
-    StreamDedup.bootstrapFrame(spark, vectorsDir, emptyVecs)
+      Similarity.embeddingPostings(StreamDedup.emptyVecs(spark),
+        bands, rowsPerBand, dims))
+    StreamDedup.bootstrapFrame(spark, vectorsDir, StreamDedup.emptyVecs(spark))
   }
 
   def postings: DataFrame = spark.read.parquet(postingsDir)
@@ -106,26 +103,6 @@ class EmbeddingIndex(spark: SparkSession, dir: String,
     * a partition beyond it throws instead of silently breaking the
     * replay contract — see [[StreamDedup.compactFrame]].
     */
-  def compact(lastCommittedBatchId: Long): Unit = {
-    StreamDedup.compactFrame(spark, postingsDir, lastCommittedBatchId)
-    StreamDedup.compactFrame(spark, vectorsDir, lastCommittedBatchId)
-  }
-
-  /** [[compact]] proving the precondition from the stream's own
-    * checkpoint commit log.
-    */
-  def compact(checkpointDir: String): Unit =
-    compact(StreamDedup.lastCommittedBatch(spark, checkpointDir)
-      .getOrElse(StreamDedup.SeedBatchId))
-
-  /** Drop semantic-dedup protection for batches below `cutoff`
-    * (re-crawl-window retention — see
-    * [[StreamDedup.expireFrameBatchesBelow]]).
-    */
-  def expireBatchesBelow(cutoff: Long, lastCommittedBatchId: Long): Unit = {
-    StreamDedup.expireFrameBatchesBelow(spark, postingsDir, cutoff, lastCommittedBatchId)
-    StreamDedup.expireFrameBatchesBelow(spark, vectorsDir, cutoff, lastCommittedBatchId)
-  }
 }
 
 /** [[EmbeddingIndex]] with the verify side stored as PQ CODES — the
@@ -146,31 +123,43 @@ class EmbeddingIndex(spark: SparkSession, dir: String,
   * Train it on (a normalized sample of) the corpus the index will
   * serve, and pick `maxD2` as 2·(1 − minCosine) for unit vectors.
   */
-class PqEmbeddingIndex(spark: SparkSession, dir: String,
+class PqEmbeddingIndex(protected val spark: SparkSession, dir: String,
                        codebookIn: => DataFrame, maxD2: Double,
                        bands: Int = 8, rowsPerBand: Int = 6,
-                       dims: Int = 64, m: Int = 8) {
+                       dims: Int = 64, m: Int = 8)
+    extends IndexMaintenance {
   private val postingsDir = s"$dir/postings"
   private val codesDir = s"$dir/codes"
   private val codebookDir = s"$dir/codebook"
-
-  private def emptyVecs: DataFrame = spark.createDataFrame(
-    new java.util.ArrayList[Row](),
-    StructType(Seq(StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType)))))
+  protected def frameDirs: Seq[String] = Seq(postingsDir, codesDir)
 
   locally {
-    if (!StreamDedup.pathExists(spark, codebookDir))
-      codebookIn.write.parquet(codebookDir)
+    // staged write + rename: pathExists must imply a COMPLETE
+    // codebook. A bare write could crash after some tasks committed,
+    // and every later construction would silently decode against the
+    // partial model — codes scored in the wrong subspaces, exactly
+    // the drift this persistence exists to prevent. Stale stages from
+    // crashed attempts are cleared first; the rename is the atomic
+    // claim (the compactFrame discipline).
+    if (!StreamDedup.pathExists(spark, codebookDir)) {
+      val stagePath = new org.apache.hadoop.fs.Path(s"$dir/.codebook-staging")
+      val fs = stagePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(stagePath, true)
+      codebookIn.write.parquet(stagePath.toString)
+      if (!fs.rename(stagePath, new org.apache.hadoop.fs.Path(codebookDir)))
+        throw new IllegalStateException(
+          s"rename of staged codebook into $codebookDir failed")
+    }
   }
 
   def codebook: DataFrame = spark.read.parquet(codebookDir)
 
   locally {
     StreamDedup.bootstrapFrame(spark, postingsDir,
-      Similarity.embeddingPostings(emptyVecs, bands, rowsPerBand, dims))
+      Similarity.embeddingPostings(StreamDedup.emptyVecs(spark),
+        bands, rowsPerBand, dims))
     StreamDedup.bootstrapFrame(spark, codesDir,
-      Similarity.pqEncode(emptyVecs, codebook, m, dims))
+      Similarity.pqEncode(StreamDedup.emptyVecs(spark), codebook, m, dims))
   }
 
   def postings: DataFrame = spark.read.parquet(postingsDir)
@@ -210,17 +199,4 @@ class PqEmbeddingIndex(spark: SparkSession, dir: String,
     kept
   }
 
-  def compact(lastCommittedBatchId: Long): Unit = {
-    StreamDedup.compactFrame(spark, postingsDir, lastCommittedBatchId)
-    StreamDedup.compactFrame(spark, codesDir, lastCommittedBatchId)
-  }
-
-  def compact(checkpointDir: String): Unit =
-    compact(StreamDedup.lastCommittedBatch(spark, checkpointDir)
-      .getOrElse(StreamDedup.SeedBatchId))
-
-  def expireBatchesBelow(cutoff: Long, lastCommittedBatchId: Long): Unit = {
-    StreamDedup.expireFrameBatchesBelow(spark, postingsDir, cutoff, lastCommittedBatchId)
-    StreamDedup.expireFrameBatchesBelow(spark, codesDir, cutoff, lastCommittedBatchId)
-  }
 }

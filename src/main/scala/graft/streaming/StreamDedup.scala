@@ -91,6 +91,17 @@ object StreamDedup {
       StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType))))
 
+  /** The empty (vec_id, embedding) frame the embedding-index
+    * bootstraps derive their real schemas from.
+    */
+  private[streaming] def emptyVecs(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+
   /** The partition value index seeds ([[NearDupIndex.append]] /
     * [[SpanIndex.append]]) write under — below any real foreachBatch
     * batch id, so seed rows are never excluded by a probe's
@@ -160,6 +171,17 @@ object StreamDedup {
           "and silently re-accept its rows")
     val root = new org.apache.hadoop.fs.Path(dirPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a leftover compaction stage holds a fold of the CURRENT batches;
+    // expiring under it would be undone the moment the interrupted
+    // compact re-runs and folds the stage — with the expired rows —
+    // into the seed partition retention never touches. Resolve the
+    // crash first (re-run compact), then expire.
+    if (fs.listStatus(root).exists(s =>
+        s.isDirectory && s.getPath.getName.startsWith(CompactStagePrefix)))
+      throw new IllegalStateException(
+        s"$dirPath has an unfinished compaction stage: re-run compact() " +
+          "to resolve it before expiring, or expired rows would be " +
+          "resurrected into the seed partition by the stage fold")
     fs.listStatus(root)
       .filter(_.isDirectory)
       .filter { s =>
@@ -243,6 +265,60 @@ object StreamDedup {
   }
 }
 
+/** Shared offline-maintenance surface of the persisted per-batch-id
+  * indexes ([[NearDupIndex]], [[SpanIndex]], [[EmbeddingIndex]],
+  * [[PqEmbeddingIndex]]): compaction and horizon expiry applied
+  * uniformly to EVERY frame the index owns — one `frameDirs` list per
+  * index, so adding a frame can never miss a maintenance method and
+  * silently orphan (or, worse, resurrect) its rows.
+  *
+  * Both operations demand the stopped stream's commit-log high-water
+  * mark — pass it directly, or pass the checkpoint dir and let
+  * [[StreamDedup.lastCommittedBatch]] read the proof. See
+  * [[StreamDedup.compactFrame]] (staged crash-safe fold; refuses
+  * uncommitted partitions) and
+  * [[StreamDedup.expireFrameBatchesBelow]] (re-crawl-window
+  * retention; refuses uncommitted cutoffs and unfinished compaction
+  * stages).
+  */
+trait IndexMaintenance {
+  protected def spark: SparkSession
+
+  /** Every per-batch-partitioned frame directory this index owns. */
+  protected def frameDirs: Seq[String]
+
+  /** Fold all batch partitions of every frame into their seed
+    * partitions; throws if any partition id exceeds
+    * `lastCommittedBatchId`.
+    */
+  def compact(lastCommittedBatchId: Long): Unit =
+    frameDirs.foreach(
+      StreamDedup.compactFrame(spark, _, lastCommittedBatchId))
+
+  /** [[compact]] proving the precondition from the stream's own
+    * checkpoint commit log.
+    */
+  def compact(checkpointDir: String): Unit =
+    compact(StreamDedup.lastCommittedBatch(spark, checkpointDir)
+      .getOrElse(StreamDedup.SeedBatchId))
+
+  /** Drop protection for batches below `cutoff` (re-crawl-window
+    * retention); throws if the cutoff is not provably committed or an
+    * unfinished compaction stage could resurrect the expired rows.
+    */
+  def expireBatchesBelow(cutoff: Long, lastCommittedBatchId: Long): Unit =
+    frameDirs.foreach(
+      StreamDedup.expireFrameBatchesBelow(spark, _, cutoff, lastCommittedBatchId))
+
+  /** [[expireBatchesBelow]] proving the precondition from the
+    * stream's own checkpoint commit log.
+    */
+  def expireBatchesBelow(cutoff: Long, checkpointDir: String): Unit =
+    expireBatchesBelow(cutoff,
+      StreamDedup.lastCommittedBatch(spark, checkpointDir)
+        .getOrElse(StreamDedup.SeedBatchId))
+}
+
 /** A persisted, incrementally-maintained MinHash-LSH corpus index for
   * ingest-time near-dup scrubbing — the `foreachBatch` deployment of
   * [[graft.operators.Dedup.minhashProbe]].
@@ -280,11 +356,12 @@ object StreamDedup {
   * properties (cross-batch drops; no text column in any file scan of
   * the probe plan).
   */
-class NearDupIndex(spark: SparkSession, dir: String, n: Int = 3,
+class NearDupIndex(protected val spark: SparkSession, dir: String, n: Int = 3,
                    numHashes: Int = 32, bands: Int = 8,
-                   minJaccard: Double = 0.5) {
+                   minJaccard: Double = 0.5) extends IndexMaintenance {
   private val postingsDir = s"$dir/postings"
   private val shinglesDir = s"$dir/shingles"
+  protected def frameDirs: Seq[String] = Seq(postingsDir, shinglesDir)
 
   locally {
     StreamDedup.bootstrapFrame(spark, postingsDir,
@@ -339,33 +416,6 @@ class NearDupIndex(spark: SparkSession, dir: String, n: Int = 3,
     kept
   }
 
-  /** Fold all batch partitions of both frames into their seed
-    * partitions. `lastCommittedBatchId` is the stopped stream's
-    * commit-log high-water mark ([[StreamDedup.lastCommittedBatch]]);
-    * a partition beyond it throws instead of silently breaking the
-    * replay contract — see [[StreamDedup.compactFrame]] for the
-    * enforcement and crash-safety arguments.
-    */
-  def compact(lastCommittedBatchId: Long): Unit = {
-    StreamDedup.compactFrame(spark, postingsDir, lastCommittedBatchId)
-    StreamDedup.compactFrame(spark, shinglesDir, lastCommittedBatchId)
-  }
-
-  /** [[compact]] proving the precondition from the stream's own
-    * checkpoint commit log.
-    */
-  def compact(checkpointDir: String): Unit =
-    compact(StreamDedup.lastCommittedBatch(spark, checkpointDir)
-      .getOrElse(StreamDedup.SeedBatchId))
-
-  /** Drop dedup-protection for batches below `cutoff` (re-crawl-window
-    * retention — see [[StreamDedup.expireFrameBatchesBelow]] for the
-    * bound and the enforced committed-past-cutoff precondition).
-    */
-  def expireBatchesBelow(cutoff: Long, lastCommittedBatchId: Long): Unit = {
-    StreamDedup.expireFrameBatchesBelow(spark, postingsDir, cutoff, lastCommittedBatchId)
-    StreamDedup.expireFrameBatchesBelow(spark, shinglesDir, cutoff, lastCommittedBatchId)
-  }
 }
 
 /** A persisted, incrementally-maintained gram-hash index for
@@ -392,8 +442,10 @@ class NearDupIndex(spark: SparkSession, dir: String, n: Int = 3,
   * prior grams — which would otherwise mark EVERY position duplicated
   * and gut the batch) and the write overwrites that partition.
   */
-class SpanIndex(spark: SparkSession, dir: String, k: Int = 8) {
+class SpanIndex(protected val spark: SparkSession, dir: String, k: Int = 8)
+    extends IndexMaintenance {
   private val gramsDir = s"$dir/grams"
+  protected def frameDirs: Seq[String] = Seq(gramsDir)
 
   locally {
     StreamDedup.bootstrapFrame(spark, gramsDir,
@@ -445,25 +497,4 @@ class SpanIndex(spark: SparkSession, dir: String, k: Int = 8) {
     cleaned
   }
 
-  /** Fold all batch partitions into the seed partition.
-    * `lastCommittedBatchId` is the stopped stream's commit-log
-    * high-water mark ([[StreamDedup.lastCommittedBatch]]); a
-    * partition beyond it throws instead of silently breaking the
-    * replay contract — see [[StreamDedup.compactFrame]].
-    */
-  def compact(lastCommittedBatchId: Long): Unit =
-    StreamDedup.compactFrame(spark, gramsDir, lastCommittedBatchId)
-
-  /** [[compact]] proving the precondition from the stream's own
-    * checkpoint commit log.
-    */
-  def compact(checkpointDir: String): Unit =
-    compact(StreamDedup.lastCommittedBatch(spark, checkpointDir)
-      .getOrElse(StreamDedup.SeedBatchId))
-
-  /** Drop span-protection for batches below `cutoff` (re-crawl-window
-    * retention — see [[StreamDedup.expireFrameBatchesBelow]]).
-    */
-  def expireBatchesBelow(cutoff: Long, lastCommittedBatchId: Long): Unit =
-    StreamDedup.expireFrameBatchesBelow(spark, gramsDir, cutoff, lastCommittedBatchId)
 }

@@ -88,6 +88,15 @@ class BenchLineSpec extends AnyFunSuite {
     // an identical-throughput host with no regression flags nothing
     assert(Bench.overBudgetFrom(budget,
       Seq("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 4.0)).isEmpty)
+    // small even overlap with one GENUINE speedup: the fast outlier
+    // takes the lower-median band seat, but the on-budget query's raw
+    // ratio 1.0 exempts it — an optimization is never a breach
+    assert(Bench.overBudgetFrom(budget,
+      Seq("q_a" -> 0.4, "q_b" -> 2.0)).isEmpty)
+    // a uniform 2.5x host shift exceeds raw 2x everywhere but
+    // normalizes to 1x — environment, not regression
+    assert(Bench.overBudgetFrom(budget,
+      Seq("q_a" -> 2.5, "q_b" -> 5.0, "q_c" -> 10.0)).isEmpty)
     // degenerate inputs never divide by zero or flag
     assert(Bench.overBudgetFrom("""{"budgets":{}}""",
       Seq("q_a" -> 1.5)).isEmpty)

@@ -134,16 +134,19 @@ class CorpusSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val grams = Corpus.benchmarkGrams(bench)
     val batch = Seq(
-      (1L, "x1 x2 " + (3 to 10).map(i => s"b$i").mkString(" ") + " x3", "web"),
-      (2L, (1 to 12).map(i => s"f$i").mkString(" "), "web"),
-      (3L, "y1 " + (2 to 9).map(i => s"c$i").mkString(" ") + " y2 y3", "books"),
-      (4L, (1 to 7).map(i => s"b$i").mkString(" "), "short")) // 7 < n: no gram
+      (Option(1L), "x1 x2 " + (3 to 10).map(i => s"b$i").mkString(" ") + " x3", "web"),
+      (Option(2L), (1 to 12).map(i => s"f$i").mkString(" "), "web"),
+      (Option(3L), "y1 " + (2 to 9).map(i => s"c$i").mkString(" ") + " y2 y3", "books"),
+      (Option(4L), (1 to 7).map(i => s"b$i").mkString(" "), "short"), // 7 < n: no gram
+      (None: Option[Long], (1 to 12).map(i => s"b$i").mkString(" "), "anon"))
       .toDF("doc_id", "text", "source")
     val kept = Corpus.decontaminateProbe(batch, grams).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"))).toSet
     // docs 1 and 3 embed a full benchmark 8-gram → dropped; doc 2 is
     // clean; doc 4 shares words but no complete 8-gram → kept, with
-    // every batch column intact
+    // every batch column intact; the NULL-id row carries a verbatim
+    // benchmark passage and MUST be dropped — an unidentified doc
+    // cannot ride the never-matching anti-join into the training set
     assert(kept == Set((2L, "web"), (4L, "short")), s"kept $kept")
   }
 

@@ -332,6 +332,15 @@ class StreamDedupSpec extends SparkSpec {
     // could still replay after its partition vanished
     intercept[IllegalStateException] { idx.expireBatchesBelow(8L, 6L) }
 
+    // an unfinished compaction stage must block expiry: re-running the
+    // interrupted compact would fold the stage — expired rows included
+    // — into the seed partition retention never touches
+    val stage = new org.apache.hadoop.fs.Path(s"$root/index/grams/.compacting-0")
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(stage)
+    intercept[IllegalStateException] { idx.expireBatchesBelow(5L, 5L) }
+    fs.delete(stage, true)
+
     idx.expireBatchesBelow(5L, 5L)
     def scrubbed(doc: (Long, String), id: Long) =
       idx.spans(Seq(doc).toDF("doc_id", "text"), id).count() > 0
