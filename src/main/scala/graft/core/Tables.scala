@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Single place that knows how driver test tables are stored.
   *
@@ -17,7 +17,8 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    normalizeTimestamps(spark.read.parquet(s"$dir/$name.parquet"))
+    normalizeVectors(normalizeTimestamps(
+      spark.read.parquet(s"$dir/$name.parquet")))
 
   /** Normalize every timestamp encoding the driver parquet has shipped
     * so far to a plain microsecond TIMESTAMP:
@@ -39,6 +40,25 @@ object Tables {
           d.withColumn("ts", timestamp_micros(expr(s"`${f.name}` div 1000")))
         case TimestampNTZType =>
           d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => d
+      }
+    }
+
+  /** Canonicalize embedding columns to `array<float>`: the harness
+    * writes float32 today, but `float64` is the pandas/pyarrow DEFAULT
+    * — one regenerated parquet away — and the native vector kernels
+    * (VectorDot/VectorCosine/PqCodes) are float32-typed, so a shifted
+    * encoding would fail analysis on every similarity query at once
+    * (the round-5 NTZ lesson, vector edition). The float64→float32
+    * cast is lossy past ~7 significant digits; every cosine the
+    * oracle compares is rounded to 4, so the absorbed shift stays
+    * hash-compatible. TypeRobustnessSpec pins the behavior.
+    */
+  def normalizeVectors(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case ArrayType(DoubleType, n) if f.name == "embedding" =>
+          d.withColumn(f.name, col(f.name).cast(ArrayType(FloatType, n)))
         case _ => d
       }
     }

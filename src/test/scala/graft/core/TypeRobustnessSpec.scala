@@ -72,4 +72,30 @@ class TypeRobustnessSpec extends SparkSpec {
       Sessionize.funnel(viaTables(df)).collect().toSeq
     assert(fun(ntz) == fun(tz))
   }
+
+  test("a float64 embedding encoding (the pandas default) normalizes to " +
+       "array<float> and keeps the vector kernels working") {
+    import spark.implicits._
+    val doubles = Seq(
+      (1L, Seq(1.0, 0.25, -0.5)), (2L, Seq(0.0, 1.0, 0.125)))
+      .toDF("vec_id", "embedding")
+    assert(doubles.schema("embedding").dataType.simpleString ==
+      "array<double>") // setup sanity
+    val normalized = Tables.normalizeVectors(doubles)
+    assert(normalized.schema("embedding").dataType.simpleString ==
+      "array<float>",
+      "HARNESS TYPE SHIFT: float64 embeddings not canonicalized — " +
+        "extend Tables.normalizeVectors")
+    // the float32-typed native kernel resolves and computes on the
+    // normalized frame (it rejects array<double> at analysis)
+    val dot = normalized.select(graft.operators.Similarity.cosine(
+      col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(dot.forall(c => math.abs(c - 1.0) < 1e-6), dot.toSeq.toString)
+    // float32-exact values round-trip bit-identically
+    val floats = Seq((1L, Seq(1.0f, 0.25f, -0.5f)), (2L, Seq(0.0f, 1.0f, 0.125f)))
+      .toDF("vec_id", "embedding")
+    assert(normalized.collect().toSeq.map(_.toString) ==
+      floats.collect().toSeq.map(_.toString))
+  }
 }
