@@ -30,6 +30,12 @@ object SparkEntry {
   private val MixtureRates = Map(
     "src0" -> 0.25, "src3" -> 0.375, "src7" -> 0.625, "src12" -> 0.875)
 
+  /** Epoch weights (sample_epochs). Dyadic for the same bit-replay
+    * reason as [[MixtureRates]]; >1 upsamples, <1 downsamples.
+    */
+  private val EpochWeights = Map(
+    "src0" -> 2.5, "src3" -> 0.25, "src7" -> 3.0, "src12" -> 1.75)
+
   /** Dump DATE columns as ISO strings: pandas renders Spark's date32 and
     * DuckDB's DATE differently ("1995-01-02" vs "1995-01-02 00:00:00"),
     * which would fail a value-hash compare even though values are equal.
@@ -286,6 +292,8 @@ object SparkEntry {
     "sample_source_quota" -> ((s, d) => Sampling.sourceQuota(Tables(s, d, "documents"))),
     "sample_mixture" -> ((s, d) => Sampling.mixture(Tables(s, d, "documents"),
       MixtureRates)),
+    "sample_epochs" -> ((s, d) => Sampling.epochMix(Tables(s, d, "documents"),
+      EpochWeights)),
     "shard_pack" -> ((s, d) => Sampling.shardPack(Tables(s, d, "documents"))),
     "train_test_split" -> ((s, d) => Corpus.trainTestSplit(Tables(s, d, "documents"))),
     "quality_filter" -> ((s, d) => Corpus.qualityFilter(Tables(s, d, "documents"))),
@@ -1281,6 +1289,26 @@ object SparkEntry {
          |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
          |FROM u WHERE u < $rateCase
          |GROUP BY source ORDER BY source""".stripMargin
+    },
+    // Mirrors Sampling.epochMix: same uniform draw, dyadic epoch
+    // weights, floor(w) copies + 1 iff u < frac(w), copies exploded.
+    "sample_epochs" -> {
+      val wCase = EpochWeights.toSeq.sorted.map { case (src, e) =>
+        s"WHEN source = '$src' THEN CAST($e AS DOUBLE)"
+      }.mkString("CASE ", " ", " ELSE CAST(1.0 AS DOUBLE) END")
+      s"""WITH u AS (
+         |  SELECT doc_id, source,
+         |    ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0 AS u,
+         |    $wCase AS w
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, source,
+         |    CAST(FLOOR(w) AS BIGINT) +
+         |      CASE WHEN u < w - FLOOR(w) THEN 1 ELSE 0 END AS n
+         |  FROM u)
+         |SELECT doc_id, source, CAST(i AS BIGINT) AS copy
+         |FROM n, UNNEST(generate_series(1, n)) AS t(i)
+         |ORDER BY doc_id, copy""".stripMargin
     },
     // Mirrors Sampling.shardPack (budget 4096): exclusive prefix-sum of
     // token counts in doc_id order, integer-div'd into shard ids.

@@ -52,6 +52,35 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Epoch-weighted dataset mixing — the pretraining sampling table
+    * ("books ×2.5 epochs, web ×0.25") materialized as training rows:
+    * each document yields ⌊w⌋ full copies plus one more iff its
+    * uniform content-hash draw falls below frac(w), so a source's
+    * expected token share scales by exactly w while every decision
+    * stays deterministic and re-ingestion-stable (same doc ⇒ same
+    * copies on any cluster layout). Sources missing from `epochs`
+    * default to 1.0 (one copy). Pure narrow per-row arithmetic + a
+    * 1→⌈w⌉ explode — one scan, no shuffle before the output sort.
+    * Use dyadic weights (exactly representable doubles) so the
+    * floor/frac cuts replay bit-for-bit in any engine.
+    */
+  def epochMix(docs: DataFrame, epochs: Map[String, Double]): DataFrame = {
+    val w = epochs.foldLeft(lit(1.0)) { case (acc, (src, e)) =>
+      when(col("source") === src, e).otherwise(acc)
+    }
+    docs
+      .select(col("doc_id"), col("source"), w.as("__w"),
+        uniformDraw.as("__u"))
+      .select(col("doc_id"), col("source"),
+        (floor(col("__w")).cast("long") +
+          when(col("__u") < col("__w") - floor(col("__w")), 1L)
+            .otherwise(0L)).as("__n"))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("__n"))).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
   /** Token-budget shard packing: assign documents (in doc_id order) to
     * consecutive training shards of ~`budget` tokens each — shard =
     * floor(exclusive-prefix-tokens / budget). The prefix sum is
