@@ -228,6 +228,30 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_inactive_customers")))
     }),
     "events_retention" -> ((s, d) => Sessionize.retention(Tables(s, d, "events"))),
+    // declarative data-quality audit (etl.Expectations — the dbt-test
+    // engine generalizing validate_fact/ri_check): 5 row-grain rules
+    // cost ONE conditional-aggregate scan per table, unique is a
+    // map-side-combined key aggregate, relationship pre-aggregates FKs
+    // to distinct keys before the anti-join
+    "expectations_check" -> ((s, d) => {
+      import graft.etl.Expectations._
+      val orders = Tables(s, d, "orders")
+      val li = Tables(s, d, "lineitem")
+      report(Seq(
+        checkRows(orders, "orders", Seq(
+          notNull("o_custkey"),
+          acceptedValues("o_orderstatus", Seq("O", "F", "P")),
+          satisfies("o_totalprice_positive", col("o_totalprice") > 0))),
+        checkRows(li, "lineitem", Seq(
+          inRange("l_discount", 0.0, 0.1),
+          satisfies("price_covers_quantity",
+            col("l_extendedprice") >= col("l_quantity")))),
+        checkUnique(orders, "orders", Seq("o_orderkey")),
+        checkUnique(li, "lineitem", Seq("l_orderkey", "l_linenumber")),
+        checkRelationship(li, "lineitem", "l_orderkey", orders, "o_orderkey"),
+        checkRelationship(orders, "orders", "o_custkey",
+          Tables(s, d, "customer"), "c_custkey")))
+    }),
     // --- orders/customer analytics (big⋈big shuffle-join path) ---
     "orders_monthly_status" -> ((s, d) => Tables(s, d, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
@@ -1233,6 +1257,63 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
         |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
         |    AS n_inactive_customers""".stripMargin,
+    // Mirrors the Expectations audit suite rule for rule: row-grain
+    // rules as conditional sums over one scan per table, unique at key
+    // grain (dbt semantics: violations = keys seen >1 times),
+    // relationship as NOT EXISTS over non-null FKs.
+    "expectations_check" ->
+      """WITH ro AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_nn,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_av,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_tp
+        |  FROM orders),
+        |rl AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN l_discount IS NOT NULL
+        |      AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_ir,
+        |    CAST(SUM(CASE WHEN NOT COALESCE(l_extendedprice >= l_quantity,
+        |      FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_pc
+        |  FROM lineitem),
+        |uo AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)),
+        |ul AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v
+        |  FROM (SELECT COUNT(*) AS c FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)),
+        |xl AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+        |      WHERE o.o_orderkey = l.l_orderkey) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v
+        |  FROM lineitem l WHERE l_orderkey IS NOT NULL),
+        |xo AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+        |      WHERE c.c_custkey = o.o_custkey) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v
+        |  FROM orders o WHERE o_custkey IS NOT NULL)
+        |SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+        |FROM (
+        |  SELECT 'orders.o_custkey.not_null' AS rule, n AS n_checked,
+        |    v_nn AS n_violations FROM ro
+        |  UNION ALL SELECT 'orders.o_orderstatus.accepted_values', n, v_av
+        |    FROM ro
+        |  UNION ALL SELECT 'orders.o_totalprice_positive.satisfies', n, v_tp
+        |    FROM ro
+        |  UNION ALL SELECT 'lineitem.l_discount.in_range', n, v_ir FROM rl
+        |  UNION ALL SELECT 'lineitem.price_covers_quantity.satisfies', n,
+        |    v_pc FROM rl
+        |  UNION ALL SELECT 'orders.o_orderkey.unique', n, v FROM uo
+        |  UNION ALL SELECT 'lineitem.l_orderkey_l_linenumber.unique', n, v
+        |    FROM ul
+        |  UNION ALL SELECT 'lineitem.l_orderkey.relationship', n, v FROM xl
+        |  UNION ALL SELECT 'orders.o_custkey.relationship', n, v FROM xo)
+        |ORDER BY rule""".stripMargin,
     // Mirrors Sessionize.retention: first-activity-date cohorts,
     // distinct active users per cohort per day offset.
     "events_retention" ->

@@ -1,0 +1,122 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations (the dbt-test / Deequ-style
+  * rule surface the reference's hand-written validation queries imply —
+  * `validate_fact` and `ri_check` are two instances of this engine).
+  *
+  * Scale shape:
+  *  - Every ROW-grain rule over a table (not-null, accepted-values,
+  *    in-range, arbitrary predicate) folds into ONE conditional
+  *    aggregate, so auditing k rules costs one scan of the table —
+  *    never k scans. The aggregate is a partial-combining single row
+  *    per partition; no shuffle of data rows.
+  *  - `unique` is a key-grain hash aggregate (map-side combined — a
+  *    hot key ships one row per map partition, never its posting
+  *    list) followed by a rule-sized re-aggregate.
+  *  - `relationship` (FK integrity) pre-aggregates the fact side to
+  *    distinct keys WITH row counts before the anti-join, so the
+  *    shuffle carries |distinct fk| rows, not |fact| rows, and the
+  *    orphan ROW count is still exact (sum of the orphan keys'
+  *    counts).
+  *
+  * Output contract (all rule kinds): one row per rule —
+  * `(rule, n_checked, n_violations, passed)` — so a 100-rule audit
+  * over a 100 TB table lands as 100 rows, order-insensitive,
+  * side-effect free.
+  */
+object Expectations {
+
+  /** A row-grain rule: `violated` must be a boolean Column over the
+    * table's columns; NULL counts as violated for `notNull`-style
+    * rules only if the rule says so — callers express that in the
+    * predicate itself (see the constructors below).
+    */
+  final case class RowRule(name: String, violated: Column)
+
+  /** Column must be non-null. */
+  def notNull(c: String): RowRule =
+    RowRule(s"$c.not_null", col(c).isNull)
+
+  /** Column value must be one of `allowed` (NULLs are violations too —
+    * pair with a separate notNull rule if you want them reported
+    * distinctly; dbt's accepted_values ignores NULLs, so we follow
+    * that: NULL is NOT a violation here).
+    */
+  def acceptedValues(c: String, allowed: Seq[String]): RowRule =
+    RowRule(s"$c.accepted_values",
+      col(c).isNotNull && !col(c).isin(allowed: _*))
+
+  /** Column must lie in [lo, hi] (NULLs pass — see acceptedValues). */
+  def inRange(c: String, lo: Double, hi: Double): RowRule =
+    RowRule(s"$c.in_range", col(c).isNotNull && (col(c) < lo || col(c) > hi))
+
+  /** Arbitrary row predicate that must HOLD; a NULL predicate result
+    * counts as a violation (unknown is not proof of health).
+    */
+  def satisfies(name: String, predicate: Column): RowRule =
+    RowRule(s"$name.satisfies", !coalesce(predicate, lit(false)))
+
+  /** All row-grain rules in ONE scan: a single conditional aggregate
+    * produces (violations_0, …, violations_{k-1}, n_rows), then a
+    * k-branch `stack` unpivots it to one row per rule. No joins, no
+    * window, no second scan.
+    */
+  def checkRows(df: DataFrame, table: String, rules: Seq[RowRule]): DataFrame = {
+    require(rules.nonEmpty, "checkRows needs at least one rule")
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      sum(when(r.violated, 1L).otherwise(0L)).as(s"__v$i")
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex
+      .map { case (r, i) => s"'${table}.${r.name}', __n, __v$i" }
+      .mkString(", ")
+    one.select(expr(
+      s"stack(${rules.size}, $stackArgs) AS (rule, n_checked, n_violations)"))
+      .withColumn("passed", col("n_violations") === 0L)
+  }
+
+  /** Key-grain uniqueness: `n_checked` = distinct keys, `n_violations`
+    * = keys observed more than once (dbt `unique` semantics). The
+    * groupBy is map-side combined; the re-aggregate is rule-sized.
+    * NULL keys group together like dbt's (a duplicated NULL key is a
+    * real finding).
+    */
+  def checkUnique(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+    val counted = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
+    counted.agg(
+      count(lit(1)).as("n_checked"),
+      sum(when(col("__c") > 1L, 1L).otherwise(0L)).as("n_violations"))
+      .select(
+        lit(s"$table.${cols.mkString("_")}.unique").as("rule"),
+        col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+  }
+
+  /** FK → PK integrity: `n_checked` = fact rows with a non-null FK,
+    * `n_violations` = fact ROWS whose key has no match in `dim`
+    * (NULL FKs are not orphans — report them via notNull). The fact
+    * side aggregates to (key, n_rows) BEFORE the join, so the join
+    * input is distinct-key-sized; the anti-join then sums row counts.
+    */
+  def checkRelationship(fact: DataFrame, table: String, fk: String,
+                        dim: DataFrame, pk: String): DataFrame = {
+    val keys = fact.filter(col(fk).isNotNull)
+      .groupBy(col(fk).as("__k")).agg(count(lit(1)).as("__c"))
+    val dimKeys = dim.select(col(pk).as("__k")).distinct()
+    val orphans = keys.join(dimKeys, Seq("__k"), "left_anti")
+      .agg(coalesce(sum("__c"), lit(0L)).as("n_violations"))
+    keys.agg(coalesce(sum("__c"), lit(0L)).as("n_checked"))
+      .crossJoin(orphans)
+      .select(
+        lit(s"$table.$fk.relationship").as("rule"),
+        col("n_checked"), col("n_violations"),
+        (col("n_violations") === 0L).as("passed"))
+  }
+
+  /** Union an audit suite into the single report frame. */
+  def report(checks: Seq[DataFrame]): DataFrame =
+    checks.reduce(_.unionByName(_)).orderBy("rule")
+}
