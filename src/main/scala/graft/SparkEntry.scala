@@ -2,7 +2,7 @@ package graft
 
 import graft.core.Tables
 import graft.etl.{Cube, Dashboard, Ingest, WeatherMart}
-import graft.operators.{AsOfJoin, Corpus, Dedup, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Corpus, Dedup, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, Sketches, TextAnalysis}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -187,6 +187,12 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables(s, d, "documents"))),
     "vocab_topk" -> ((s, d) => TextAnalysis.vocabTopK(Tables(s, d, "documents"))),
+    // Count-Min heavy hitters (operators.Sketches): fixed 4×2048-cell
+    // executor state however large the vocabulary, cell-wise-additive
+    // merge; the exact top-20 rides along to prove est >= exact — the
+    // counting analog of events_approx_stats' HLL
+    "heavy_hitters_cms" -> ((s, d) =>
+      Sketches.heavyHitters(Tables(s, d, "documents"))),
     "corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables(s, d, "documents"))),
     "doc_repetition" -> ((s, d) => TextAnalysis.repetition(Tables(s, d, "documents"))),
     "decontaminate" -> ((s, d) => Corpus.decontaminate(Tables(s, d, "documents"))),
@@ -821,6 +827,60 @@ object SparkEntry {
        |JOIN shl sb ON doc_b = sb.doc_id
        |WHERE $jac >= $minJ
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Mirrors Sketches.heavyHitters (depth 4, width 2048, k=20):
+    * replays the per-word Horner+avalanche hash (the shared shingle
+    * family — StringHash31), the 4 affine CMS rows, the cell counts
+    * over word INSTANCES, and the min-across-rows estimates with
+    * untouched cells reading 0. est >= exact by construction; the
+    * hash match proves the whole sketch cell-for-cell.
+    */
+  private def cmsHeavyHittersSql: String = {
+    val (depth, width, k) = (4, 2048, 20)
+    val m = graft.functions.SimHash64.Mod
+    val (c1, c2) = (graft.functions.SimHash64.MixC1, graft.functions.SimHash64.MixC2)
+    val mask = graft.functions.SimHash64.Mask
+    val ba = graft.functions.SimHash64.BaseA
+    val cf = (0 until depth).map(i =>
+      s"($i, ${graft.functions.MinHashSig.coeffA(i)}, " +
+        s"${graft.functions.MinHashSig.coeffB(i)})").mkString(", ")
+    s"""WITH RECURSIVE
+       |pw(k, pa) AS (
+       |  SELECT 0, CAST(1 AS BIGINT)
+       |  UNION ALL SELECT k + 1, pa * $ba % $m FROM pw WHERE k < 256),
+       |inst AS (
+       |  SELECT w FROM (
+       |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) > 0),
+       |vocab AS (SELECT w, COUNT(*) AS n_exact FROM inst GROUP BY w),
+       |hs AS (
+       |  SELECT w,
+       |    SUM(CAST(unicode(substr(w, i, 1)) AS BIGINT) * p.pa) % $m AS h
+       |  FROM vocab, UNNEST(generate_series(1, length(w))) AS g(i)
+       |  JOIN pw p ON p.k = length(w) - i
+       |  GROUP BY w),
+       |x1 AS (SELECT w, (xor(h, h >> 16) * $c1) & $mask AS h FROM hs),
+       |x2 AS (SELECT w, (xor(h, h >> 13) * $c2) & $mask AS h FROM x1),
+       |xs AS (SELECT w, xor(h, h >> 16) AS x FROM x2),
+       |cf(i, a, b) AS (VALUES $cf),
+       |cells AS (
+       |  SELECT w, i, ((a * x + b) % $m) & ${width - 1} AS bucket
+       |  FROM xs, cf),
+       |sketch AS (
+       |  SELECT c.i, c.bucket, COUNT(*) AS cnt
+       |  FROM inst t JOIN cells c ON t.w = c.w
+       |  GROUP BY c.i, c.bucket),
+       |topk AS (SELECT w, n_exact FROM vocab
+       |  ORDER BY n_exact DESC, w LIMIT $k),
+       |est AS (
+       |  SELECT c.w, MIN(COALESCE(s.cnt, 0)) AS n_est
+       |  FROM cells c JOIN topk USING (w)
+       |  LEFT JOIN sketch s ON s.i = c.i AND s.bucket = c.bucket
+       |  GROUP BY c.w)
+       |SELECT t.w AS word, t.n_exact, CAST(e.n_est AS BIGINT) AS n_est
+       |FROM topk t JOIN est e ON t.w = e.w
+       |ORDER BY t.n_exact DESC, word""".stripMargin
   }
 
   /** Mirrors Similarity.embeddingNearDup (8 bands × 6 planes, τ=0.35):
@@ -1480,6 +1540,7 @@ object SparkEntry {
       """SELECT t AS token, COUNT(*) AS term_freq
         |FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
         |GROUP BY 1 ORDER BY term_freq DESC, token LIMIT 100""".stripMargin,
+    "heavy_hitters_cms" -> cmsHeavyHittersSql,
     "corpus_stats" ->
       """SELECT * FROM (
         |  SELECT COUNT(*) AS n_docs,

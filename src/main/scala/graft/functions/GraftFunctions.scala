@@ -55,6 +55,11 @@ object GraftFunctions {
     org.apache.spark.sql.graft.Bridge.column(
       RepetitionStats(org.apache.spark.sql.graft.Bridge.expression(text), n))
 
+  /** Column wrapper for [[StringHash31]]. */
+  def stringHash31(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      StringHash31(org.apache.spark.sql.graft.Bridge.expression(c)))
+
   /** Column wrapper for [[MinHashSig]]. */
   def minhashSig(text: Column, n: Int, k: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.functions.{GraftFunctions, MinHashSig, SimHash64}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count–Min sketch: frequency estimation in FIXED executor state —
+  * the counting analog of the HLL cardinality sketch already in the
+  * events surface.
+  *
+  * Why it exists at 100 TB: an exact `groupBy(word)` holds the LOCAL
+  * vocabulary of every partition in its hash-aggregate state — on web
+  * text that is millions of keys per executor before the shuffle even
+  * starts. The CMS caps state at depth×width cells per partition
+  * (4×2048 longs = 64 KB here) no matter how large the vocabulary
+  * grows, the shuffle moves at most depth×width rows per partition,
+  * and two sketches MERGE by plain cell-wise addition — the same
+  * mergeability contract the streaming HLL spec pins, so per-batch /
+  * per-day sketches roll up losslessly.
+  *
+  * Estimates are upward-biased, never under: est(w) = min over rows of
+  * the row's cell count ≥ true count, within ε·N with probability
+  * 1−δ for width = e/ε, depth = ln(1/δ).
+  *
+  * Hashing is the repo's portable family — per-word Horner+avalanche
+  * ([[graft.functions.StringHash31]], the shingle hash as a scalar)
+  * fed through the [[MinHashSig]] affine permutations, one per sketch
+  * row, everything BIGINT-safe — so the DuckDB oracle replays the
+  * sketch cell-for-cell and the estimates hash-check exactly.
+  */
+object Sketches {
+
+  final val Mod = SimHash64.Mod // 2^31 - 1
+
+  /** Per-row CMS bucket for an avalanched 31-bit hash `x`:
+    * ((a_i·x + b_i) mod M) & (width−1). Affine coefficients are the
+    * deterministic MinHash family, so depth rows are pairwise
+    * independent and oracle-replayable. `width` must be a power of 2.
+    */
+  def bucket(x: Column, row: Int, width: Int): Column =
+    ((lit(MinHashSig.coeffA(row)) * x + lit(MinHashSig.coeffB(row))) % lit(Mod))
+      .bitwiseAND(lit(width - 1L))
+
+  private def requirePow2(width: Int): Unit =
+    require(width > 0 && (width & (width - 1)) == 0,
+      s"CMS width must be a power of 2, got $width")
+
+  /** Build the sketch from a frame of items (column `item`): one scan,
+    * a depth-way inline expand of 16-byte (row, bucket) pairs, then a
+    * map-side-combined count per cell. Output is at most depth×width
+    * rows regardless of input size: `(row, bucket, cnt)`.
+    */
+  def cmsSketch(items: DataFrame, item: String = "item",
+                depth: Int = 4, width: Int = 2048): DataFrame = {
+    requirePow2(width)
+    val x = GraftFunctions.stringHash31(col(item))
+    items
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"), bucket(x, i, width).as("bucket"))): _*))
+        .as("cell"))
+      .groupBy(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge sketches built over disjoint slices: cell-wise addition.
+    * Lossless by construction (counts are linear); the spec proves
+    * merged == one-pass exactly.
+    */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_.unionByName(_))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Point-estimate the counts of `queries` (column `item`) against a
+    * sketch: re-hash each query item to its depth cells, join the
+    * (depth×width)-row sketch — broadcast-sized by construction — and
+    * take the min across rows. Items hitting an untouched cell (never
+    * inserted, no collisions) estimate 0 via the coalesce.
+    */
+  def cmsEstimate(sketch: DataFrame, queries: DataFrame,
+                  item: String = "item",
+                  depth: Int = 4, width: Int = 2048): DataFrame = {
+    requirePow2(width)
+    val x = GraftFunctions.stringHash31(col(item))
+    val cells = queries
+      .select(col(item), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"), bucket(x, i, width).as("bucket"))): _*))
+        .as("cell"))
+      .select(col(item), col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+    cells
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(item)
+      // an unmatched cell is a ZERO counter, not a missing sample:
+      // min must see it as 0 (min() alone would skip the NULL and
+      // overestimate an item that was never inserted)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+  }
+
+  /** Heavy hitters with sketch cross-check: the exact top-k words by
+    * corpus frequency (TakeOrdered — k rows leave each partition)
+    * alongside their CMS estimates, proving est ≥ exact cell-for-cell
+    * against the oracle. The exact side exists to VERIFY the sketch at
+    * test scale; the 100 TB deployment keeps only the sketch + a
+    * per-partition candidate heap.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 20,
+                   depth: Int = 4, width: Int = 2048): DataFrame = {
+    val words = docs
+      .select(explode(TextOps.tokens(col("text"))).as("item"))
+      .filter(length(col("item")) > 0)
+    val exact = words.groupBy("item").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("item")).limit(k)
+    val sketch = cmsSketch(words, depth = depth, width = width)
+    exact.join(cmsEstimate(sketch, exact.select("item"),
+        depth = depth, width = width), Seq("item"))
+      .select(col("item").as("word"), col("n_exact"), col("n_est"))
+      .orderBy(col("n_exact").desc, col("word"))
+  }
+}
