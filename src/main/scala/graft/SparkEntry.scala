@@ -193,6 +193,16 @@ object SparkEntry {
     // counting analog of events_approx_stats' HLL
     "heavy_hitters_cms" -> ((s, d) =>
       Sketches.heavyHitters(Tables(s, d, "documents"))),
+    // content-defined chunking (Corpus.cdcChunks): rolling-hash
+    // boundaries re-sync after edits, so chunk-grain dedup survives
+    // insertions that shift every fixed-stride offset; boundaries from
+    // the portable word hash, so the oracle replays every chunk.
+    // maskBits=2 here: the synthetic corpus has a 31-word vocabulary
+    // and the production default (4) happens to select zero of them as
+    // boundary words — 2 puts real multi-chunk docs and cross-doc
+    // shared chunks under the hash check
+    "doc_chunk_cdc" -> ((s, d) =>
+      Corpus.cdcChunks(Tables(s, d, "documents"), maskBits = 2)),
     "corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables(s, d, "documents"))),
     "doc_repetition" -> ((s, d) => TextAnalysis.repetition(Tables(s, d, "documents"))),
     "decontaminate" -> ((s, d) => Corpus.decontaminate(Tables(s, d, "documents"))),
@@ -883,6 +893,63 @@ object SparkEntry {
        |ORDER BY t.n_exact DESC, word""".stripMargin
   }
 
+  /** Mirrors Corpus.cdcChunks (maskBits=2 — see the query comment): replays the per-word
+    * Horner+avalanche hash over the DISTINCT vocabulary, joins it back
+    * to positional instances, re-runs the boundary rule (low hash
+    * bits zero ⇒ boundary after the token), the doc-partitioned
+    * PRECEDING-frame running sum that assigns chunk ids, the in-order
+    * reassembly, and the cross-doc sharing counts. A zero-length token
+    * (possible only under doubled spaces) hashes to 0 via the UNION
+    * branch — the aggregate formulation yields no character rows for
+    * it, where the kernel returns mix(0) = 0.
+    */
+  private def cdcChunksSql: String = {
+    val mask = 3
+    val m = graft.functions.SimHash64.Mod
+    val (c1, c2) = (graft.functions.SimHash64.MixC1, graft.functions.SimHash64.MixC2)
+    val maskL = graft.functions.SimHash64.Mask
+    val ba = graft.functions.SimHash64.BaseA
+    s"""WITH RECURSIVE
+       |pw(k, pa) AS (
+       |  SELECT 0, CAST(1 AS BIGINT)
+       |  UNION ALL SELECT k + 1, pa * $ba % $m FROM pw WHERE k < 256),
+       |inst AS (
+       |  SELECT doc_id, i AS pos, w[i] AS t
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |       UNNEST(generate_series(1, len(w))) AS g(i)),
+       |vocab AS (SELECT DISTINCT t FROM inst),
+       |hs AS (
+       |  SELECT t,
+       |    SUM(CAST(unicode(substr(t, i, 1)) AS BIGINT) * p.pa) % $m AS h
+       |  FROM vocab, UNNEST(generate_series(1, length(t))) AS g(i)
+       |  JOIN pw p ON p.k = length(t) - i
+       |  GROUP BY t),
+       |x1 AS (SELECT t, (xor(h, h >> 16) * $c1) & $maskL AS h FROM hs),
+       |x2 AS (SELECT t, (xor(h, h >> 13) * $c2) & $maskL AS h FROM x1),
+       |xs AS (SELECT t, xor(h, h >> 16) AS x FROM x2
+       |  UNION ALL SELECT t, CAST(0 AS BIGINT) FROM vocab WHERE length(t) = 0),
+       |fl AS (
+       |  SELECT doc_id, pos, i.t,
+       |    CASE WHEN (x & $mask) = 0 THEN 1 ELSE 0 END AS b
+       |  FROM inst i JOIN xs USING (t)),
+       |ch AS (
+       |  SELECT doc_id, pos, t,
+       |    COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+       |  FROM fl),
+       |chunks AS (
+       |  SELECT doc_id, cid, COUNT(*) AS n_chunk_tokens,
+       |    string_agg(t, ' ' ORDER BY pos) AS chunk_text
+       |  FROM ch GROUP BY doc_id, cid),
+       |share AS (SELECT chunk_text, COUNT(DISTINCT doc_id) AS nds
+       |  FROM chunks GROUP BY chunk_text)
+       |SELECT c.doc_id, CAST(cid AS BIGINT) AS chunk_id,
+       |  CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens, c.chunk_text,
+       |  CAST(nds AS BIGINT) AS n_docs_sharing
+       |FROM chunks c JOIN share ON c.chunk_text = share.chunk_text
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   /** Mirrors Similarity.embeddingNearDup (8 bands × 6 planes, τ=0.35):
     * the SAME deterministic hyperplanes embedded as DOUBLE[] literals,
     * sign bits packed to the band bucket with plain integer arithmetic,
@@ -1541,6 +1608,7 @@ object SparkEntry {
         |FROM (SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)
         |GROUP BY 1 ORDER BY term_freq DESC, token LIMIT 100""".stripMargin,
     "heavy_hitters_cms" -> cmsHeavyHittersSql,
+    "doc_chunk_cdc" -> cdcChunksSql,
     "corpus_stats" ->
       """SELECT * FROM (
         |  SELECT COUNT(*) AS n_docs,

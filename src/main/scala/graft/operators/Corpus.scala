@@ -225,6 +225,50 @@ object Corpus {
         array_join(slice(col("w"), col("col") + 1, lit(chunkSize)), " ")
           .as("chunk_text"))
 
+  /** Content-defined chunking (the rolling-hash boundary rule of
+    * rsync/borg/CDC dedup, at WORD grain): a chunk boundary falls
+    * after token i iff the token's portable 31-bit hash
+    * ([[graft.functions.StringHash31]]) has its low `maskBits` bits
+    * zero — expected chunk length 2^maskBits tokens. Because
+    * boundaries depend only on LOCAL content, an insertion re-syncs
+    * at the next boundary and every later chunk keeps its identity —
+    * the property that makes chunk-grain dedup robust to edits, which
+    * fixed-stride [[chunk]] (offsets shift forever after an insert)
+    * cannot offer.
+    *
+    * Plan: one scan → posexplode → boundary flags at scan speed → the
+    * sessionize pattern (doc-partitioned running SUM over the
+    * PRECEDING frame — never a global window) assigns chunk ids → the
+    * reassembly groupBy reuses the window's doc_id partitioning (no
+    * second corpus shuffle) → sharing counts shuffle 16-byte md5 keys
+    * only. Output: one row per chunk with its cross-doc sharing count
+    * (`n_docs_sharing` ≥ 2 = a duplicated passage).
+    */
+  def cdcChunks(docs: DataFrame, maskBits: Int = 4): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 20, s"maskBits in [1,20], got $maskBits")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val boundary = graft.functions.GraftFunctions.stringHash31(col("t"))
+      .bitwiseAND(lit((1L << maskBits) - 1)) === 0L
+    val chunks = docs
+      .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("t"))
+      .withColumn("chunk_id",
+        coalesce(sum(when(boundary, 1L).otherwise(0L)).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_chunk_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("t")))),
+          s => s.getField("t")), " ").as("chunk_text"))
+    val sharing = chunks
+      .select(md5(col("chunk_text")).as("ck"), col("doc_id"))
+      .groupBy("ck").agg(count_distinct(col("doc_id")).as("n_docs_sharing"))
+    chunks.withColumn("ck", md5(col("chunk_text")))
+      .join(sharing, "ck").drop("ck")
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Chunk-level (paragraph) deduplication profile, the CCNet/RefinedWeb
     * line-dedup signal: for each document, how many of its chunks are
     * corpus-wide duplicates of an earlier chunk. A chunk instance is a

@@ -66,6 +66,33 @@ class CorpusSpec extends SparkSpec {
       (r.getLong(1), r.getLong(2), r.getString(3))).toSeq == Seq((0L, 3L, "a b c")))
   }
 
+  test("cdcChunks: boundaries re-sync after an insertion (the CDC property)") {
+    val base = (1 to 200).map(i => s"w${i * 37 % 211}").mkString(" ")
+    val edited = "inserted token burst " + base
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val out = Corpus.cdcChunks(docs).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    // the property is only exercised if the doc actually splits
+    assert(byDoc(1L).length >= 3,
+      s"degenerate test: only ${byDoc(1L).length} chunks")
+    val c1 = byDoc(1L).map(_.getAs[String]("chunk_text")).toSet
+    val c2 = byDoc(2L).map(_.getAs[String]("chunk_text")).toSet
+    // every chunk of the original except (at most) the prefix chunk
+    // survives the insertion — fixed-stride chunking shares ~nothing
+    val shared = c1.intersect(c2)
+    assert(shared.size >= c1.size - 1,
+      s"CDC failed to re-sync: ${c1.size} original, ${shared.size} shared")
+    // the sharing count marks exactly those chunks as cross-doc
+    out.filter(r => shared.contains(r.getAs[String]("chunk_text")))
+      .foreach(r => assert(r.getAs[Long]("n_docs_sharing") === 2L))
+    // chunks tile each doc: token counts sum to doc length, ids dense
+    val d1 = byDoc(1L).sortBy(_.getAs[Long]("chunk_id"))
+    assert(d1.map(_.getAs[Long]("n_chunk_tokens")).sum === 200L)
+    assert(d1.map(_.getAs[Long]("chunk_id")).toSeq === d1.indices.map(_.toLong))
+    // reassembly preserves token order
+    assert(d1.map(_.getAs[String]("chunk_text")).mkString(" ") === base)
+  }
+
   test("paragraphDedup charges duplicate chunks to later occurrences only") {
     // doc 1 and doc 3 are identical single-chunk texts; doc 2 is unique
     val docs = Seq((1L, "x y z"), (2L, "p q"), (3L, "x y z"))
