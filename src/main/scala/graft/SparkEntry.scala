@@ -244,6 +244,19 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_inactive_customers")))
     }),
     "events_retention" -> ((s, d) => Sessionize.retention(Tables(s, d, "events"))),
+    // distribution-drift monitor (etl.Profile.histDrift): two-sample
+    // chi-square between month halves per event type — one bounded-
+    // width conditional-aggregate scan, chi2 UNROLLED over the literal
+    // bins so the float statistic is a fixed expression tree both
+    // engines evaluate identically
+    "dist_drift" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      graft.etl.Profile.histDrift(
+        ev.filter(dayofmonth(col("ts")) < 16),
+        ev.filter(dayofmonth(col("ts")) >= 16),
+        "value", "event_type", Seq(10.0, 25.0, 50.0, 100.0))
+        .orderBy("event_type")
+    }),
     // declarative data-quality audit (etl.Expectations — the dbt-test
     // engine generalizing validate_fact/ri_check): 5 row-grain rules
     // cost ONE conditional-aggregate scan per table, unique is a
@@ -891,6 +904,52 @@ object SparkEntry {
        |SELECT t.w AS word, t.n_exact, CAST(e.n_est AS BIGINT) AS n_est
        |FROM topk t JOIN est e ON t.w = e.w
        |ORDER BY t.n_exact DESC, word""".stripMargin
+  }
+
+  /** Mirrors Profile.histDrift (edges 10/25/50/100, critical 13.277)
+    * term for term: the chi-square is the SAME unrolled expression
+    * tree — per-bin integer counters, then left-associated double
+    * arithmetic in the identical order — so the float statistic
+    * hash-checks exactly (no distributive float SUM on either side).
+    */
+  private def distDriftSql: String = {
+    val edges = Seq(10.0, 25.0, 50.0, 100.0)
+    val k = edges.size + 1
+    val binCase = "CASE " + edges.zipWithIndex.map { case (e, i) =>
+      s"WHEN value < $e THEN $i" }.mkString(" ") + s" ELSE ${k - 1} END"
+    val counters = (0 until k).flatMap(i => Seq(
+      s"CAST(SUM(CASE WHEN bin = $i AND s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a$i",
+      s"CAST(SUM(CASE WHEN bin = $i AND s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b$i"))
+      .mkString(",\n    ")
+    val naSum = (0 until k).map(i => s"a$i").mkString(" + ")
+    val nbSum = (0 until k).map(i => s"b$i").mkString(" + ")
+    def term(i: Int): String = {
+      val ea = s"(CAST(na AS DOUBLE) * CAST(a$i + b$i AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+      val eb = s"(CAST(nb AS DOUBLE) * CAST(a$i + b$i AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+      s"""CASE WHEN a$i + b$i > 0 THEN
+         |      (CAST(a$i AS DOUBLE) - $ea) * (CAST(a$i AS DOUBLE) - $ea) / $ea
+         |      + (CAST(b$i AS DOUBLE) - $eb) * (CAST(b$i AS DOUBLE) - $eb) / $eb
+         |    ELSE 0.0 END""".stripMargin
+    }
+    val chi2 = (0 until k).map(term).mkString("\n    + ")
+    s"""WITH t AS (
+       |  SELECT event_type,
+       |    CASE WHEN day(ts) < 16 THEN 0 ELSE 1 END AS s,
+       |    $binCase AS bin
+       |  FROM events WHERE value IS NOT NULL),
+       |c AS (
+       |  SELECT event_type,
+       |    $counters
+       |  FROM t GROUP BY event_type),
+       |e AS (SELECT *, $naSum AS na, $nbSum AS nb FROM c),
+       |f AS (
+       |  SELECT event_type, na, nb,
+       |    CASE WHEN na > 0 AND nb > 0 THEN ROUND(
+       |    $chi2, 4) END AS chi2
+       |  FROM e)
+       |SELECT event_type, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       |  chi2, COALESCE(chi2 > 13.277, FALSE) AS drifted
+       |FROM f ORDER BY event_type""".stripMargin
   }
 
   /** Mirrors Corpus.cdcChunks (maskBits=2 — see the query comment): replays the per-word
@@ -1609,6 +1668,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY term_freq DESC, token LIMIT 100""".stripMargin,
     "heavy_hitters_cms" -> cmsHeavyHittersSql,
     "doc_chunk_cdc" -> cdcChunksSql,
+    "dist_drift" -> distDriftSql,
     "corpus_stats" ->
       """SELECT * FROM (
         |  SELECT COUNT(*) AS n_docs,

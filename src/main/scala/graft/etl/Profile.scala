@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Generic table profiling: row count + per-column null and distinct
@@ -27,5 +27,76 @@ object Profile {
       cols.flatMap(c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
         distinctAgg(c).as(s"distinct_$c"))): _*)
+  }
+
+  /** Fixed-bin histogram bucket for [[histDrift]]: bin i iff
+    * value < edges(i), else the overflow bin edges.size. NULLs are
+    * excluded by the caller.
+    */
+  private[etl] def binExpr(value: Column, edges: Seq[Double]): Column =
+    edges.zipWithIndex.foldRight(lit(edges.size): Column) {
+      case ((e, i), rest) => when(value < e, i).otherwise(rest)
+    }
+
+  /** Distribution-drift monitor: two-sample chi-square between
+    * snapshots A and B of a numeric column, per group — the check a
+    * training pipeline runs between yesterday's crawl and today's
+    * before trusting its quality thresholds (a drifted feature
+    * distribution silently re-tunes every downstream gate).
+    *
+    * Scale shape: ONE conditional-aggregate scan per snapshot — the
+    * k+1 fixed bins become 2(k+1) integer counters per group, so the
+    * shuffle carries one bounded-width row per group and nothing
+    * value-grain ever moves. The chi-square is then UNROLLED over the
+    * literal bins as one fixed expression tree (no distributive float
+    * SUM whose addition order varies by partition): the same IEEE
+    * operations in the same order in any engine, which is what lets
+    * the DuckDB oracle hash-check a floating-point statistic.
+    *
+    * Empty-pooled bins contribute 0 (their expected counts are 0 by
+    * construction); `drifted` flags chi2 above the caller's critical
+    * value (df = populated bins − 1 under H0; the default is the 99th
+    * percentile for k=5 bins, χ²₄ = 13.277).
+    */
+  def histDrift(a: DataFrame, b: DataFrame, valueCol: String,
+                groupCol: String, edges: Seq[Double],
+                critical: Double = 13.277): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted, "edges must be sorted")
+    val k = edges.size + 1
+    val tagged = a.select(col(groupCol), col(valueCol), lit(0).as("__s"))
+      .unionByName(b.select(col(groupCol), col(valueCol), lit(1).as("__s")))
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol), binExpr(col(valueCol), edges).as("__bin"),
+        col("__s"))
+    val counters = (0 until k).flatMap(i => Seq(
+      sum(when(col("__bin") === i && col("__s") === 0, 1L).otherwise(0L))
+        .as(s"a$i"),
+      sum(when(col("__bin") === i && col("__s") === 1, 1L).otherwise(0L))
+        .as(s"b$i")))
+    val counted = tagged.groupBy(groupCol).agg(counters.head, counters.tail: _*)
+    val na = (0 until k).map(i => col(s"a$i")).reduce(_ + _)
+    val nb = (0 until k).map(i => col(s"b$i")).reduce(_ + _)
+    val total = (na + nb).cast("double")
+    def term(i: Int): Column = {
+      val (oa, ob) = (col(s"a$i"), col(s"b$i"))
+      val pooled = (oa + ob).cast("double")
+      val ea = col("__na").cast("double") * pooled / col("__total")
+      val eb = col("__nb").cast("double") * pooled / col("__total")
+      when(oa + ob > 0,
+        (oa.cast("double") - ea) * (oa.cast("double") - ea) / ea
+          + (ob.cast("double") - eb) * (ob.cast("double") - eb) / eb)
+        .otherwise(lit(0.0))
+    }
+    counted
+      .withColumn("__na", na).withColumn("__nb", nb)
+      .withColumn("__total", total)
+      // a group seen in only one snapshot has no two-sample statistic:
+      // NULL, not a division-by-zero Infinity
+      .withColumn("chi2",
+        when(col("__na") > 0 && col("__nb") > 0,
+          round((0 until k).map(term).reduce(_ + _), 4)))
+      .select(col(groupCol), col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("chi2"),
+        coalesce(col("chi2") > critical, lit(false)).as("drifted"))
   }
 }

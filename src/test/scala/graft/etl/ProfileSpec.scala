@@ -23,6 +23,32 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("histDrift: shifted distribution flags, identical does not, " +
+    "one-sided group yields NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // group "same": identical uniform spread in both snapshots;
+    // group "shift": A low bins, B high bins; group "only_a": A only
+    def rows(g: String, vs: Seq[Double], tag: String) =
+      vs.map(v => (g, v, tag))
+    val low = (1 to 200).map(i => (i % 100).toDouble)
+    val high = (1 to 200).map(i => (i % 100).toDouble + 60.0)
+    val a = (rows("same", low, "a") ++ rows("shift", low, "a")
+      ++ rows("only_a", low, "a")).map { case (g, v, _) => (g, v) }
+      .toDF("grp", "v")
+    val b = (rows("same", low, "b") ++ rows("shift", high, "b"))
+      .map { case (g, v, _) => (g, v) }.toDF("grp", "v")
+    val out = Profile.histDrift(a, b, "v", "grp", Seq(10.0, 25.0, 50.0, 100.0))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), r.getBoolean(4))).toMap
+    val (_, _, sameChi, sameDrift) = out("same")
+    assert(sameChi.get.asInstanceOf[Double] === 0.0 && !sameDrift)
+    val (_, _, shiftChi, shiftDrift) = out("shift")
+    assert(shiftChi.get.asInstanceOf[Double] > 13.277 && shiftDrift)
+    val (na, nb, onlyChi, onlyDrift) = out("only_a")
+    assert(na === 200L && nb === 0L && onlyChi.isEmpty && !onlyDrift)
+  }
+
   test("approx profile plan has no Expand (single-pass partial aggregation)") {
     val cols = Seq("l_suppkey", "l_quantity", "l_discount", "l_returnflag")
     val li = Tables(spark, sf(), "lineitem")
