@@ -249,14 +249,10 @@ object SparkEntry {
     // width conditional-aggregate scan, chi2 UNROLLED over the literal
     // bins so the float statistic is a fixed expression tree both
     // engines evaluate identically
-    "dist_drift" -> ((s, d) => {
-      val ev = Tables(s, d, "events")
-      graft.etl.Profile.histDrift(
-        ev.filter(dayofmonth(col("ts")) < 16),
-        ev.filter(dayofmonth(col("ts")) >= 16),
-        "value", "event_type", Seq(10.0, 25.0, 50.0, 100.0))
-        .orderBy("event_type")
-    }),
+    "dist_drift" -> ((s, d) => graft.etl.Profile.histDriftBy(
+      Tables(s, d, "events"), dayofmonth(col("ts")) < 16,
+      "value", "event_type", Seq(10.0, 25.0, 50.0, 100.0))
+      .orderBy("event_type")),
     // declarative data-quality audit (etl.Expectations — the dbt-test
     // engine generalizing validate_fact/ri_check): 5 row-grain rules
     // cost ONE conditional-aggregate scan per table, unique is a

@@ -60,11 +60,31 @@ object Profile {
     */
   def histDrift(a: DataFrame, b: DataFrame, valueCol: String,
                 groupCol: String, edges: Seq[Double],
-                critical: Double = 13.277): DataFrame = {
+                critical: Double = 13.277): DataFrame =
+    driftCore(
+      a.select(col(groupCol), col(valueCol), lit(0).as("__s"))
+        .unionByName(b.select(col(groupCol), col(valueCol), lit(1).as("__s"))),
+      valueCol, groupCol, edges, critical)
+
+  /** [[histDrift]] when both snapshots live in ONE table split by a
+    * predicate (before/after a date, crawl batch A/B): the snapshot
+    * tag is computed in the projection, so the whole comparison is a
+    * single scan — two filtered reads of the same fact would scan it
+    * twice for nothing.
+    */
+  def histDriftBy(df: DataFrame, inA: Column, valueCol: String,
+                  groupCol: String, edges: Seq[Double],
+                  critical: Double = 13.277): DataFrame =
+    driftCore(
+      df.select(col(groupCol), col(valueCol),
+        when(inA, 0).otherwise(1).as("__s")),
+      valueCol, groupCol, edges, critical)
+
+  private def driftCore(snap: DataFrame, valueCol: String, groupCol: String,
+                        edges: Seq[Double], critical: Double): DataFrame = {
     require(edges.nonEmpty && edges == edges.sorted, "edges must be sorted")
     val k = edges.size + 1
-    val tagged = a.select(col(groupCol), col(valueCol), lit(0).as("__s"))
-      .unionByName(b.select(col(groupCol), col(valueCol), lit(1).as("__s")))
+    val tagged = snap
       .filter(col(valueCol).isNotNull)
       .select(col(groupCol), binExpr(col(valueCol), edges).as("__bin"),
         col("__s"))

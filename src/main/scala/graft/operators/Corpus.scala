@@ -261,11 +261,30 @@ object Corpus {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("t")))),
           s => s.getField("t")), " ").as("chunk_text"))
+      .withColumn("ck", md5(col("chunk_text")))
+    // sharing counts, hot-chunk-safe (the r6 hot-gram lesson): dedup
+    // (ck, doc) on BOTH keys — a boilerplate chunk in a billion docs
+    // spreads across partitions instead of funnelling one — then the
+    // ck count combines map-side to ≤1 row per (partition, ck). The
+    // join's build side is therefore ONE row per chunk key: AQE
+    // broadcasts it when small and can skew-split the stream side
+    // when it is not. The corpus is scanned once — both branches
+    // reuse the window's doc_id exchange (PlanAuditSpec pins 1 scan);
+    // only the chunk re-aggregation repeats, the price of keeping the
+    // plan fully declarative (at deployment scale a materialized
+    // chunk table absorbs it).
+    // the explicit repartition is load-bearing: left alone, Catalyst
+    // serves both aggregates from ONE ck-only exchange (ck satisfies
+    // the (ck, doc) clustering) — exactly the hot-key funnel the
+    // two-phase shape exists to avoid
     val sharing = chunks
-      .select(md5(col("chunk_text")).as("ck"), col("doc_id"))
-      .groupBy("ck").agg(count_distinct(col("doc_id")).as("n_docs_sharing"))
-    chunks.withColumn("ck", md5(col("chunk_text")))
-      .join(sharing, "ck").drop("ck")
+      .select("ck", "doc_id")
+      .repartition(col("ck"), col("doc_id"))
+      .groupBy("ck", "doc_id").agg(lit(1).as("__one")).drop("__one")
+      .groupBy("ck").agg(count(lit(1)).as("n_docs_sharing"))
+    chunks.join(sharing, "ck").drop("ck")
+      .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text",
+        "n_docs_sharing")
       .orderBy("doc_id", "chunk_id")
   }
 

@@ -443,6 +443,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"keeper anti-joins missing:\n$plan")
   }
 
+  test("doc_chunk_cdc: one corpus scan (window exchange reused), doc-spread " +
+    "sharing dedup, one-row-per-ck join build side") {
+    val df = Corpus.cdcChunks(
+      graft.core.Tables(spark, sf(), "documents"), maskBits = 2)
+    val plan = finalPlan(df)
+    val scans = "Scan parquet".r.findAllMatchIn(plan).length
+    assert(scans == 1, s"expected 1 corpus scan, saw $scans:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"sharing branch re-scans instead of reusing the window exchange:\n$plan")
+    // hot-chunk guard: the (ck, doc) dedup must exchange on BOTH keys
+    // (spreading a boilerplate chunk's doc set), never on ck alone
+    assert("hashpartitioning\\(ck#\\d+, doc_id".r.findFirstIn(plan).isDefined,
+      s"sharing dedup does not spread hot chunks across partitions:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("heavy_hitters_cms: bounded sketch broadcasts, top-k via TakeOrdered, " +
+    "no sort-merge join") {
+    val plan = finalPlan(graft.operators.Sketches.heavyHitters(
+      graft.core.Tables(spark, sf(), "documents")))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the ≤depth×width sketch should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"join degraded to SMJ:\n$plan")
+  }
+
+  test("dist_drift: the tagged comparison is a single scan of the fact") {
+    val plan = finalPlan(graft.etl.Profile.histDriftBy(
+      graft.core.Tables(spark, sf(), "events"),
+      dayofmonth(col("ts")) < 16,
+      "value", "event_type", Seq(10.0, 25.0, 50.0, 100.0)))
+    val scans = "Scan parquet".r.findAllMatchIn(plan).length
+    assert(scans == 1, s"expected 1 scan, saw $scans:\n$plan")
+    assert(!plan.contains("Join"), s"drift needs no joins:\n$plan")
+  }
+
   test("every contract query stays free of cartesian products") {
     // the 1-row dim_source cross join broadcasts; a CartesianProduct node
     // anywhere means an equi-join lost its keys
