@@ -203,6 +203,10 @@ object SparkEntry {
     // shared chunks under the hash check
     "doc_chunk_cdc" -> ((s, d) =>
       Corpus.cdcChunks(Tables(s, d, "documents"), maskBits = 2)),
+    // cross-source contamination matrix (Corpus.sourceOverlap): which
+    // sources share verbatim 8-gram passages — the mixing-weight
+    // diagnostic; per-gram fan-out bounded by the source label set
+    "source_overlap" -> ((s, d) => Corpus.sourceOverlap(Tables(s, d, "documents"))),
     "corpus_stats" -> ((s, d) => TextAnalysis.corpusStats(Tables(s, d, "documents"))),
     "doc_repetition" -> ((s, d) => TextAnalysis.repetition(Tables(s, d, "documents"))),
     "decontaminate" -> ((s, d) => Corpus.decontaminate(Tables(s, d, "documents"))),
@@ -307,6 +311,20 @@ object SparkEntry {
       val ev = Tables(s, d, "events").select(col("event_id"), col("user_id"),
         col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
       AsOfJoin.backward(
+        ev.filter(col("event_type") === "click").drop("event_type"),
+        ev.filter(col("event_type") === "purchase").drop("event_type"),
+        keys = Seq("user_id"), leftTime = "us", rightTime = "us",
+        rightVals = Seq("value"), rightTiebreak = "event_id",
+        prefix = "purchase_")
+        .drop("event_type")
+        .orderBy("event_id")
+    }),
+    // forward twin of asof_join: first purchase AT OR AFTER each click
+    // (next-scheduled-event lookup), same one-shuffle union+window
+    "asof_join_forward" -> ((s, d) => {
+      val ev = Tables(s, d, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
+      AsOfJoin.forward(
         ev.filter(col("event_type") === "click").drop("event_type"),
         ev.filter(col("event_type") === "purchase").drop("event_type"),
         keys = Seq("user_id"), leftTime = "us", rightTime = "us",
@@ -1615,6 +1633,19 @@ object SparkEntry {
         |  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) r ON TRUE
         |WHERE l.event_type = 'click'
         |ORDER BY l.event_id""".stripMargin,
+    // Forward twin: earliest purchase at-or-after, smallest event_id
+    // breaking ties (mirrors AsOfJoin.forward's first-in-order pick).
+    "asof_join_forward" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS us, l.value,
+        |  r.purchase_us, r.purchase_value
+        |FROM events l LEFT JOIN LATERAL (
+        |  SELECT epoch_us(r.ts) AS purchase_us, r.value AS purchase_value
+        |  FROM events r
+        |  WHERE r.user_id = l.user_id AND r.event_type = 'purchase'
+        |    AND r.ts >= l.ts
+        |  ORDER BY r.ts ASC, r.event_id ASC LIMIT 1) r ON TRUE
+        |WHERE l.event_type = 'click'
+        |ORDER BY l.event_id""".stripMargin,
     // Mirrors the RangeJoin query; the oracle is the plain BETWEEN theta
     // join, proving bucket expansion is result-invisible.
     "range_join_bands" ->
@@ -1842,6 +1873,20 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     // Mirrors Corpus.decontaminate (md5-nibble split, word 8-grams,
     // gram semi-join → anti-join): the clean train doc_ids.
+    // Mirrors Corpus.sourceOverlap (8-grams): per-source distinct gram
+    // keys, per-gram source self-join, pair counts. md5 agrees between
+    // engines, so keys match Spark's 16-byte shuffle keys exactly.
+    "source_overlap" -> {
+      val gram8 = (0 until 8).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source, md5($gram8) AS k
+         |  FROM (SELECT source, string_split(text, ' ') AS tk FROM documents),
+         |       UNNEST(generate_series(1, len(tk) - 7)) AS u(i))
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  COUNT(*) AS n_shared_grams
+         |FROM sh a JOIN sh b ON a.k = b.k AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "decontaminate" -> {
       val gram8 = (0 until 8).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
       s"""WITH lab AS (

@@ -52,4 +52,37 @@ object AsOfJoin {
       d.withColumn(prefix + f, col(s"__last.$f"))
     }.drop("__t", "__tb", "__side", "__rv", "__last")
   }
+
+  /** Forward as-of join: for every left row, attach the EARLIEST right
+    * row of the same key whose time is >= the left row's time — the
+    * next-scheduled-event lookup ("first purchase at or after each
+    * click"). Same union-and-window shape as [[backward]], mirrored:
+    * left rows sort before right rows at equal timestamps (so ">="
+    * matches a tied right), the frame looks FORWARD, and among right
+    * ties the SMALLEST `rightTiebreak` wins.
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTime: String, rightTime: String, rightVals: Seq[String],
+              rightTiebreak: String, prefix: String): DataFrame = {
+    val payloadFields = rightTime +: rightVals
+    val r = right.select(
+      keys.map(col) :+
+        col(rightTime).as("__t") :+
+        col(rightTiebreak).cast("long").as("__tb") :+
+        struct(payloadFields.map(col): _*).as("__rv"): _*)
+      .withColumn("__side", lit(1))
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__tb", lit(0L))
+      .withColumn("__side", lit(0))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__tb"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val joined = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__next", first(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+    payloadFields.foldLeft(joined) { (d, f) =>
+      d.withColumn(prefix + f, col(s"__next.$f"))
+    }.drop("__t", "__tb", "__side", "__rv", "__next")
+  }
 }

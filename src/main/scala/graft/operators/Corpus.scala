@@ -225,6 +225,36 @@ object Corpus {
         array_join(slice(col("w"), col("col") + 1, lit(chunkSize)), " ")
           .as("chunk_text"))
 
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many distinct word `n`-grams they share verbatim — the diagnostic
+    * behind dataset-mixing decisions (a "books" slice that shares half
+    * its 8-grams with "web" is not an independent epoch of signal) and
+    * the source-grain twin of [[decontaminate]].
+    *
+    * Scale shape: distinct (source, gram) pairs are formed at the scan
+    * (per-doc-distinct shingles from the native kernel, 16-byte md5
+    * keys — gram text never shuffles), deduped on BOTH keys (the
+    * distinct's natural clustering) so a ubiquitous gram spreads
+    * across partitions; the per-gram self-join
+    * then fans out at most |sources|² rows per gram (sources are a
+    * bounded label set, so no hot-key funnel exists by construction),
+    * and the pair counts combine map-side into a |sources|²-row
+    * result.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 8): DataFrame = {
+    val srcGram = docs
+      .select(col("source"), explode(TextOps.shingles(col("text"), n)).as("g"))
+      .select(col("source"), md5(col("g")).as("k"))
+      .distinct()
+    val a = srcGram.toDF("source_a", "k")
+    val b = srcGram.toDF("source_b", "k")
+    a.join(b, "k")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Content-defined chunking (the rolling-hash boundary rule of
     * rsync/borg/CDC dedup, at WORD grain): a chunk boundary falls
     * after token i iff the token's portable 31-bit hash

@@ -66,6 +66,18 @@ class CorpusSpec extends SparkSpec {
       (r.getLong(1), r.getLong(2), r.getString(3))).toSeq == Seq((0L, 3L, "a b c")))
   }
 
+  test("sourceOverlap counts DISTINCT shared grams once per source pair") {
+    val docs = Seq(
+      (1L, "the cat sat here", "A"),
+      (2L, "the cat ran away", "B"),
+      (3L, "dogs bark loud now", "C"),
+      (4L, "the cat naps", "A")). // A's duplicate "the cat" counts once
+      toDF("doc_id", "text", "source")
+    val out = Corpus.sourceOverlap(docs, n = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(("A", "B") -> 1L)) // only "the cat"; C shares nothing
+  }
+
   test("cdcChunks: boundaries re-sync after an insertion (the CDC property)") {
     val base = (1 to 200).map(i => s"w${i * 37 % 211}").mkString(" ")
     val edited = "inserted token burst " + base

@@ -32,6 +32,30 @@ class RelationalSpec extends SparkSpec {
     assert(out.head.getAs[Double]("p_value") == 2.0) // event_id 200 wins
   }
 
+  test("asof forward matches earliest right row at-or-after left time") {
+    val left = Seq((1L, 1L, 5L), (2L, 1L, 10L), (3L, 1L, 25L), (4L, 2L, 50L))
+      .toDF("event_id", "user_id", "us")
+    val right = Seq((100L, 1L, 10L, 1.0), (101L, 1L, 20L, 2.0))
+      .toDF("event_id", "user_id", "us", "value")
+    val out = AsOfJoin.forward(left, right, Seq("user_id"), "us", "us",
+      Seq("value"), "event_id", "p_").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("p_us")).map(_.asInstanceOf[Long])).toMap
+    assert(out(1L).contains(10L))  // next purchase ahead
+    assert(out(2L).contains(10L))  // equal timestamp matches (>=)
+    assert(out(3L).isEmpty)        // nothing after t=25
+    assert(out(4L).isEmpty)        // other user has no purchases
+  }
+
+  test("asof forward breaks right-side time ties by SMALLEST tiebreak") {
+    val left = Seq((1L, 7L, 10L)).toDF("event_id", "user_id", "us")
+    val right = Seq((200L, 7L, 10L, 2.0), (100L, 7L, 10L, 1.0))
+      .toDF("event_id", "user_id", "us", "value")
+    val out = AsOfJoin.forward(left, right, Seq("user_id"), "us", "us",
+      Seq("value"), "event_id", "p_").collect()
+    assert(out.head.getAs[Double]("p_value") == 1.0) // event_id 100 wins
+  }
+
   test("bucketed range join equals the naive BETWEEN join, incl. overlaps") {
     val facts = Seq(0.0, 4.9, 5.0, 7.0, 12.0, 49.9).toDF("v")
     val ranges = Seq((0L, 0.0, 7.0), (1L, 5.0, 12.0), (2L, 40.0, 60.0))
