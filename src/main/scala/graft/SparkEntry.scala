@@ -151,6 +151,13 @@ object SparkEntry {
     }),
     // --- deduplication (SURVEY.md §2) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables(s, d, "documents"))),
+    // policy-keeper variant: exact duplicates tie on every content
+    // score, so the keeper is chosen on provenance (trusted sources
+    // first) — the min-struct carries the policy at zero extra cost
+    "dedup_exact_best" -> ((s, d) => Dedup.exactByPreference(
+      Tables(s, d, "documents"),
+      when(col("source") === "src7", 0).when(col("source") === "src0", 1)
+        .otherwise(2))),
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       Dedup.incremental(docs.filter(col("doc_id") >= 400),
@@ -1321,6 +1328,23 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper_doc_id,
         |  COUNT(*) AS n_dupes
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    // Mirrors Dedup.exactByPreference (src7 > src0 > rest, doc_id
+    // breaking remaining ties — the min-struct order as ROW_NUMBER).
+    "dedup_exact_best" ->
+      """WITH h AS (
+        |  SELECT md5(text) AS content_hash, doc_id, source,
+        |    CASE WHEN source = 'src7' THEN 0
+        |         WHEN source = 'src0' THEN 1 ELSE 2 END AS p
+        |  FROM documents),
+        |r AS (
+        |  SELECT content_hash, doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY content_hash
+        |      ORDER BY p, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY content_hash) AS n_dupes
+        |  FROM h)
+        |SELECT content_hash, doc_id AS keeper_doc_id,
+        |  source AS keeper_source, CAST(n_dupes AS BIGINT) AS n_dupes
+        |FROM r WHERE rn = 1 ORDER BY content_hash""".stripMargin,
     // Mirrors Dedup.incremental (batch = doc_id >= 400).
     "dedup_incremental" ->
       """WITH keep AS (

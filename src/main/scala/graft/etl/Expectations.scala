@@ -66,8 +66,10 @@ object Expectations {
     */
   def checkRows(df: DataFrame, table: String, rules: Seq[RowRule]): DataFrame = {
     require(rules.nonEmpty, "checkRows needs at least one rule")
+    // coalesce: SUM over an EMPTY table is NULL — a zero-row audit
+    // must report 0 violations / passed, not a NULL verdict
     val aggs = rules.zipWithIndex.map { case (r, i) =>
-      sum(when(r.violated, 1L).otherwise(0L)).as(s"__v$i")
+      coalesce(sum(when(r.violated, 1L).otherwise(0L)), lit(0L)).as(s"__v$i")
     } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = rules.zipWithIndex
@@ -88,7 +90,8 @@ object Expectations {
     val counted = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
     counted.agg(
       count(lit(1)).as("n_checked"),
-      sum(when(col("__c") > 1L, 1L).otherwise(0L)).as("n_violations"))
+      coalesce(sum(when(col("__c") > 1L, 1L).otherwise(0L)), lit(0L))
+        .as("n_violations"))
       .select(
         lit(s"$table.${cols.mkString("_")}.unique").as("rule"),
         col("n_checked"), col("n_violations"),

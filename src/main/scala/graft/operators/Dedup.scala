@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication for large text corpora.
@@ -27,6 +27,24 @@ object Dedup {
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_dupes"))
+      .orderBy("content_hash")
+
+  /** [[exact]] with a pluggable keeper POLICY: exact duplicates share
+    * their text (so any content-derived score ties) — real pipelines
+    * break the tie on provenance METADATA, keeping the copy from the
+    * most trusted source. `preference` is any orderable Column
+    * (smaller = preferred); doc_id breaks remaining ties so the
+    * keeper is total. Same single map-side-combined hash aggregate as
+    * [[exact]] — the policy rides inside the min-struct, costing
+    * nothing extra at scale.
+    */
+  def exactByPreference(docs: DataFrame, preference: Column): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(struct(preference.as("p"), col("doc_id"), col("source")))
+        .as("k"),
+        count(lit(1)).as("n_dupes"))
+      .select(col("content_hash"), col("k.doc_id").as("keeper_doc_id"),
+        col("k.source").as("keeper_source"), col("n_dupes"))
       .orderBy("content_hash")
 
   /** Incremental-append dedup: of a NEW batch, keep only documents that

@@ -27,6 +27,32 @@ class EmptyInputSpec extends SparkSpec {
     assert(Corpus.paragraphDedup(docs0).count() == 0)
   }
 
+  test("round-7 additions: empty in, empty (or zero-rule) out, no crash") {
+    assert(Dedup.exactByPreference(docs0, lit(0)).count() == 0)
+    assert(Corpus.cdcChunks(docs0).count() == 0)
+    assert(Corpus.sourceOverlap(docs0).count() == 0)
+    assert(Sketches.cmsSketch(docs0.select(col("text").as("item"))).count() == 0)
+    assert(Sketches.heavyHitters(docs0).count() == 0)
+    // estimate against an EMPTY sketch: untouched cells read 0
+    val est = Sketches.cmsEstimate(
+      Sketches.cmsSketch(docs0.select(col("text").as("item"))),
+      Seq("anything").toDF("item")).collect()
+    assert(est.length == 1 && est.head.getLong(1) == 0L)
+    // drift with an empty snapshot: NULL chi2, never a crash/Infinity
+    val drift = graft.etl.Profile.histDriftBy(events0,
+      dayofmonth(col("ts")) < 16, "value", "event_type", Seq(10.0, 50.0))
+    assert(drift.count() == 0)
+    // expectations on an empty table: rules report 0 checked, 0 violations
+    val rep = graft.etl.Expectations.checkRows(events0, "events",
+      Seq(graft.etl.Expectations.notNull("user_id"))).collect()
+    assert(rep.length == 1 && rep.head.getLong(1) == 0L
+      && rep.head.getLong(2) == 0L && rep.head.getBoolean(3))
+    assert(graft.etl.Expectations.checkUnique(events0, "events",
+      Seq("event_id")).head().getLong(2) == 0L)
+    assert(graft.etl.Expectations.checkRelationship(events0, "events",
+      "user_id", events0, "user_id").head().getLong(2) == 0L)
+  }
+
   test("incremental dedup: empty batch keeps nothing; empty corpus keeps the whole batch") {
     val corpus = Tables(spark, sf(), "documents").limit(20)
     assert(Dedup.incremental(docs0, corpus).count() == 0)
