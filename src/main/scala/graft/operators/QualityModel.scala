@@ -37,6 +37,15 @@ object QualityModel {
   /** Intercept pseudo-feature, present in every document. */
   final val BiasFeat = -1L
 
+  /** A trained model: the (feat, weight) frame BOUND to the hash
+    * width it was trained at. Scoring with a different `bits` than
+    * training silently hashes every token into a different feature
+    * space — garbage probabilities, no error — so the width travels
+    * with the weights and [[classify]] takes the pair, not a free
+    * parameter.
+    */
+  final case class Model(weights: DataFrame, bits: Int)
+
   /** Distinct hashed presence features per doc, plus the bias:
     * (doc_id, feat). One scan, no shuffle (explode + distinct is
     * per-doc via the array, not a global distinct).
@@ -81,7 +90,7 @@ object QualityModel {
     * iteration (the connected-components lineage lesson).
     */
   def train(labeled: DataFrame, bits: Int = 16, iters: Int = 20,
-            lr: Double = 0.5, trace: Boolean = false): (DataFrame, Seq[Double]) = {
+            lr: Double = 0.5, trace: Boolean = false): (Model, Seq[Double]) = {
     val inst = featurize(labeled, bits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labels = labeled.select(col("doc_id"), col("label").cast("double"))
@@ -107,12 +116,14 @@ object QualityModel {
     }
     if (trace) losses += logLoss(inst, labels, model)
     inst.unpersist()
-    (model, losses.result())
+    (Model(model, bits), losses.result())
   }
 
-  /** Classify docs with a trained model: (doc_id, margin, p, keep). */
-  def classify(docs: DataFrame, model: DataFrame, bits: Int = 16,
+  /** Classify docs with a trained model: (doc_id, margin, p, keep).
+    * The hash width comes from the model — see [[Model]].
+    */
+  def classify(docs: DataFrame, model: Model,
                threshold: Double = 0.5): DataFrame =
-    score(featurize(docs, bits), model)
+    score(featurize(docs, model.bits), model.weights)
       .withColumn("keep", col("p") >= threshold)
 }

@@ -51,9 +51,10 @@ class QualityModelSpec extends SparkSpec {
 
   test("model is bounded by 2^bits rows and tokenless docs still score") {
     val (model, _) = QualityModel.train(labeled, bits = 6, iters = 3)
-    assert(model.count() <= (1L << 6) + 1)
+    assert(model.weights.count() <= (1L << 6) + 1)
+    // the hash width travels with the model — no bits to mismatch
     val scored = QualityModel.classify(Seq((1L, "")).toDF("doc_id", "text"),
-      model, bits = 6)
+      model)
     assert(scored.count() === 1L) // bias feature keeps empty docs scoreable
   }
 
