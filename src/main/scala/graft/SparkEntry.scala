@@ -1895,8 +1895,6 @@ object SparkEntry {
         |  END AS top_ngram_ratio
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
-    // Mirrors Corpus.decontaminate (md5-nibble split, word 8-grams,
-    // gram semi-join → anti-join): the clean train doc_ids.
     // Mirrors Corpus.sourceOverlap (8-grams): per-source distinct gram
     // keys, per-gram source self-join, pair counts. md5 agrees between
     // engines, so keys match Spark's 16-byte shuffle keys exactly.
@@ -1911,6 +1909,8 @@ object SparkEntry {
          |FROM sh a JOIN sh b ON a.k = b.k AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    // Mirrors Corpus.decontaminate (md5-nibble split, word 8-grams,
+    // gram semi-join → anti-join): the clean train doc_ids.
     "decontaminate" -> {
       val gram8 = (0 until 8).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
       s"""WITH lab AS (

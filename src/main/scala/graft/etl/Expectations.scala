@@ -40,10 +40,9 @@ object Expectations {
   def notNull(c: String): RowRule =
     RowRule(s"$c.not_null", col(c).isNull)
 
-  /** Column value must be one of `allowed` (NULLs are violations too —
-    * pair with a separate notNull rule if you want them reported
-    * distinctly; dbt's accepted_values ignores NULLs, so we follow
-    * that: NULL is NOT a violation here).
+  /** Column value must be one of `allowed`. dbt's accepted_values
+    * ignores NULLs and so does this rule — pair with [[notNull]] to
+    * report NULLs distinctly.
     */
   def acceptedValues(c: String, allowed: Seq[String]): RowRule =
     RowRule(s"$c.accepted_values",
@@ -72,8 +71,12 @@ object Expectations {
       coalesce(sum(when(r.violated, 1L).otherwise(0L)), lit(0L)).as(s"__v$i")
     } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*)
+    // rule/table names are caller-supplied strings spliced into SQL:
+    // escape quotes or a name like "price isn't negative" breaks the
+    // stack() parse at runtime
+    def q(s: String) = s.replace("'", "''")
     val stackArgs = rules.zipWithIndex
-      .map { case (r, i) => s"'${table}.${r.name}', __n, __v$i" }
+      .map { case (r, i) => s"'${q(table)}.${q(r.name)}', __n, __v$i" }
       .mkString(", ")
     one.select(expr(
       s"stack(${rules.size}, $stackArgs) AS (rule, n_checked, n_violations)"))
@@ -120,6 +123,10 @@ object Expectations {
   }
 
   /** Union an audit suite into the single report frame. */
-  def report(checks: Seq[DataFrame]): DataFrame =
+  def report(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty,
+      "report needs at least one check (a dynamically-assembled suite " +
+        "with every rule disabled is a configuration error, not an audit)")
     checks.reduce(_.unionByName(_)).orderBy("rule")
+  }
 }

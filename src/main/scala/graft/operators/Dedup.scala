@@ -34,17 +34,20 @@ object Dedup {
     * break the tie on provenance METADATA, keeping the copy from the
     * most trusted source. `preference` is any orderable Column
     * (smaller = preferred); doc_id breaks remaining ties so the
-    * keeper is total. Same single map-side-combined hash aggregate as
+    * keeper is total. `carry` names the keeper's metadata columns to
+    * report (exposed as `keeper_<name>`) — the input only needs text,
+    * doc_id and those. Same single map-side-combined hash aggregate as
     * [[exact]] — the policy rides inside the min-struct, costing
     * nothing extra at scale.
     */
-  def exactByPreference(docs: DataFrame, preference: Column): DataFrame =
+  def exactByPreference(docs: DataFrame, preference: Column,
+                        carry: Seq[String] = Seq("source")): DataFrame =
     docs.groupBy(md5(col("text")).as("content_hash"))
-      .agg(min(struct(preference.as("p"), col("doc_id"), col("source")))
-        .as("k"),
+      .agg(min(struct(preference.as("p") +: col("doc_id") +:
+        carry.map(col): _*)).as("k"),
         count(lit(1)).as("n_dupes"))
-      .select(col("content_hash"), col("k.doc_id").as("keeper_doc_id"),
-        col("k.source").as("keeper_source"), col("n_dupes"))
+      .select(col("content_hash") +: col("k.doc_id").as("keeper_doc_id") +:
+        carry.map(c => col(s"k.$c").as(s"keeper_$c")) :+ col("n_dupes"): _*)
       .orderBy("content_hash")
 
   /** Incremental-append dedup: of a NEW batch, keep only documents that

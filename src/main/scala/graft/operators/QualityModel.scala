@@ -52,7 +52,12 @@ object QualityModel {
     */
   def featurize(docs: DataFrame, bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 24, s"bits must be in [1,24], got $bits")
-    val toks = array_distinct(filter(split(col("text"), " "), t => length(t) > 0))
+    // NULL text must not drop the doc: split(NULL) is NULL, concat
+    // with a NULL array is NULL, and explode of NULL emits no rows —
+    // the doc would silently vanish from scoring and mis-scale the
+    // gradient (counted in n, absent from every update)
+    val toks = array_distinct(filter(
+      split(coalesce(col("text"), lit("")), " "), t => length(t) > 0))
     val feats = transform(toks, t =>
       GraftFunctions.stringHash31(t).bitwiseAND(lit((1L << bits) - 1)))
     docs.select(col("doc_id"),

@@ -45,49 +45,69 @@ object Sketches {
     require(width > 0 && (width & (width - 1)) == 0,
       s"CMS width must be a power of 2, got $width")
 
+  /** A built sketch: the `(row, bucket, cnt)` cell frame BOUND to the
+    * depth/width it was hashed at. Estimating with a different
+    * geometry than the build hashes queries into different buckets —
+    * the left join misses and reports 0 for items inserted thousands
+    * of times, silently breaking the "never underestimates"
+    * guarantee — so the geometry travels with the cells (the same
+    * bind-the-width rationale as [[QualityModel.Model]]). `cells`
+    * round-trips through parquet: persist it and rebind with the
+    * same constructor.
+    */
+  final case class Cms(cells: DataFrame, depth: Int, width: Int)
+
   /** Build the sketch from a frame of items (column `item`): one scan,
     * a depth-way inline expand of 16-byte (row, bucket) pairs, then a
-    * map-side-combined count per cell. Output is at most depth×width
-    * rows regardless of input size: `(row, bucket, cnt)`.
+    * map-side-combined count per cell. The cell frame is at most
+    * depth×width rows regardless of input size.
     */
   def cmsSketch(items: DataFrame, item: String = "item",
-                depth: Int = 4, width: Int = 2048): DataFrame = {
+                depth: Int = 4, width: Int = 2048): Cms = {
     requirePow2(width)
     val x = GraftFunctions.stringHash31(col(item))
-    items
+    Cms(items
       .select(explode(array((0 until depth).map(i =>
         struct(lit(i).as("row"), bucket(x, i, width).as("bucket"))): _*))
         .as("cell"))
       .groupBy(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")), depth, width)
   }
 
   /** Merge sketches built over disjoint slices: cell-wise addition.
     * Lossless by construction (counts are linear); the spec proves
-    * merged == one-pass exactly.
+    * merged == one-pass exactly. All inputs must share one geometry —
+    * cells from different (depth, width) are not comparable.
     */
-  def cmsMerge(sketches: DataFrame*): DataFrame =
-    sketches.reduce(_.unionByName(_))
-      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+  def cmsMerge(sketches: Cms*): Cms = {
+    require(sketches.nonEmpty, "cmsMerge needs at least one sketch")
+    require(sketches.forall(s => s.depth == sketches.head.depth
+      && s.width == sketches.head.width),
+      "cannot merge sketches of different geometry")
+    Cms(sketches.map(_.cells).reduce(_.unionByName(_))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt")),
+      sketches.head.depth, sketches.head.width)
+  }
 
   /** Point-estimate the counts of `queries` (column `item`) against a
-    * sketch: re-hash each query item to its depth cells, join the
-    * (depth×width)-row sketch — broadcast-sized by construction — and
-    * take the min across rows. Items hitting an untouched cell (never
-    * inserted, no collisions) estimate 0 via the coalesce.
+    * sketch: re-hash each query item to its depth cells — the
+    * geometry comes from the sketch, so build and probe can never
+    * disagree — join the (depth×width)-row cell frame (broadcast-
+    * sized by construction) and take the min across rows. Items
+    * hitting an untouched cell (never inserted, no collisions)
+    * estimate 0 via the coalesce.
     */
-  def cmsEstimate(sketch: DataFrame, queries: DataFrame,
-                  item: String = "item",
-                  depth: Int = 4, width: Int = 2048): DataFrame = {
-    requirePow2(width)
+  def cmsEstimate(sketch: Cms, queries: DataFrame,
+                  item: String = "item"): DataFrame = {
     val x = GraftFunctions.stringHash31(col(item))
     val cells = queries
-      .select(col(item), explode(array((0 until depth).map(i =>
-        struct(lit(i).as("row"), bucket(x, i, width).as("bucket"))): _*))
+      .select(col(item), explode(array((0 until sketch.depth).map(i =>
+        struct(lit(i).as("row"),
+          bucket(x, i, sketch.width).as("bucket"))): _*))
         .as("cell"))
       .select(col(item), col("cell.row").as("row"), col("cell.bucket").as("bucket"))
     cells
-      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .join(broadcast(sketch.cells), Seq("row", "bucket"), "left")
       .groupBy(item)
       // an unmatched cell is a ZERO counter, not a missing sample:
       // min must see it as 0 (min() alone would skip the NULL and
@@ -110,8 +130,7 @@ object Sketches {
     val exact = words.groupBy("item").agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("item")).limit(k)
     val sketch = cmsSketch(words, depth = depth, width = width)
-    exact.join(cmsEstimate(sketch, exact.select("item"),
-        depth = depth, width = width), Seq("item"))
+    exact.join(cmsEstimate(sketch, exact.select("item")), Seq("item"))
       .select(col("item").as("word"), col("n_exact"), col("n_est"))
       .orderBy(col("n_exact").desc, col("word"))
   }

@@ -31,7 +31,7 @@ class EmptyInputSpec extends SparkSpec {
     assert(Dedup.exactByPreference(docs0, lit(0)).count() == 0)
     assert(Corpus.cdcChunks(docs0).count() == 0)
     assert(Corpus.sourceOverlap(docs0).count() == 0)
-    assert(Sketches.cmsSketch(docs0.select(col("text").as("item"))).count() == 0)
+    assert(Sketches.cmsSketch(docs0.select(col("text").as("item"))).cells.count() == 0)
     assert(Sketches.heavyHitters(docs0).count() == 0)
     // estimate against an EMPTY sketch: untouched cells read 0
     val est = Sketches.cmsEstimate(

@@ -25,18 +25,18 @@ class SketchesSpec extends SparkSpec {
     val a = words("x", "x", "y")
     val b = words("x", "z", "z")
     val merged = Sketches.cmsMerge(Sketches.cmsSketch(a), Sketches.cmsSketch(b))
-      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .cells.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     val onePass = Sketches.cmsSketch(a.unionAll(b))
-      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .cells.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(merged === onePass)
   }
 
   test("sketch size is bounded by depth*width however many distinct items") {
     val many = spark.range(10000).select(concat(lit("w"), col("id")).as("item"))
     val sketch = Sketches.cmsSketch(many, depth = 2, width = 64)
-    assert(sketch.count() <= 2L * 64)
+    assert(sketch.cells.count() <= 2L * 64)
     // mass conservation per row: each row's cells sum to N
-    val rowSums = sketch.groupBy("row").agg(sum("cnt").as("s"))
+    val rowSums = sketch.cells.groupBy("row").agg(sum("cnt").as("s"))
       .collect().map(_.getLong(1))
     assert(rowSums.toSeq === Seq(10000L, 10000L))
   }
@@ -44,8 +44,7 @@ class SketchesSpec extends SparkSpec {
   test("forced collisions (width 2) overestimate but never underestimate") {
     val items = words(Seq.fill(7)("aa") ++ Seq.fill(2)("bb") ++ Seq("cc"): _*)
     val sketch = Sketches.cmsSketch(items, depth = 2, width = 2)
-    val est = Sketches.cmsEstimate(sketch, words("aa", "bb", "cc"),
-      depth = 2, width = 2)
+    val est = Sketches.cmsEstimate(sketch, words("aa", "bb", "cc"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est("aa") >= 7L && est("bb") >= 2L && est("cc") >= 1L)
     assert(est.values.forall(_ <= 10L))

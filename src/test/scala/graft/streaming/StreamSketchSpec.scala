@@ -22,7 +22,7 @@ class StreamSketchSpec extends SparkSpec {
     val q = mem.toDF().toDF("item").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         Sketches.cmsSketch(batch, depth = 2, width = 64)
-          .write.mode("overwrite").parquet(s"$dir/batch=$id")
+          .cells.write.mode("overwrite").parquet(s"$dir/batch=$id")
       }
       .start()
     val all = Seq("alpha", "beta", "alpha", "gamma", "alpha", "beta",
@@ -33,18 +33,21 @@ class StreamSketchSpec extends SparkSpec {
       mem.addData(all.drop(6): _*); q.processAllAvailable()
     } finally q.stop()
 
-    val folded = Sketches.cmsMerge(spark.read.parquet(s"$dir/batch=*")
-        .select("row", "bucket", "cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // rebind the persisted cells to their geometry, as a reader would
+    val folded = Sketches.cmsMerge(Sketches.Cms(
+        spark.read.parquet(s"$dir/batch=*").select("row", "bucket", "cnt"),
+        depth = 2, width = 64))
+      .cells.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     val onePass = Sketches.cmsSketch(all.toDF("item"), depth = 2, width = 64)
-      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .cells.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(folded === onePass)
 
     // and the folded sketch answers point queries like the one-pass one
     val est = Sketches.cmsEstimate(
-      spark.read.parquet(s"$dir/batch=*").select("row", "bucket", "cnt")
-        .groupBy("row", "bucket").agg(sum("cnt").as("cnt")),
-      Seq("alpha", "delta", "absent").toDF("item"), depth = 2, width = 64)
+      Sketches.cmsMerge(Sketches.Cms(
+        spark.read.parquet(s"$dir/batch=*").select("row", "bucket", "cnt"),
+        depth = 2, width = 64)),
+      Seq("alpha", "delta", "absent").toDF("item"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est("alpha") >= 4L && est("delta") >= 1L)
     assert(est("absent") <= est("alpha")) // collisions only ever inflate
