@@ -151,6 +151,10 @@ object SparkEntry {
     }),
     // --- deduplication (SURVEY.md §2) ---
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables(s, d, "documents"))),
+    // asymmetric near-dup: containment catches a short doc quoted
+    // wholesale inside a long one (Jaccard ≈ |A|/|B| ≈ 0 there)
+    "dedup_containment" -> ((s, d) =>
+      Dedup.ngramContainment(Tables(s, d, "documents"))),
     // policy-keeper variant: exact duplicates tie on every content
     // score, so the keeper is chosen on provenance (trusted sources
     // first) — the min-struct carries the policy at zero extra cost
@@ -1357,6 +1361,29 @@ object SparkEntry {
     // Mirrors Dedup.ngramJaccard (n=3, maxDf=100, minJaccard=0.6):
     // DuckDB list slice w[i:i+2] is 1-based inclusive = Spark slice(w,i,3).
     "ngram_jaccard" -> s"$ngramJaccardBody\nORDER BY doc_a, doc_b",
+    // Mirrors Dedup.ngramContainment (n=3, maxDf=100, min=0.8): the
+    // same rare-pair body, asymmetric division — catches subset
+    // duplication Jaccard misses.
+    "dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |       FROM toks, UNNEST(generate_series(1, greatest(len(w)-2, 0))) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |rare AS (SELECT * FROM sh WHERE shingle IN
+        |         (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) <= 100)),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |          FROM rare a JOIN rare b
+        |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(inter AS DOUBLE) / sa.sz AS containment_a,
+        |  CAST(inter AS DOUBLE) / sb.sz AS containment_b
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE greatest(CAST(inter AS DOUBLE) / sa.sz,
+        |               CAST(inter AS DOUBLE) / sb.sz) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // Mirrors Corpus.connectedComponents over the ngram-Jaccard pairs:
     // transitive closure by recursive CTE, component id = min reachable
     // doc_id — exactly what min-label propagation converges to.

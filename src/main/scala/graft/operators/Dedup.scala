@@ -426,7 +426,39 @@ object Dedup {
     * Jaccard denominators still count ALL distinct shingles per doc.
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.6,
-                   maxDf: Int = 100): DataFrame = {
+                   maxDf: Int = 100): DataFrame =
+    rarePairs(docs, n, maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("doc_a", "doc_b")
+
+  /** Asymmetric near-dup: containment |A∩B|/|A| (and /|B|) over the
+    * same rare-shingle machinery. Jaccard misses SUBSET duplication —
+    * a short doc quoted wholesale inside a long one scores
+    * |A|/(|A|+|B|−|A|) ≈ |A|/|B| ≈ 0, while its containment is 1.0 —
+    * and containment is how quote-inclusion / boilerplate-wrapping
+    * duplication is actually caught (the direction tells you which
+    * side is the fragment). A pair survives when EITHER direction
+    * clears `minContainment`.
+    */
+  def ngramContainment(docs: DataFrame, n: Int = 3,
+                       minContainment: Double = 0.8,
+                       maxDf: Int = 100): DataFrame =
+    rarePairs(docs, n, maxDf)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("sz_a")).as("containment_a"),
+        (col("inter").cast("double") / col("sz_b")).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= minContainment)
+      .orderBy("doc_a", "doc_b")
+
+  /** Shared core of [[ngramJaccard]] / [[ngramContainment]]: rare-
+    * shingle co-occurrence pairs with intersection and doc sizes —
+    * (doc_a, doc_b, inter, sz_a, sz_b).
+    */
+  private def rarePairs(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
     // Shingle ONCE (native kernel). Doc sizes ride along from size(sh)
     // — no sizes join.
     val posts = docs
@@ -455,11 +487,6 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"),
         min(col("a.sz")).as("sz_a"), min(col("b.sz")).as("sz_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** MinHash + LSH near-duplicate pairs, Jaccard-verified.

@@ -31,6 +31,23 @@ class DedupSpec extends SparkSpec {
     assert(j12 == 1.0)
   }
 
+  test("ngramContainment catches subset duplication that Jaccard misses") {
+    val fragment = (1 to 12).map(i => s"w$i").mkString(" ")
+    val wrapper = ((1 to 12).map(i => s"w$i") ++
+      (1 to 40).map(i => s"pad$i")).mkString(" ")
+    val corpus = docs(1L -> fragment, 2L -> wrapper,
+      3L -> "entirely unrelated content sits here")
+    // Jaccard sees ~10/50 shared shingles: below any useful threshold
+    assert(Dedup.ngramJaccard(corpus, minJaccard = 0.5).count() == 0)
+    // containment sees the fragment fully inside the wrapper
+    val out = Dedup.ngramContainment(corpus, minContainment = 0.8).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) == ((1L, 2L)))
+    assert(r.getAs[Double]("containment_a") == 1.0) // fragment ⊂ wrapper
+    assert(r.getAs[Double]("containment_b") < 0.5)  // direction is informative
+  }
+
   test("minhashLsh finds high-jaccard pairs and verifies exactly") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = base.replace("tok40", "other")
