@@ -372,6 +372,10 @@ object SparkEntry {
       MixtureRates)),
     "sample_epochs" -> ((s, d) => Sampling.epochMix(Tables(s, d, "documents"),
       EpochWeights)),
+    // temperature rebalancing at α=1/2: rate = sqrt(n_min/n_s) — both
+    // ops correctly rounded under IEEE, so the float policy replays
+    "sample_temperature" -> ((s, d) =>
+      Sampling.temperature(Tables(s, d, "documents"))),
     "shard_pack" -> ((s, d) => Sampling.shardPack(Tables(s, d, "documents"))),
     "train_test_split" -> ((s, d) => Corpus.trainTestSplit(Tables(s, d, "documents"))),
     "quality_filter" -> ((s, d) => Corpus.qualityFilter(Tables(s, d, "documents"))),
@@ -1622,6 +1626,24 @@ object SparkEntry {
          |FROM u WHERE u < $rateCase
          |GROUP BY source ORDER BY source""".stripMargin
     },
+    // Mirrors Sampling.temperature (α=1/2): per-source counts, rate =
+    // sqrt(n_min/n) — divide and sqrt are correctly rounded in both
+    // engines — same content-hash uniform accept as sample_mixture.
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(n_docs) AS nmin FROM c),
+        |r AS (SELECT source, n_docs,
+        |        sqrt(CAST(nmin AS DOUBLE) / n_docs) AS rate FROM c, m),
+        |u AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT r.source, r.n_docs, ROUND(r.rate, 4) AS rate,
+        |  COUNT(*) AS n_kept
+        |FROM u JOIN r ON u.source = r.source
+        |WHERE u.u < r.rate
+        |GROUP BY r.source, r.n_docs, r.rate
+        |ORDER BY r.source""".stripMargin,
     // Mirrors Sampling.epochMix: same uniform draw, dyadic epoch
     // weights, floor(w) copies + 1 iff u < frac(w), copies exploded.
     "sample_epochs" -> {

@@ -52,6 +52,37 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Temperature-flattened source sampling — the multilingual/source
+    * rebalancing rule (mBERT/XLM): sample source s with probability
+    * ∝ n_s^α, flattening the head so low-resource sources are not
+    * drowned. Realized as a deterministic acceptance filter with
+    * keep-rate (n_min/n_s)^(1−α), normalized so the smallest source
+    * keeps everything. α is FIXED at 1/2: the rate is then
+    * sqrt(n_min/n_s) — one divide and one sqrt, both correctly
+    * rounded under IEEE-754 in any engine — so even this float policy
+    * replays bit-for-bit in the oracle (a pow() would not: libm
+    * pow is not correctly rounded and differs across engines).
+    *
+    * One source-grain count aggregate broadcasts back onto the scan;
+    * the accept test is the same content-hash uniform as [[mixture]]
+    * — deterministic and re-ingestion-stable. Returns the mix report
+    * (source, n_docs, rate, n_kept).
+    */
+  def temperature(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min("n_docs").as("__nmin"))
+    val rated = counts.crossJoin(broadcast(minN))
+      .select(col("source"), col("n_docs"),
+        sqrt(col("__nmin").cast("double") / col("n_docs")).as("rate"))
+    docs.join(broadcast(rated), "source")
+      .filter(uniformDraw < col("rate"))
+      .groupBy("source", "n_docs", "rate")
+      .agg(count(lit(1)).as("n_kept"))
+      .select(col("source"), col("n_docs"), round(col("rate"), 4).as("rate"),
+        col("n_kept"))
+      .orderBy("source")
+  }
+
   /** Epoch-weighted dataset mixing — the pretraining sampling table
     * ("books ×2.5 epochs, web ×0.25") materialized as training rows:
     * each document yields ⌊w⌋ full copies plus one more iff its

@@ -37,6 +37,22 @@ class SamplingSpec extends SparkSpec {
     assert(!none.exists(_.getString(0) == "src5"))
   }
 
+  test("temperature: smallest source keeps all, rates flatten with size") {
+    import spark.implicits._
+    val skew = ((1 to 4).map(i => (i.toLong, s"tiny doc number $i", "small"))
+      ++ (1 to 400).map(i => (100L + i, s"big corpus doc $i word", "large")))
+      .toDF("doc_id", "text", "source")
+    val out = Sampling.temperature(skew).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val (nS, rateS, keptS) = out("small")
+    assert(nS == 4L && rateS == 1.0 && keptS == 4L) // min source keeps all
+    val (nL, rateL, keptL) = out("large")
+    assert(nL == 400L && rateL == 0.1) // sqrt(4/400)
+    // accepted fraction tracks the rate (content-hash uniform)
+    assert(keptL > 20L && keptL < 60L, s"kept $keptL of 400 at rate 0.1")
+  }
+
   test("shardPack conserves docs and tokens, shards are consecutive and bounded") {
     val budget = 4096L
     val out = Sampling.shardPack(docs, budget).collect()
