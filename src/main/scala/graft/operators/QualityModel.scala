@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Model-based quality classification — the fastText-style linear
@@ -130,5 +130,39 @@ object QualityModel {
   def classify(docs: DataFrame, model: Model,
                threshold: Double = 0.5): DataFrame =
     score(featurize(docs, model.bits), model.weights)
+      .withColumn("keep", col("p") >= threshold)
+
+  /** The model frozen into a STATELESS per-row scoring expression —
+    * the ingest-time deployment shape. The ≤2^bits-row weight table
+    * is collected ONCE (model-sized, the codebook-collect precedent)
+    * into a map literal that ships inside the expression, so scoring
+    * is a pure projection: no join, no aggregation, no state — it
+    * drops unmodified into a `readStream` the way `Redact.scrub`
+    * does, and composes with any other gate in the same scan.
+    * StreamScoreSpec pins row-identical stream/batch output.
+    */
+  def scoreExpr(model: Model): Column = {
+    val rows = model.weights.collect()
+    val entries = rows.map(r => (r.getLong(0), r.getDouble(1)))
+    val wmap = typedlit(entries.toMap)
+    val toks = array_distinct(filter(
+      split(coalesce(col("text"), lit("")), " "), t => length(t) > 0))
+    val feats = concat(array(lit(BiasFeat)), array_distinct(transform(toks,
+      t => graft.functions.GraftFunctions.stringHash31(t)
+        .bitwiseAND(lit((1L << model.bits) - 1)))))
+    val margin = aggregate(feats, lit(0.0),
+      (acc, f) => acc + coalesce(element_at(wmap, f), lit(0.0)))
+    lit(1.0) / (lit(1.0) + exp(-margin))
+  }
+
+  /** [[classify]] via [[scoreExpr]]: one stateless projection, stream
+    * or batch. Summation order over a doc's features is the array
+    * order here vs the aggregate order in [[score]], so probabilities
+    * may differ in the last ulp between the two paths — equal after
+    * the 4-decimal round every comparison in this repo uses.
+    */
+  def classifyStreaming(docs: DataFrame, model: Model,
+                        threshold: Double = 0.5): DataFrame =
+    docs.select(col("doc_id"), scoreExpr(model).as("p"))
       .withColumn("keep", col("p") >= threshold)
 }
