@@ -36,6 +36,23 @@ object SparkEntry {
   private val EpochWeights = Map(
     "src0" -> 2.5, "src3" -> 0.25, "src7" -> 3.0, "src12" -> 1.75)
 
+  /** keyword_search query set — ONE literal source feeding both the
+    * Spark call and the oracle's VALUES list, so the two sides can
+    * never drift on what was searched.
+    */
+  private val SearchQueries = Seq(
+    1 -> Seq("hash", "join"),
+    2 -> Seq("window", "agg"),
+    3 -> Seq("vector", "stream", "scan"),
+    4 -> Seq("customer", "order"))
+
+  private def searchQueryValues: String = SearchQueries
+    .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
+    .mkString(", ")
+
+  private def searchQueryTermList: String =
+    SearchQueries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+
   /** Dump DATE columns as ISO strings: pandas renders Spark's date32 and
     * DuckDB's DATE differently ("1995-01-02" vs "1995-01-02 00:00:00"),
     * which would fail a value-hash compare even though values are equal.
@@ -378,6 +395,11 @@ object SparkEntry {
       Sampling.temperature(Tables(s, d, "documents"))),
     "shard_pack" -> ((s, d) => Sampling.shardPack(Tables(s, d, "documents"))),
     "train_test_split" -> ((s, d) => Corpus.trainTestSplit(Tables(s, d, "documents"))),
+    // deterministic k-fold CV assignment profile (content-hash folds)
+    "cv_folds" -> ((s, d) => Corpus.cvFolds(Tables(s, d, "documents"))),
+    // per-source exact-duplication diagnostic (where the dup lives)
+    "dedup_source_profile" -> ((s, d) =>
+      Dedup.sourceProfile(Tables(s, d, "documents"))),
     "quality_filter" -> ((s, d) => Corpus.qualityFilter(Tables(s, d, "documents"))),
     "gopher_gate" -> ((s, d) => Corpus.gopherGate(Tables(s, d, "documents"))),
     // one-row funnel over the whole prep pipeline: raw -> exact-unique
@@ -398,6 +420,11 @@ object SparkEntry {
     "doc_chunk" -> ((s, d) => Corpus.chunk(Tables(s, d, "documents"))),
     "doc_novelty" -> ((s, d) => Corpus.noveltyScore(Tables(s, d, "documents"))),
     "tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTop(Tables(s, d, "documents"))),
+    // keyword retrieval: top-10 docs per literal query by the log-free
+    // integer tf·idf (operators.Retrieval) — one corpus scan, query
+    // terms pushed into the explode, rank window WindowGroupLimit'd
+    "keyword_search" -> ((s, d) => graft.operators.Retrieval.keywordSearch(
+      Tables(s, d, "documents"), SearchQueries)),
     // --- warehouse lifecycle: time-series completion + CDC compaction ---
     "gap_fill" -> ((s, d) => graft.etl.TimeSeries.gapFill(s, d)),
     "cdc_apply" -> ((s, d) => graft.etl.Cdc.ordersSnapshot(s, d)),
@@ -1693,6 +1720,28 @@ object SparkEntry {
         |  CASE WHEN nib < 13 THEN 'train' ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens
         |FROM b GROUP BY 1, 2 ORDER BY stratum, split""".stripMargin,
+    // Mirrors Corpus.cvFolds: fold = first 32 md5 bits mod 5 (the
+    // sample_mixture hex-parse idiom), per-fold balance profile.
+    "cv_folds" ->
+      """WITH f AS (
+        |  SELECT (('0x' || substr(md5(text), 1, 8))::BIGINT % 5) AS fold,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS nt,
+        |    source
+        |  FROM documents)
+        |SELECT fold, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
+    // Mirrors Dedup.sourceProfile: (source, md5) grain first, then the
+    // source-sized re-aggregate; dup_rate rounded on both sides.
+    "dedup_source_profile" ->
+      """WITH g AS (
+        |  SELECT source, md5(text) AS h, COUNT(*) AS n
+        |  FROM documents GROUP BY source, h)
+        |SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_unique,
+        |  ROUND(CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n), 4) AS dup_rate
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     // Mirrors the AsOfJoin.backward query: latest purchase at-or-before
     // each click, ties broken by largest event_id.
     "asof_join" ->
@@ -2203,6 +2252,31 @@ object SparkEntry {
         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         |  ROUND(score, 4) AS score
         |FROM r WHERE rn <= 3 ORDER BY doc_id, score DESC, term""".stripMargin,
+    // Mirrors Retrieval.keywordSearch: integer-scaled log-free tf·idf
+    // (`//` is DuckDB's integral division, Spark's `div`), rank window
+    // tie-broken by doc_id; the VALUES list and the IN list come from
+    // the same SearchQueries literal the Spark side uses.
+    "keyword_search" ->
+      s"""WITH q(query_id, term) AS (VALUES $searchQueryValues),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |        FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM tok WHERE term IN ($searchQueryTermList)
+         |       GROUP BY doc_id, term),
+         |dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (SELECT q.query_id, tf.doc_id,
+         |         CAST(SUM(tf.tf * ((n.n_docs * 1000000) // dfr.df)) AS BIGINT)
+         |           AS score,
+         |         CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+         |       FROM q JOIN tf ON q.term = tf.term
+         |         JOIN dfr ON tf.term = dfr.term CROSS JOIN n
+         |       GROUP BY q.query_id, tf.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS rn FROM sc)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(rn AS BIGINT) AS rank, doc_id, score, n_terms_matched
+         |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
     // Mirrors Sessionize.activityStreaks: gaps-and-islands, the island
     // key is day − row_number (constant within a consecutive run).
     "events_streaks" ->

@@ -31,6 +31,29 @@ object Corpus {
       .orderBy("stratum", "split")
   }
 
+  /** Deterministic k-fold assignment for cross-validation /
+    * held-out-rotation experiments: fold = (first 32 md5 bits of the
+    * text) mod k — content-keyed like [[trainTestSplit]], so a
+    * document's fold survives re-ingestion, repartition, and cluster
+    * layout, and two pipelines computing folds independently agree.
+    */
+  def cvFoldExpr(k: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"),
+      lit(k.toLong))
+
+  /** The per-fold balance audit of [[cvFoldExpr]]: doc and token
+    * totals plus source coverage per fold. One corpus scan, one k-row
+    * aggregate — the law-of-large-numbers balance this reports is what
+    * makes the hash-fold assignment usable as a CV split at scale.
+    */
+  def cvFolds(docs: DataFrame, k: Int = 5): DataFrame =
+    docs.select(cvFoldExpr(k).as("fold"),
+        TextAnalysis.nTokensExpr(col("text")).as("n_tokens"), col("source"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+        count_distinct(col("source")).as("n_sources"))
+      .orderBy("fold")
+
   /** Composed quality gate: keep documents that are (a) predicted
     * English, (b) above the quality-score floor, and (c) the keeper of
     * their exact-duplicate cluster (lowest doc_id per content hash).
@@ -98,16 +121,51 @@ object Corpus {
                      maxRepetitionRatio: Double = 0.05,
                      maxTopNgramRatio: Double = 0.10): DataFrame =
     TextAnalysis.gateSignals(docs)
-      .filter(col("n_tokens").between(minTokens, maxTokens) &&
-        col("avg_token_len").between(minAvgTokenLen, maxAvgTokenLen) &&
-        col("punct_ratio") <= maxPunctRatio &&
-        col("quality_score") >= minScore &&
-        col("predicted_lang") === lang &&
-        col("repetition_ratio") <= maxRepetitionRatio &&
-        col("top_ngram_ratio") <= maxTopNgramRatio)
+      .filter(gateCond(col, lang, minTokens, maxTokens, minAvgTokenLen,
+        maxAvgTokenLen, maxPunctRatio, minScore, maxRepetitionRatio,
+        maxTopNgramRatio))
       .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
         col("punct_ratio"), col("quality_score"), col("predicted_lang"),
         col("repetition_ratio"), col("top_ngram_ratio"))
+
+  /** The one rulebook both gate forms filter with — `c` resolves a
+    * signal name to its column (`col` for the projected form, the
+    * `__gs_` prefix for the attached form), so the two cannot drift.
+    */
+  private def gateCond(c: String => org.apache.spark.sql.Column, lang: String,
+                       minTokens: Long, maxTokens: Long,
+                       minAvgTokenLen: Double, maxAvgTokenLen: Double,
+                       maxPunctRatio: Double, minScore: Double,
+                       maxRepetitionRatio: Double,
+                       maxTopNgramRatio: Double): org.apache.spark.sql.Column =
+    c("n_tokens").between(minTokens, maxTokens) &&
+      c("avg_token_len").between(minAvgTokenLen, maxAvgTokenLen) &&
+      c("punct_ratio") <= maxPunctRatio &&
+      c("quality_score") >= minScore &&
+      c("predicted_lang") === lang &&
+      c("repetition_ratio") <= maxRepetitionRatio &&
+      c("top_ngram_ratio") <= maxTopNgramRatio
+
+  /** Row-PRESERVING gate for pipeline composition: the input rows (all
+    * columns, any schema with a `text`) that pass the rulebook —
+    * signals are attached in the scan projection
+    * ([[TextAnalysis.withGateSignals]]), filtered on, and dropped, so
+    * gating needs no doc identity and never joins. This is the stage
+    * shape [[graft.streaming.CurationPipeline]] runs between PII scrub
+    * and dedup; stateless per-row, so it drops into a readStream
+    * unchanged.
+    */
+  def gopherGateKeep(docs: DataFrame, lang: String = "en",
+                     minTokens: Long = 15, maxTokens: Long = 100000,
+                     minAvgTokenLen: Double = 3.0, maxAvgTokenLen: Double = 10.0,
+                     maxPunctRatio: Double = 0.2, minScore: Double = 0.5,
+                     maxRepetitionRatio: Double = 0.05,
+                     maxTopNgramRatio: Double = 0.10): DataFrame =
+    TextAnalysis.withGateSignals(docs)
+      .filter(gateCond(s => col(s"__gs_$s"), lang, minTokens, maxTokens,
+        minAvgTokenLen, maxAvgTokenLen, maxPunctRatio, minScore,
+        maxRepetitionRatio, maxTopNgramRatio))
+      .drop(TextAnalysis.GateSignalNames.map(s => s"__gs_$s"): _*)
 
   /** [[gopherGate]] with the CCNet perplexity rule composed on top:
     * survivors must also score ≤ `maxLmScore` under the reference

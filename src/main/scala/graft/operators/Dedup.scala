@@ -50,6 +50,23 @@ object Dedup {
         carry.map(c => col(s"k.$c").as(s"keeper_$c")) :+ col("n_dupes"): _*)
       .orderBy("content_hash")
 
+  /** Per-source exact-duplication profile — the curation diagnostic
+    * that tells you WHERE the duplication lives (a crawl slice with a
+    * 40% dup rate is a scraper bug or a mirror, not signal). Two-level
+    * hash aggregate: (source, md5) first — 16-byte keys, text never
+    * shuffles, map-side combine absorbs hot duplicates — then a
+    * source-sized re-aggregate. One scan; nothing document-grain
+    * leaves the first exchange.
+    */
+  def sourceProfile(docs: DataFrame): DataFrame =
+    docs.select(col("source"), md5(col("text")).as("__h"))
+      .groupBy("source", "__h").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum("n").as("n_docs"), count(lit(1)).as("n_unique"),
+        round((sum("n") - count(lit(1))).cast("double") / sum("n"), 4)
+          .as("dup_rate"))
+      .orderBy("source")
+
   /** Incremental-append dedup: of a NEW batch, keep only documents that
     * are (a) the keeper inside their batch-local duplicate cluster and
     * (b) unseen in the existing corpus.
@@ -67,6 +84,22 @@ object Dedup {
         Seq("content_hash"), "left_anti")
       .select(col("doc_id"), col("content_hash"))
       .orderBy("doc_id")
+
+  /** [[incremental]] against a PERSISTED hash frame (`content_hash`
+    * column; extra columns like a batch partition id are ignored) —
+    * the probe kernel of [[graft.streaming.ExactIndex]]: the corpus
+    * side is 16 bytes per distinct document ever accepted, no text is
+    * read or stored, and the anti-join shuffles only the BATCH's
+    * keeper hashes (the corpus frame is scanned pruned to one
+    * column). Returns the kept (doc_id, content_hash) pairs, unsorted
+    * (a per-batch kernel, not an oracle query).
+    */
+  def exactProbe(newDocs: DataFrame, corpusHashes: DataFrame): DataFrame =
+    newDocs
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min("doc_id").as("doc_id"))
+      .join(corpusHashes.select("content_hash"), Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
 
   /** (doc_id, sh) shingle arrays — the verification-side companion of
     * the [[bandedBuckets]] posting index. A warehouse persists BOTH

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the document corpus — the lookup half of the
+  * curation toolbox (find the training docs that mention X; audit what
+  * a benchmark's keywords hit; spot-check a dedup cluster).
+  *
+  * Scoring is a log-free BM11-style tf·idf kept fully in integer
+  * arithmetic so the ranking is engine-exact (the [[TextAnalysis.tfidfTop]]
+  * doctrine): `score = Σ_terms tf · (n_docs·S div df)` with S = 10^6 and
+  * `div` integral division — every intermediate is a BIGINT, identical
+  * in any engine, no float summation whose addition order could differ
+  * across partitions. The idf step value `n_docs·S` must stay under
+  * 2^63 / max tf; S is a parameter so a trillion-doc corpus shrinks it
+  * (or moves the sum to DECIMAL(38,0), which [[keywordSearch]] already
+  * does internally — only the final score is cast back to BIGINT).
+  */
+object Retrieval {
+
+  /** Top-k documents per keyword query.
+    *
+    * Scale shape: the query set is literal and tiny — its terms become
+    * an `isin` pushdown on the exploded token stream, so the (doc,term)
+    * tf aggregate only ever sees QUERY terms (corpus vocabulary size is
+    * irrelevant); df re-aggregates that term-sized table and broadcasts
+    * back; the per-query rank window is partitioned by query_id with
+    * WindowGroupLimit, so the final exchange carries ≤k rows per query.
+    * One corpus scan, one (doc,term) shuffle, everything after is
+    * query-sized.
+    *
+    * @param queries (query_id, terms) — terms are matched as exact
+    *                whitespace tokens (the corpus tokenization).
+    */
+  def keywordSearch(docs: DataFrame, queries: Seq[(Int, Seq[String])],
+                    k: Int = 10, scale: Long = 1000000L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qdf = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("query_id", "term")
+    val qTerms = queries.flatMap(_._2).distinct
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term").isin(qTerms.map(lit(_)): _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfTable = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qdf), "term")
+      .join(broadcast(dfTable), "term")
+      .crossJoin(broadcast(n))
+      // contribution in DECIMAL(38,0): the per-term product is
+      // BIGINT-safe by the S contract, but the SUM across terms gets
+      // 128-bit headroom so a pathological doc can never wrap silently
+      .withColumn("contrib",
+        (col("tf") * expr(s"(n_docs * ${scale}L) div df")).cast("decimal(38,0)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").cast("long").as("score"),
+        count(lit(1)).as("n_terms_matched"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id").cast("long").as("query_id"), col("rank"),
+        col("doc_id"), col("score"), col("n_terms_matched"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -64,44 +64,71 @@ object TextAnalysis {
     * [[quality]], [[langId]] and [[repetition]] so a composed gate
     * hash-agrees with the standalone queries' oracles.
     */
-  def gateSignals(docs: DataFrame, n: Int = 3): DataFrame = {
+  def gateSignals(docs: DataFrame, n: Int = 3): DataFrame =
+    withGateSignals(docs, n).select(col("doc_id") +:
+      GateSignalNames.map(s => col(s"__gs_$s").as(s)): _*)
+
+  /** The signal columns [[withGateSignals]] attaches (under a `__gs_`
+    * prefix so they can never collide with input columns — the
+    * documents table itself carries an `n_chars`).
+    */
+  val GateSignalNames: Seq[String] = Seq("n_chars", "n_tokens",
+    "avg_token_len", "punct_ratio", "stopword_ratio", "quality_score",
+    "predicted_lang", "repetition_ratio", "top_ngram_ratio")
+
+  /** [[gateSignals]] ATTACHED to the input rows: every original column
+    * kept, signals added as `__gs_<name>` — the row-preserving form
+    * pipeline composition needs
+    * ([[graft.operators.Corpus.gopherGateKeep]] filters on these and
+    * drops them), since a mid-pipeline gate must neither require a doc
+    * identity to join signals back nor lose non-signal columns.
+    * [[gateSignals]] is exactly this plus a projection, so the
+    * composed and standalone forms cannot drift.
+    */
+  def withGateSignals(docs: DataFrame, n: Int = 3): DataFrame = {
     val text = col("text")
-    val base = docs.select(col("doc_id"),
-      TextOps.tokens(text).as("toks"),
-      length(text).cast("long").as("n_chars"),
-      nTokensExpr(text).as("n_tokens"),
-      length(regexp_replace(text, "[a-z ]", "")).cast("long").as("punct"),
-      GraftFunctions.repetitionStats(text, n).as("st"))
-    val Seq(en, es, fr, de) = Markers.map { case (l, ws) =>
-      markerCount(col("toks"), ws).as(s"score_$l")
+    val staged = docs
+      .withColumn("__toks", TextOps.tokens(text))
+      .withColumn("__gs_n_chars", length(text).cast("long"))
+      .withColumn("__gs_n_tokens", nTokensExpr(text))
+      .withColumn("__punct",
+        length(regexp_replace(text, "[a-z ]", "")).cast("long"))
+      .withColumn("__st", GraftFunctions.repetitionStats(text, n))
+    val withMarkers = Markers.foldLeft(staged) { case (d, (l, ws)) =>
+      d.withColumn(s"__score_$l", markerCount(col("__toks"), ws))
     }
-    val punctRatio = col("punct").cast("double") / col("n_chars")
-    val stopRatio = col("score_en").cast("double") / col("n_tokens")
-    base.select(col("doc_id"), col("n_chars"), col("n_tokens"),
-        col("punct"), col("st"), en, es, fr, de)
-      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
-        ((col("n_chars") - col("n_tokens") + 1).cast("double") /
-          col("n_tokens")).as("avg_token_len"),
-        punctRatio.as("punct_ratio"),
-        stopRatio.as("stopword_ratio"),
-        (least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
+    val punctRatio = col("__punct").cast("double") / col("__gs_n_chars")
+    val stopRatio = col("__score_en").cast("double") / col("__gs_n_tokens")
+    withMarkers
+      .withColumn("__gs_avg_token_len",
+        (col("__gs_n_chars") - col("__gs_n_tokens") + 1).cast("double") /
+          col("__gs_n_tokens"))
+      .withColumn("__gs_punct_ratio", punctRatio)
+      .withColumn("__gs_stopword_ratio", stopRatio)
+      .withColumn("__gs_quality_score",
+        least(col("__gs_n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
           (lit(1.0) - punctRatio) * 0.3 +
-          least(stopRatio * 5.0, lit(1.0)) * 0.3).as("quality_score"),
-        when(col("score_en") >= col("score_es") &&
-          col("score_en") >= col("score_fr") &&
-          col("score_en") >= col("score_de") && col("score_en") > 0, "en")
-          .when(col("score_es") >= col("score_fr") &&
-            col("score_es") >= col("score_de") && col("score_es") > 0, "es")
-          .when(col("score_fr") >= col("score_de") &&
-            col("score_fr") > 0, "fr")
-          .when(col("score_de") > 0, "de")
-          .otherwise("und").as("predicted_lang"),
-        when(col("st.total_ngrams") === 0, 0.0)
-          .otherwise(round(lit(1.0) - col("st.distinct_ngrams").cast("double") /
-            col("st.total_ngrams"), 4)).as("repetition_ratio"),
-        when(col("st.total_ngrams") === 0, 0.0)
-          .otherwise(round(col("st.top_ngram_freq").cast("double") /
-            col("st.total_ngrams"), 4)).as("top_ngram_ratio"))
+          least(stopRatio * 5.0, lit(1.0)) * 0.3)
+      .withColumn("__gs_predicted_lang",
+        when(col("__score_en") >= col("__score_es") &&
+          col("__score_en") >= col("__score_fr") &&
+          col("__score_en") >= col("__score_de") && col("__score_en") > 0, "en")
+          .when(col("__score_es") >= col("__score_fr") &&
+            col("__score_es") >= col("__score_de") && col("__score_es") > 0, "es")
+          .when(col("__score_fr") >= col("__score_de") &&
+            col("__score_fr") > 0, "fr")
+          .when(col("__score_de") > 0, "de")
+          .otherwise("und"))
+      .withColumn("__gs_repetition_ratio",
+        when(col("__st.total_ngrams") === 0, 0.0)
+          .otherwise(round(lit(1.0) - col("__st.distinct_ngrams").cast("double") /
+            col("__st.total_ngrams"), 4)))
+      .withColumn("__gs_top_ngram_ratio",
+        when(col("__st.total_ngrams") === 0, 0.0)
+          .otherwise(round(col("__st.top_ngram_freq").cast("double") /
+            col("__st.total_ngrams"), 4)))
+      .drop("__toks" +: "__punct" +: "__st" +:
+        Markers.map { case (l, _) => s"__score_$l" }: _*)
   }
 
   /** Language ID: count stopword markers per language, argmax with a

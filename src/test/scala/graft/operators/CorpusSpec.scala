@@ -247,4 +247,36 @@ class CorpusSpec extends SparkSpec {
     assert(fast.sameElements(iter))
     assert(fast.toMap.apply(22L) == 3L)
   }
+
+  test("cvFolds: complete partition, folds in range, layout-independent") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val out = Corpus.cvFolds(docs, k = 5).collect()
+    assert(out.map(_.getAs[Long]("fold")).toSet.subsetOf((0L until 5L).toSet))
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "folds must partition the corpus exactly")
+    // content-keyed: any repartition/reshuffle yields the same profile
+    val re = Corpus.cvFolds(docs.repartition(7), k = 5).collect()
+    assert(out.map(_.toSeq).toSet == re.map(_.toSeq).toSet)
+  }
+
+  test("gopherGateKeep preserves rows and columns; doc_ids match gopherGate") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .withColumn("extra", org.apache.spark.sql.functions.lit("carried"))
+    val keep = Corpus.gopherGateKeep(docs)
+    assert(keep.columns.toSeq == docs.columns.toSeq,
+      "row-preserving gate must emit exactly the input columns")
+    val keptIds = keep.select("doc_id").as[Long].collect().toSet
+    val gateIds = Corpus.gopherGate(docs.drop("extra"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == gateIds, "composed and standalone gates diverged")
+  }
+
+  test("gopherGateKeep gates rows with no identity (NULL doc_id)") {
+    val docs = Seq[(Option[Long], String)](
+      (None, "the quick brown fox jumps over a lazy dog of winter and " +
+        "early snow to chase small white rabbits around fields"),
+      (None, "too short")).toDF("doc_id", "text")
+    val kept = Corpus.gopherGateKeep(docs, minTokens = 5)
+    assert(kept.count() == 1, "identity-free gating must still filter")
+  }
 }

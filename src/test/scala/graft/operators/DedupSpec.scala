@@ -260,4 +260,31 @@ class DedupSpec extends SparkSpec {
     assert(p.exists(x => x._1 == 1L && x._2 == 2L && x._3 == 0))
     assert(!p.exists(x => x._2 == 3L))
   }
+
+  test("sourceProfile: per-source dup accounting") {
+    val out = Dedup.sourceProfile(Seq(
+      (1L, "aa", "web"), (2L, "aa", "web"), (3L, "aa", "web"),
+      (4L, "bb", "web"),
+      (5L, "cc", "books"), (6L, "dd", "books"))
+      .toDF("doc_id", "text", "source")).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_unique"),
+          r.getAs[Double]("dup_rate"))).toMap
+    assert(out("web") == ((4L, 2L, 0.5)))
+    assert(out("books") == ((2L, 2L, 0.0)))
+  }
+
+  test("exactProbe matches incremental's keeper/anti-join semantics on a " +
+       "hash-only corpus frame") {
+    val corpus = docs(1L -> "seen before", 2L -> "also seen")
+    val batch = docs(10L -> "seen before", 11L -> "novel text",
+      12L -> "novel text")
+    val viaProbe = Dedup.exactProbe(batch,
+      corpus.select(org.apache.spark.sql.functions.md5($"text")
+        .as("content_hash")))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val viaIncremental = Dedup.incremental(batch, corpus)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(viaProbe == viaIncremental && viaProbe == Set(11L))
+  }
 }

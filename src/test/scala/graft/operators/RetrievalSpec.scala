@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Retrieval.keywordSearch]] — integer tf·idf ranking, term pushdown,
+  * and the WindowGroupLimit-bounded per-query top-k.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "hash join hash join hash join"), // tf(hash)=3, tf(join)=3
+    (2L, "hash join of tables"),
+    (3L, "hash only here"),
+    (4L, "join only here"),
+    (5L, "nothing relevant at all"),
+    (6L, "rare unique marker word")).toDF("doc_id", "text")
+
+  test("ranks by summed tf·idf, ties to the smaller doc_id, k bounds rows") {
+    val out = Retrieval.keywordSearch(docs,
+      Seq(1 -> Seq("hash", "join"), 2 -> Seq("marker")), k = 3).collect()
+    val q1 = out.filter(_.getAs[Long]("query_id") == 1L)
+    assert(q1.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    // doc 1: both terms tf 3; docs 3 and 4 one term tf 1 each — the
+    // equal scores tie-break to doc 3, and k=3 cuts doc 4
+    assert(q1.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    assert(q1.head.getAs[Long]("n_terms_matched") == 2L)
+    // idf weighting: the df=1 marker term scores higher per hit than a
+    // df=3 term
+    val q2 = out.filter(_.getAs[Long]("query_id") == 2L)
+    assert(q2.map(_.getAs[Long]("doc_id")).toSeq == Seq(6L))
+    assert(q2.head.getAs[Long]("score") ==
+      6L * 1000000L / 1L, "idf of a df=1 term is n_docs·S")
+  }
+
+  test("score arithmetic is exact integer: tf · (n_docs·S div df)") {
+    val out = Retrieval.keywordSearch(docs, Seq(1 -> Seq("hash")), k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score"))
+      .toMap
+    val idf = 6L * 1000000L / 3L // df(hash) = 3
+    assert(out == Map(1L -> 3L * idf, 2L -> idf, 3L -> idf))
+  }
+
+  test("plan: query terms prune the token stream before the aggregate, " +
+       "and the rank window gets WindowGroupLimit") {
+    val plan = Retrieval.keywordSearch(docs, Seq(1 -> Seq("hash", "join")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank pushdown missing:\n$plan")
+    // the isin filter must sit under the first aggregate (tf), so the
+    // exchange only carries query-term rows
+    assert("(?s)Filter.*term.*INSET|(?s)Filter.*term.*IN \\(".r
+      .findFirstIn(plan).isDefined, s"term pushdown missing:\n$plan")
+  }
+
+  test("empty queries and no-hit terms yield empty results, not errors") {
+    assert(Retrieval.keywordSearch(docs, Seq(1 -> Seq("zzz_absent"))).isEmpty)
+    assert(Retrieval.keywordSearch(docs, Seq.empty).isEmpty)
+  }
+}
