@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.operators.{Corpus, Redact}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The COMPOSED ingest-time curation pipeline — every stage a
+  * training-data intake runs, in one `foreachBatch`:
+  *
+  * {{{
+  * raw batch
+  *   → PII scrub            (Redact.scrub — stateless expression chain)
+  *   → quality gate         (Corpus.gopherGateKeep — row-preserving,
+  *                           signals computed and dropped in the scan)
+  *   → exact dedup          (ExactIndex  — persisted content hashes)
+  *   → near-dup scrub       (NearDupIndex — persisted LSH postings)
+  *   → duplicate-span excision (SpanIndex — persisted gram hashes)
+  *   → idempotent parquet sink (StreamSink.idempotentParquet)
+  * }}}
+  *
+  * Stage ORDER is deliberate: scrub before gate (PII sentinels must not
+  * leak through via a doc the gate would pass either way — and the gate
+  * scores the text that will actually ship); gate before dedup (rejected
+  * docs must not grow the indexes — a quality-rejected page should not
+  * inoculate the corpus against a clean later copy); exact before near
+  * before span (each stage shrinks the batch the costlier stage probes).
+  *
+  * Every dedup stage probes and grows its own PERSISTED index, so
+  * cross-batch duplicates drop at O(batch) cost without ever rescanning
+  * accepted text; each stage excludes the current batch id and
+  * overwrites its own partitions, and the sink overwrites its batch
+  * directory — so the WHOLE pipeline is replay-safe under foreachBatch's
+  * at-least-once delivery, end to end (CurationPipelineSpec replays a
+  * batch and asserts identical sink + index state). NULL-identity rows
+  * ride every stage's uniform pass-through contract.
+  *
+  * Maintenance composes too: [[compact]]/[[expireBatchesBelow]] fan out
+  * to all three indexes under the one commit-log proof, so an offline
+  * fold can never leave one index's replay contract behind.
+  *
+  * The gate is pluggable (`gate` constructor arg) so a deployment can
+  * swap thresholds, compose the learned
+  * [[graft.operators.QualityModel.scoreExpr]] cut, or pass `identity`
+  * to disable gating without touching the dedup contract.
+  */
+class CurationPipeline(val spark: SparkSession, dir: String,
+                       gate: DataFrame => DataFrame =
+                         Corpus.gopherGateKeep(_),
+                       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                       minJaccard: Double = 0.5, spanK: Int = 8) {
+
+  val exact = new ExactIndex(spark, s"$dir/exact")
+  val near = new NearDupIndex(spark, s"$dir/near", n, numHashes, bands, minJaccard)
+  val spans = new SpanIndex(spark, s"$dir/spans", spanK)
+
+  /** Run one micro-batch through every stage; returns the curated rows
+    * (non-text columns preserved, `clean_text`/`n_removed` from the
+    * span excision) and grows all three indexes.
+    */
+  def accept(batch: DataFrame, batchId: Long): DataFrame = {
+    val scrubbed = Redact.scrub(batch)
+    val gated = gate(scrubbed)
+    val unique = exact.accept(gated, batchId)
+    val novel = near.accept(unique, batchId)
+    spans.scrub(novel, batchId)
+  }
+
+  /** [[accept]] + idempotent parquet sink, in the `(batch, id)` shape
+    * `foreachBatch` and [[StreamSink.ingestAvailableNowBatches]] call.
+    */
+  def sinkTo(outDir: String): (Dataset[Row], Long) => Unit =
+    (batch, batchId) =>
+      StreamSink.idempotentParquet(outDir)(accept(batch.toDF(), batchId), batchId)
+
+  /** One checkpointed AvailableNow run over a landing directory: every
+    * parquet file not yet processed flows through the full pipeline
+    * exactly once — the deployment entry point (nightly load or
+    * drained live ingest share this code path).
+    */
+  def ingest(landingDir: String, schema: StructType, checkpointDir: String,
+             outDir: String): Unit =
+    StreamSink.ingestAvailableNowBatches(spark, landingDir, schema,
+      checkpointDir, (b, id) => sinkTo(outDir)(b, id))
+
+  /** Fold all three indexes' batch partitions into their seeds —
+    * offline only; throws unless every partition id is provably
+    * committed (the [[IndexMaintenance]] contract, applied atomically
+    * across the pipeline's indexes).
+    */
+  def compact(lastCommittedBatchId: Long): Unit =
+    Seq(exact, near, spans).foreach(_.compact(lastCommittedBatchId))
+
+  /** Re-crawl-window retention across all three indexes. */
+  def expireBatchesBelow(cutoff: Long, lastCommittedBatchId: Long): Unit =
+    Seq(exact, near, spans).foreach(
+      _.expireBatchesBelow(cutoff, lastCommittedBatchId))
+}

@@ -188,7 +188,11 @@ object StreamDedup {
         val n = s.getPath.getName
         n.startsWith("batch=") && {
           val id = n.stripPrefix("batch=").toLong
-          id != SeedBatchId && id < cutoff
+          // ids > seed are stream batches (the re-crawl window being
+          // bounded); ids ≤ seed are the curated seed and the chunked
+          // backfill's synthetic partitions ([[NearDupIndex.backfill]])
+          // — permanent corpus, never expired
+          id > SeedBatchId && id < cutoff
         }
       }
       .foreach(s => fs.delete(s.getPath, true))
@@ -416,6 +420,48 @@ class NearDupIndex(protected val spark: SparkSession, dir: String, n: Int = 3,
     kept
   }
 
+  /** Dedup-and-index a STATIC corpus in bounded slices — the backfill
+    * guard the [[graft.operators.Dedup.minhashProbe]] giant-batch note
+    * demands: the probe's in-batch verify fan-out is bucket-occupancy²
+    * with occupancy capped by the SLICE size, so a billion-doc backfill
+    * never quadratically explodes a hot bucket the way feeding it as
+    * one "batch" would.
+    *
+    * Chunks ascend by doc_id, and each runs through [[accept]] under a
+    * synthetic sub-seed batch id (`SeedBatchId - 1 - i`) — so a chunk
+    * probes the seed ∪ every earlier chunk ∪ itself: exactly the
+    * sequence-of-micro-batches semantics of live ingest. On clique-
+    * shaped duplicate clusters this equals the one-shot accept for ANY
+    * chunk count (spec-pinned); on transitive CHAINS the in-batch rule
+    * is the stricter side (a near-dup of an already-dropped smaller id
+    * also drops), so moving a chain member across a chunk boundary can
+    * only KEEP more — and in every case no two kept docs are near-dups
+    * of each other, which is the property dedup actually needs. A
+    * crashed backfill RE-RUN converges exactly like a replayed
+    * micro-batch (own-id exclusion + own-partition overwrite; a naive
+    * append-to-seed would self-match every chunk on re-run and gut it).
+    * Sub-seed ids are permanent-corpus partitions: horizon expiry
+    * never deletes them, and an offline [[compact]] folds them into
+    * the seed. NULL-id rows ride chunk 0's pass-through.
+    *
+    * Assumes doc ids span less than 2^62 (range arithmetic) — true of
+    * any real id scheme.
+    */
+  def backfill(docs: DataFrame, chunks: Int = 8): DataFrame = {
+    require(chunks >= 1, s"chunks must be >= 1, got $chunks")
+    val bounds = docs.filter(col("doc_id").isNotNull)
+      .agg(min("doc_id"), max("doc_id")).head()
+    if (bounds.isNullAt(0)) return accept(docs, StreamDedup.SeedBatchId - 1)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = (hi - lo) / chunks + 1
+    (0 until chunks).map { i =>
+      val from = lo + i * width
+      val inRange = col("doc_id") >= from && col("doc_id") < from + width
+      val slice = if (i == 0) inRange || col("doc_id").isNull else inRange
+      accept(docs.filter(slice), StreamDedup.SeedBatchId - 1 - i)
+    }.reduce(_.unionByName(_))
+  }
+
 }
 
 /** A persisted, incrementally-maintained gram-hash index for
@@ -497,4 +543,62 @@ class SpanIndex(protected val spark: SparkSession, dir: String, k: Int = 8)
     cleaned
   }
 
+}
+
+/** A persisted, incrementally-maintained content-hash index for
+  * ingest-time EXACT dedup — the `foreachBatch` deployment of
+  * [[graft.operators.Dedup.exactProbe]], completing the persisted
+  * quartet (exact / near / span / semantic) with the cheapest member:
+  * 16 bytes per distinct document ever accepted, no text, no
+  * positions.
+  *
+  * [[StreamDedup.firstArrivals]] remains the state-store shape
+  * (watermark-evicted, bounded to the re-crawl horizon); this is the
+  * INDEX shape — dedup against everything ever accepted, durable
+  * across runs, probed per batch at O(batch) cost. Layout, replay
+  * safety (own-batch exclusion + own-partition overwrite), compaction
+  * and horizon expiry all follow the [[NearDupIndex]] contract.
+  */
+class ExactIndex(protected val spark: SparkSession, dir: String)
+    extends IndexMaintenance {
+  private val hashesDir = s"$dir/hashes"
+  protected def frameDirs: Seq[String] = Seq(hashesDir)
+
+  locally {
+    StreamDedup.bootstrapFrame(spark, hashesDir,
+      StreamDedup.emptyDocs(spark)
+        .select(md5(col("text")).as("content_hash")))
+  }
+
+  def hashes: DataFrame = spark.read.parquet(hashesDir)
+
+  /** Index `docs` (text, ...) without scrubbing — the one-time seed
+    * from an existing static corpus. Text is read once, here; the
+    * index stores only its hashes.
+    */
+  def append(docs: DataFrame): Unit =
+    docs.filter(col("text").isNotNull)
+      .select(md5(col("text")).as("content_hash")).distinct()
+      .write.mode("append")
+      .parquet(s"$hashesDir/batch=${StreamDedup.SeedBatchId}")
+
+  /** Keep only batch rows whose content is unseen (index ∪ lower-id
+    * in-batch keeper), then grow the index with the accepted hashes.
+    * NULL doc_id and NULL text rows pass through un-deduped and
+    * un-indexed — neither has a dedup identity the equi-joins could
+    * act on (the uniform NULL contract of every index accept).
+    */
+  def accept(batch: DataFrame, batchId: Long): DataFrame = {
+    val real = batch.filter(col("doc_id").isNotNull && col("text").isNotNull)
+    val kept = real
+      .join(Dedup.exactProbe(real,
+        StreamDedup.exceptBatch(hashes, batchId)).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .unionByName(batch.filter(col("doc_id").isNull || col("text").isNull))
+      .localCheckpoint()
+    kept.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(md5(col("text")).as("content_hash")).distinct()
+      .write.mode("overwrite").parquet(s"$hashesDir/batch=$batchId")
+    kept
+  }
 }

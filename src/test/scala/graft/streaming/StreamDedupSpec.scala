@@ -293,6 +293,59 @@ class StreamDedupSpec extends SparkSpec {
       s"got $out")
   }
 
+  test("backfill: chunked == one-shot on clique clusters; re-run converges; " +
+       "sub-seed partitions survive horizon expiry") {
+    // three exact-dup cliques + singletons, ids spread so every chunk
+    // count splits at least one clique across chunks
+    val t1 = (1 to 40).map(i => s"aa$i").mkString(" ")
+    val t2 = (1 to 40).map(i => s"bb$i").mkString(" ")
+    val t3 = (1 to 40).map(i => s"cc$i").mkString(" ")
+    val corpus = Seq(
+      (1L, t1), (12L, t1), (23L, t1),            // clique of 3
+      (5L, t2), (30L, t2),                       // clique of 2
+      (8L, t3), (17L, "solo " + (1 to 39).map(i => s"dd$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_bf").toString
+
+    def keptSet(chunks: Int): Set[Long] = {
+      val idx = new NearDupIndex(spark, s"$root/idx$chunks")
+      idx.backfill(corpus, chunks)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    val oneShot = {
+      val idx = new NearDupIndex(spark, s"$root/one")
+      idx.accept(corpus, 0L).select("doc_id").as[Long].collect().toSet
+    }
+    assert(keptSet(1) == oneShot && keptSet(3) == oneShot,
+      "chunked backfill diverged from the one-shot accept on cliques")
+    assert(oneShot == Set(1L, 5L, 8L, 17L))
+
+    // crashed-backfill re-run: same kept set, no index growth
+    val idx = new NearDupIndex(spark, s"$root/rerun")
+    val first = idx.backfill(corpus, 3).select("doc_id").as[Long].collect().toSet
+    val postings = idx.postings.count()
+    val second = idx.backfill(corpus, 3).select("doc_id").as[Long].collect().toSet
+    assert(second == first, s"re-run diverged: $second vs $first")
+    assert(idx.postings.count() == postings, "re-run grew the index")
+
+    // the backfilled index serves live batches: a novel doc lands (and
+    // is indexed under its stream batch id), a re-crawl of backfilled
+    // t2 drops
+    val novel = (1 to 40).map(i => s"ee$i").mkString(" ")
+    assert(idx.accept(Seq((99L, novel)).toDF("doc_id", "text"), 0L).count() == 1)
+    assert(idx.postings.filter($"batch" === 0L).count() > 0)
+
+    // horizon expiry deletes only STREAM batches — the backfill's
+    // sub-seed partitions are permanent corpus
+    idx.expireBatchesBelow(cutoff = 1L, lastCommittedBatchId = 0L)
+    assert(idx.postings.filter($"batch" < StreamDedup.SeedBatchId).count() > 0,
+      "expiry deleted backfill partitions")
+    assert(idx.postings.filter($"batch" === 0L).count() == 0,
+      "expiry missed the stream batch below the cutoff")
+    assert(idx.accept(Seq((100L, t2)).toDF("doc_id", "text"), 1L).isEmpty,
+      "backfilled dedup protection lost after expiry")
+  }
+
   test("compact refuses to fold a batch the checkpoint has not committed") {
     val root = java.nio.file.Files.createTempDirectory("graft_cpre").toString
     val idx = new SpanIndex(spark, s"$root/index")
