@@ -400,6 +400,9 @@ object SparkEntry {
     // per-source exact-duplication diagnostic (where the dup lives)
     "dedup_source_profile" -> ((s, d) =>
       Dedup.sourceProfile(Tables(s, d, "documents"))),
+    // k-anonymity release audit over (nation, segment) quasi-identifiers
+    "k_anonymity" -> ((s, d) => graft.operators.Redact.kAnonymity(
+      Tables(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"))),
     "quality_filter" -> ((s, d) => Corpus.qualityFilter(Tables(s, d, "documents"))),
     "gopher_gate" -> ((s, d) => Corpus.gopherGate(Tables(s, d, "documents"))),
     // one-row funnel over the whole prep pipeline: raw -> exact-unique
@@ -1732,6 +1735,20 @@ object SparkEntry {
         |SELECT fold, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens,
         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
         |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
+    // Mirrors Redact.kAnonymity: QI-grain counts, then the one-row
+    // audit re-aggregate (k = 5).
+    "k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT COUNT(*) AS n_classes,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_classes_below_k,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_at_risk,
+        |  MIN(n) AS min_class_size,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows
+        |FROM g""".stripMargin,
     // Mirrors Dedup.sourceProfile: (source, md5) grain first, then the
     // source-sized re-aggregate; dup_rate rounded on both sides.
     "dedup_source_profile" ->

@@ -144,4 +144,25 @@ object Redact {
     canon.filter(col("__canon").isNull).drop("__canon")
       .unionByName(canon.join(keepers, Seq(idCol), "left_semi").drop("__canon"))
   }
+
+  /** k-anonymity release audit — the other half of the privacy story
+    * next to [[scrub]]: scrubbing removes DIRECT identifiers, but a
+    * row whose QUASI-identifier combination (e.g. nation × segment) is
+    * shared by fewer than k rows is re-identifiable by linkage even
+    * with no direct identifier left. One row: equivalence-class
+    * counts, how many classes and rows fall below k, and the smallest
+    * class (the worst case a release reviewer reads first).
+    *
+    * Scale shape: one hash aggregate at QI grain (map-side combined —
+    * a dominant class ships one row per map partition), then an
+    * audit-sized re-aggregate. NULL QI values form their own classes,
+    * as linkage attacks treat missingness as a value too.
+    */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Long = 5): DataFrame =
+    df.groupBy(quasiIds.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_classes_below_k"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+        min("n").as("min_class_size"),
+        sum("n").as("n_rows"))
 }

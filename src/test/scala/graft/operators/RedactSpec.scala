@@ -107,4 +107,18 @@ class RedactSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(1L, 2L, 4L, 5L)) // 3 deduped into 1; 4,5 both kept
   }
+
+  test("kAnonymity counts classes and rows below k; NULL QI is a class") {
+    val rows = Seq(
+      ("us", "a"), ("us", "a"), ("us", "a"),      // class of 3 (below 5)
+      ("de", "b"), ("de", "b"), ("de", "b"), ("de", "b"), ("de", "b"),
+      (null, "c"), (null, "c"))                   // NULL class of 2
+      .toDF("nation", "segment")
+    val r = Redact.kAnonymity(rows, Seq("nation", "segment"), k = 5).head()
+    assert(r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("n_classes_below_k") == 2L)
+    assert(r.getAs[Long]("n_rows_at_risk") == 5L)
+    assert(r.getAs[Long]("min_class_size") == 2L)
+    assert(r.getAs[Long]("n_rows") == 10L)
+  }
 }
