@@ -430,6 +430,9 @@ object SparkEntry {
       Tables(s, d, "documents"), SearchQueries)),
     // --- warehouse lifecycle: time-series completion + CDC compaction ---
     "gap_fill" -> ((s, d) => graft.etl.TimeSeries.gapFill(s, d)),
+    // sweep-line backlog: ±1 interval events → day-grain aggregate →
+    // bucketed global prefix sum (never an unpartitioned window)
+    "orders_backlog" -> ((s, d) => graft.etl.TimeSeries.orderBacklog(s, d)),
     "cdc_apply" -> ((s, d) => graft.etl.Cdc.ordersSnapshot(s, d)),
     "events_anomaly" -> ((s, d) => Sessionize.anomalies(Tables(s, d, "events"))),
     "events_sliding" -> ((s, d) =>
@@ -2217,6 +2220,27 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS temp_filled,
         |  day_temp IS NULL AS is_gap
         |FROM j ORDER BY loc_ref, cal_date""".stripMargin,
+    // Mirrors TimeSeries.orderBacklog: ±1 sweep events at open / day
+    // after close, day-grain net change, running-sum stabbing count.
+    "orders_backlog" ->
+      """WITH cl AS (
+        |  SELECT l_orderkey, MAX(l_shipdate) AS close_date
+        |  FROM lineitem GROUP BY l_orderkey),
+        |iv AS (
+        |  SELECT o.o_orderdate, cl.close_date
+        |  FROM orders o JOIN cl ON o.o_orderkey = cl.l_orderkey),
+        |ev AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT CAST(close_date AS DATE) + 1, -1 FROM iv),
+        |dd AS (
+        |  SELECT d, CAST(SUM(delta) AS BIGINT) AS net_change
+        |  FROM ev GROUP BY d)
+        |SELECT CAST(d AS VARCHAR) AS day, net_change,
+        |  CAST(SUM(net_change) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_open
+        |FROM dd ORDER BY day""".stripMargin,
     // Mirrors Cdc.ordersSnapshot: I/U/D feed, latest seq per key wins;
     // seq ties break on explicit op priority D > U > I (a lost delete
     // resurrects a row; a lost update is merely re-deliverable).

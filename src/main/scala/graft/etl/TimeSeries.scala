@@ -79,4 +79,45 @@ object TimeSeries {
         round(col("day_temp"), 4).as("temp_filled"),
         (col("cal_date") =!= col("date_valid")).as("is_gap"))
   }
+
+  /** Open-interval backlog over time — the sweep-line analytic (how
+    * many orders were open on each day an order opened or closed):
+    * every interval becomes a +1 at its start and a −1 the day after
+    * its close, the ±1s aggregate to day grain, and the running count
+    * is a GLOBAL prefix sum over days.
+    *
+    * Scale shape: the interval build is the only fact-sized work —
+    * lineitem aggregates to per-order close dates and joins orders ON
+    * the aggregate's own o_orderkey partitioning (co-partitioned
+    * big⋈big, no extra exchange); the ±1 table aggregates to day
+    * grain (map-side combined) BEFORE any ordering, so the sweep runs
+    * on thousands of rows however large the fact; and the running sum
+    * is [[StarSchema.globalPrefixSum]] — the bucketed two-phase
+    * running total, never an unpartitioned window. A naive
+    * per-day interval-stabbing join (days × open intervals) would be
+    * quadratic at 100 TB; the sweep is one fact pass.
+    *
+    * Orders with no lineitems have no close date and are excluded by
+    * the inner join (the oracle mirrors this).
+    */
+  def orderBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.core.Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_orderdate")
+    val closes = graft.core.Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(max("l_shipdate").as("close_date"))
+    val iv = orders
+      .join(closes, col("o_orderkey") === col("l_orderkey"))
+    val deltas = iv
+      .select(col("o_orderdate").cast("date").as("d"), lit(1L).as("delta"))
+      .unionByName(iv.select(
+        date_add(col("close_date").cast("date"), 1).as("d"),
+        lit(-1L).as("delta")))
+      .groupBy("d").agg(sum("delta").as("net_change"))
+      .withColumn("__day",
+        datediff(col("d"), to_date(lit("1970-01-01"))).cast("long"))
+    StarSchema.globalPrefixSum(deltas, Seq("__day"), "net_change", "n_open")
+      .select(col("d").cast("string").as("day"),
+        col("net_change").cast("long").as("net_change"), col("n_open"))
+      .orderBy("day")
+  }
 }
