@@ -100,24 +100,33 @@ object TimeSeries {
     * Orders with no lineitems have no close date and are excluded by
     * the inner join (the oracle mirrors this).
     */
-  def orderBacklog(spark: SparkSession, dir: String): DataFrame = {
+  def orderBacklog(spark: SparkSession, dir: String): DataFrame =
+    StarSchema.globalPrefixSum(
+      backlogDeltas(spark, dir), Seq("__day"), "net_change", "n_open")
+      .select(col("d").cast("string").as("day"),
+        col("net_change").cast("long").as("net_change"), col("n_open"))
+      .orderBy("day")
+
+  /** The fact-sized half of [[orderBacklog]] (everything before the
+    * day-grain prefix sum) — exposed for the plan audit, which cannot
+    * see past globalPrefixSum's checkpoint.
+    */
+  private[graft] def backlogDeltas(spark: SparkSession, dir: String): DataFrame = {
     val orders = graft.core.Tables(spark, dir, "orders")
       .select("o_orderkey", "o_orderdate")
     val closes = graft.core.Tables(spark, dir, "lineitem")
       .groupBy(col("l_orderkey")).agg(max("l_shipdate").as("close_date"))
-    val iv = orders
-      .join(closes, col("o_orderkey") === col("l_orderkey"))
-    val deltas = iv
-      .select(col("o_orderdate").cast("date").as("d"), lit(1L).as("delta"))
-      .unionByName(iv.select(
-        date_add(col("close_date").cast("date"), 1).as("d"),
-        lit(-1L).as("delta")))
+    // each interval emits its ±1 pair from ONE join pass (a union of
+    // two projections would consume — and largely recompute — the
+    // join subtree twice)
+    orders.join(closes, col("o_orderkey") === col("l_orderkey"))
+      .select(explode(array(
+        struct(col("o_orderdate").cast("date").as("d"), lit(1L).as("delta")),
+        struct(date_add(col("close_date").cast("date"), 1).as("d"),
+          lit(-1L).as("delta")))).as("e"))
+      .select(col("e.d").as("d"), col("e.delta").as("delta"))
       .groupBy("d").agg(sum("delta").as("net_change"))
       .withColumn("__day",
         datediff(col("d"), to_date(lit("1970-01-01"))).cast("long"))
-    StarSchema.globalPrefixSum(deltas, Seq("__day"), "net_change", "n_open")
-      .select(col("d").cast("string").as("day"),
-        col("net_change").cast("long").as("net_change"), col("n_open"))
-      .orderBy("day")
   }
 }

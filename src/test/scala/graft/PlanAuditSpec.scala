@@ -480,6 +480,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"drift needs no joins:\n$plan")
   }
 
+  test("orders_backlog deltas: close aggregate's key partitioning serves the " +
+       "join; ±1s aggregate to day grain with no sort-merge degradation") {
+    // audit the fact-sized half directly — the composed query's plan
+    // hides it behind globalPrefixSum's checkpoint
+    val plan = finalPlan(graft.etl.TimeSeries.backlogDeltas(spark, sf()))
+    assert(!plan.contains("SortMergeJoin"), s"backlog join degraded to SMJ:\n$plan")
+    // the orders⋈closes join rides the close aggregate's own
+    // l_orderkey partitioning plus the orders side's — more key
+    // exchanges would mean the aggregate re-shuffled for the join, and
+    // the ±1 explode must consume the join subtree exactly once
+    val keyEx = "hashpartitioning\\((l_orderkey|o_orderkey)".r
+      .findAllMatchIn(plan).length
+    assert(keyEx <= 2, s"order-key exchanges exploded ($keyEx):\n$plan")
+    assert("Scan parquet".r.findAllMatchIn(plan).length <= 2,
+      s"the ±1 build re-scanned a fact table:\n$plan")
+  }
+
   test("every contract query stays free of cartesian products") {
     // the 1-row dim_source cross join broadcasts; a CartesianProduct node
     // anywhere means an equi-join lost its keys
