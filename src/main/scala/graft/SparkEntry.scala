@@ -1670,12 +1670,14 @@ object SparkEntry {
         |u AS (
         |  SELECT source,
         |    ('0x' || substr(md5(text), 1, 8))::BIGINT / 4294967296.0 AS u
-        |  FROM documents)
+        |  FROM documents),
+        |k AS (
+        |  SELECT u.source, COUNT(*) AS n_kept
+        |  FROM u JOIN r ON u.source = r.source
+        |  WHERE u.u < r.rate GROUP BY u.source)
         |SELECT r.source, r.n_docs, ROUND(r.rate, 4) AS rate,
-        |  COUNT(*) AS n_kept
-        |FROM u JOIN r ON u.source = r.source
-        |WHERE u.u < r.rate
-        |GROUP BY r.source, r.n_docs, r.rate
+        |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM r LEFT JOIN k ON r.source = k.source
         |ORDER BY r.source""".stripMargin,
     // Mirrors Sampling.epochMix: same uniform draw, dyadic epoch
     // weights, floor(w) copies + 1 iff u < frac(w), copies exploded.

@@ -72,9 +72,11 @@ object Expectations {
     } :+ count(lit(1)).as("__n")
     val one = df.agg(aggs.head, aggs.tail: _*)
     // rule/table names are caller-supplied strings spliced into SQL:
-    // escape quotes or a name like "price isn't negative" breaks the
+    // escape backslashes FIRST (Spark string literals treat \ as an
+    // escape — a trailing backslash would swallow the closing quote),
+    // then quotes, or a name like "price isn't negative" breaks the
     // stack() parse at runtime
-    def q(s: String) = s.replace("'", "''")
+    def q(s: String) = s.replace("\\", "\\\\").replace("'", "''")
     val stackArgs = rules.zipWithIndex
       .map { case (r, i) => s"'${q(table)}.${q(r.name)}', __n, __v$i" }
       .mkString(", ")

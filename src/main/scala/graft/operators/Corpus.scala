@@ -182,13 +182,21 @@ object Corpus {
                  maxPunctRatio: Double = 0.2, minScore: Double = 0.5,
                  maxRepetitionRatio: Double = 0.05,
                  maxTopNgramRatio: Double = 0.10): DataFrame =
-    gopherGateRows(docs, lang, minTokens, maxTokens, minAvgTokenLen,
-      maxAvgTokenLen, maxPunctRatio, minScore, maxRepetitionRatio,
-      maxTopNgramRatio)
-      .join(TextAnalysis.lmScore(docs, lm, n)
+    {
+    // rulebook first, LM second: the gram-explode + LM join is the
+    // expensive half, so it must only ever see gate SURVIVORS — scoring
+    // the full corpus and inner-joining after would pay the explode
+    // for every rejected doc too
+    val gated = gopherGateRows(docs, lang, minTokens, maxTokens,
+      minAvgTokenLen, maxAvgTokenLen, maxPunctRatio, minScore,
+      maxRepetitionRatio, maxTopNgramRatio)
+    val survivors = docs.join(gated.select("doc_id"), Seq("doc_id"), "left_semi")
+    gated
+      .join(TextAnalysis.lmScore(survivors, lm, n)
         .filter(col("lm_score") <= maxLmScore)
         .select(col("doc_id"), col("lm_score")), Seq("doc_id"))
       .orderBy("doc_id")
+    }
 
   /** Benchmark decontamination: drop train documents that share any
     * word `n`-gram with the held-out test set (the standard guard

@@ -74,12 +74,16 @@ object Sampling {
     val rated = counts.crossJoin(broadcast(minN))
       .select(col("source"), col("n_docs"),
         sqrt(col("__nmin").cast("double") / col("n_docs")).as("rate"))
-    docs.join(broadcast(rated), "source")
+    // survivors LEFT-joined back onto the rated source list: a source
+    // whose every draw fails must report n_kept = 0, not vanish — a
+    // consumer deriving mixing weights would otherwise read "sampled
+    // to zero" as "does not exist"
+    val kept = docs.join(broadcast(rated.select("source", "rate")), "source")
       .filter(uniformDraw < col("rate"))
-      .groupBy("source", "n_docs", "rate")
-      .agg(count(lit(1)).as("n_kept"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    rated.join(kept, Seq("source"), "left")
       .select(col("source"), col("n_docs"), round(col("rate"), 4).as("rate"),
-        col("n_kept"))
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       .orderBy("source")
   }
 

@@ -38,6 +38,32 @@ import org.apache.spark.sql.functions._
   * asymmetric distance with an exact re-rank — same frames, same
   * replay contract.
   */
+/** The accept template shared by [[EmbeddingIndex]] and
+  * [[PqEmbeddingIndex]]: identical replay / NULL-pass-through /
+  * checkpoint-before-write contract, differing only in HOW candidates
+  * are verified (`probe`) and what the index remembers per vector
+  * (`writeIndexRows`). One body, so a future fix to the contract
+  * cannot land in one class and silently miss the other.
+  */
+private[streaming] object EmbeddingIndexOps {
+  def accept(batch: DataFrame, batchId: Long,
+             probe: DataFrame => DataFrame,
+             writeIndexRows: (DataFrame, Long) => Unit): DataFrame = {
+    // NULL-id rows pass through by construction (no dedup identity; an
+    // id-keyed semi-join would silently lose them from the sink) and
+    // stay out of the index — mirrors SpanIndex.scrub/NearDupIndex
+    val realIds = batch.filter(col("vec_id").isNotNull)
+    val kept = realIds.join(probe(realIds), Seq("vec_id"), "left_semi")
+      .unionByName(batch.filter(col("vec_id").isNull))
+      // localCheckpoint BEFORE the write: the kept plan reads the very
+      // parquet dirs being written
+      .localCheckpoint()
+    writeIndexRows(kept.filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), col("embedding")), batchId)
+    kept
+  }
+}
+
 class EmbeddingIndex(protected val spark: SparkSession, dir: String,
                      minCosine: Double = 0.35, bands: Int = 8,
                      rowsPerBand: Int = 6, dims: Int = 64)
@@ -47,6 +73,9 @@ class EmbeddingIndex(protected val spark: SparkSession, dir: String,
   protected def frameDirs: Seq[String] = Seq(postingsDir, vectorsDir)
 
   locally {
+    // layout params bound to disk (minCosine is query-time, tunable)
+    StreamDedup.bindGeometry(spark, dir,
+      Seq("bands" -> bands, "rowsPerBand" -> rowsPerBand, "dims" -> dims))
     StreamDedup.bootstrapFrame(spark, postingsDir,
       Similarity.embeddingPostings(StreamDedup.emptyVecs(spark),
         bands, rowsPerBand, dims))
@@ -60,42 +89,29 @@ class EmbeddingIndex(protected val spark: SparkSession, dir: String,
     * one-time backfill that seeds the index from an existing corpus
     * (read once, here; never again at probe time).
     */
-  def append(vecs: DataFrame): Unit = {
-    val v = vecs.select(col("vec_id"), col("embedding"))
+  def append(vecs: DataFrame): Unit =
+    writeIndexRows(vecs.select(col("vec_id"), col("embedding")),
+      StreamDedup.SeedBatchId, "append")
+
+  private def writeIndexRows(v: DataFrame, batchId: Long, mode: String): Unit = {
     Similarity.embeddingPostings(v, bands, rowsPerBand, dims)
-      .write.mode("append")
-      .parquet(s"$postingsDir/batch=${StreamDedup.SeedBatchId}")
-    v.write.mode("append")
-      .parquet(s"$vectorsDir/batch=${StreamDedup.SeedBatchId}")
+      .write.mode(mode).parquet(s"$postingsDir/batch=$batchId")
+    v.write.mode(mode).parquet(s"$vectorsDir/batch=$batchId")
   }
 
   /** Scrub one micro-batch against the index and grow it: returns the
     * accepted rows (all batch columns) and overwrites the batch's own
     * index partitions — cross-batch semantic near-dups drop, a replay
     * of this batch id neither matches its own prior rows nor
-    * duplicates them. localCheckpoint'd before the write: the kept
-    * plan reads the very parquet dirs being written.
+    * duplicates them. Contract body: [[EmbeddingIndexOps.accept]].
     */
-  def accept(batch: DataFrame, batchId: Long): DataFrame = {
-    // NULL-id rows pass through by construction (no dedup identity; an
-    // id-keyed semi-join would silently lose them from the sink) and
-    // stay out of the index — mirrors SpanIndex.scrub/NearDupIndex
-    val realIds = batch.filter(col("vec_id").isNotNull)
-    val kept = realIds.join(
-      Similarity.embeddingProbe(realIds,
+  def accept(batch: DataFrame, batchId: Long): DataFrame =
+    EmbeddingIndexOps.accept(batch, batchId,
+      realIds => Similarity.embeddingProbe(realIds,
         StreamDedup.exceptBatch(postings, batchId),
         StreamDedup.exceptBatch(vectors, batchId),
         minCosine, bands, rowsPerBand, dims),
-      Seq("vec_id"), "left_semi")
-      .unionByName(batch.filter(col("vec_id").isNull))
-      .localCheckpoint()
-    val keptVecs = kept.filter(col("vec_id").isNotNull)
-      .select(col("vec_id"), col("embedding"))
-    Similarity.embeddingPostings(keptVecs, bands, rowsPerBand, dims)
-      .write.mode("overwrite").parquet(s"$postingsDir/batch=$batchId")
-    keptVecs.write.mode("overwrite").parquet(s"$vectorsDir/batch=$batchId")
-    kept
-  }
+      (v, bid) => writeIndexRows(v, bid, "overwrite"))
 
   /** Fold all batch partitions of both frames into their seed
     * partitions. `lastCommittedBatchId` is the stopped stream's
@@ -134,6 +150,13 @@ class PqEmbeddingIndex(protected val spark: SparkSession, dir: String,
   protected def frameDirs: Seq[String] = Seq(postingsDir, codesDir)
 
   locally {
+    // layout params bound to disk like the codebook below — codes
+    // decoded under a different (m, dims) split or postings probed
+    // under different banding are silent garbage (maxD2 is
+    // query-time, tunable)
+    StreamDedup.bindGeometry(spark, dir,
+      Seq("bands" -> bands, "rowsPerBand" -> rowsPerBand,
+        "dims" -> dims, "m" -> m))
     // staged write + rename: pathExists must imply a COMPLETE
     // codebook. A bare write could crash after some tasks committed,
     // and every later construction would silently decode against the
@@ -168,35 +191,27 @@ class PqEmbeddingIndex(protected val spark: SparkSession, dir: String,
   /** One-time backfill seed: the only time raw corpus vectors are
     * read; the index keeps their postings and codes.
     */
-  def append(vecs: DataFrame): Unit = {
-    val v = vecs.select(col("vec_id"), col("embedding"))
+  def append(vecs: DataFrame): Unit =
+    writeIndexRows(vecs.select(col("vec_id"), col("embedding")),
+      StreamDedup.SeedBatchId, "append")
+
+  private def writeIndexRows(v: DataFrame, batchId: Long, mode: String): Unit = {
     Similarity.embeddingPostings(v, bands, rowsPerBand, dims)
-      .write.mode("append")
-      .parquet(s"$postingsDir/batch=${StreamDedup.SeedBatchId}")
-    Similarity.pqEncode(v, codebook, m, dims).write.mode("append")
-      .parquet(s"$codesDir/batch=${StreamDedup.SeedBatchId}")
+      .write.mode(mode).parquet(s"$postingsDir/batch=$batchId")
+    Similarity.pqEncode(v, codebook, m, dims)
+      .write.mode(mode).parquet(s"$codesDir/batch=$batchId")
   }
 
   /** Scrub one micro-batch (ADC-verified) and grow the index — same
-    * replay/NULL-id contract as [[EmbeddingIndex.accept]].
+    * replay/NULL-id contract as [[EmbeddingIndex.accept]]
+    * ([[EmbeddingIndexOps.accept]] is the one shared body).
     */
-  def accept(batch: DataFrame, batchId: Long): DataFrame = {
-    val realIds = batch.filter(col("vec_id").isNotNull)
-    val kept = realIds.join(
-      Similarity.pqEmbeddingProbe(realIds,
+  def accept(batch: DataFrame, batchId: Long): DataFrame =
+    EmbeddingIndexOps.accept(batch, batchId,
+      realIds => Similarity.pqEmbeddingProbe(realIds,
         StreamDedup.exceptBatch(postings, batchId),
         StreamDedup.exceptBatch(codes, batchId),
         codebook, maxD2, bands, rowsPerBand, dims, m),
-      Seq("vec_id"), "left_semi")
-      .unionByName(batch.filter(col("vec_id").isNull))
-      .localCheckpoint()
-    val keptVecs = kept.filter(col("vec_id").isNotNull)
-      .select(col("vec_id"), col("embedding"))
-    Similarity.embeddingPostings(keptVecs, bands, rowsPerBand, dims)
-      .write.mode("overwrite").parquet(s"$postingsDir/batch=$batchId")
-    Similarity.pqEncode(keptVecs, codebook, m, dims)
-      .write.mode("overwrite").parquet(s"$codesDir/batch=$batchId")
-    kept
-  }
+      (v, bid) => writeIndexRows(v, bid, "overwrite"))
 
 }

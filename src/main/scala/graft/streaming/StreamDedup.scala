@@ -115,6 +115,48 @@ object StreamDedup {
   private[streaming] def exceptBatch(df: DataFrame, batchId: Long): DataFrame =
     df.filter(col("batch") =!= lit(batchId))
 
+  /** Bind an index's LAYOUT geometry to its on-disk state: first
+    * construction writes `<dir>/_geometry` (underscore-prefixed, so
+    * Spark's file listings skip it); every later construction verifies
+    * and THROWS on mismatch. An index probed under different layout
+    * parameters (band count, hash count, gram width, PQ split) does
+    * not error — it silently matches nothing and waves every
+    * duplicate through, the worst failure mode an index can have. The
+    * QualityModel.Model / Cms bind-the-geometry doctrine applied to
+    * the persisted indexes. Query-TIME thresholds (minJaccard,
+    * minCosine) are deliberately not bound: they read the same stored
+    * layout and are legitimate to tune between runs.
+    *
+    * Crash-safe like everything else here: written to a dot-prefixed
+    * temp and renamed; a lost rename race re-verifies instead.
+    */
+  private[streaming] def bindGeometry(spark: SparkSession, dir: String,
+                                      geom: Seq[(String, Any)]): Unit = {
+    val want = geom.map { case (k, v) => s"$k=$v" }.mkString("\n")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_geometry")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def verify(): Unit = {
+      val in = fs.open(p)
+      val have = try {
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      } finally in.close()
+      if (have != want)
+        throw new IllegalStateException(
+          s"index at $dir was built with geometry {${have.replace("\n", ", ")}} " +
+            s"but constructed with {${want.replace("\n", ", ")}}: probes under " +
+            "mismatched layout silently match nothing — pass the original " +
+            "parameters or rebuild the index")
+    }
+    if (fs.exists(p)) verify()
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$dir/.geometry-tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, true)
+      try out.write(want.getBytes("UTF-8")) finally out.close()
+      if (!fs.rename(tmp, p)) { fs.delete(tmp, true); verify() }
+    }
+  }
+
   /** Bootstrap one index frame if (and only if) it is missing — each
     * frame independently, so a crash between two frames' bootstraps
     * leaves the done one alone and the re-run fills only the gap;
@@ -368,6 +410,8 @@ class NearDupIndex(protected val spark: SparkSession, dir: String, n: Int = 3,
   protected def frameDirs: Seq[String] = Seq(postingsDir, shinglesDir)
 
   locally {
+    StreamDedup.bindGeometry(spark, dir,
+      Seq("n" -> n, "numHashes" -> numHashes, "bands" -> bands))
     StreamDedup.bootstrapFrame(spark, postingsDir,
       Dedup.bandedBuckets(StreamDedup.emptyDocs(spark), n, numHashes, bands))
     StreamDedup.bootstrapFrame(spark, shinglesDir,
@@ -447,21 +491,42 @@ class NearDupIndex(protected val spark: SparkSession, dir: String, n: Int = 3,
     * Assumes doc ids span less than 2^62 (range arithmetic) — true of
     * any real id scheme.
     */
-  def backfill(docs: DataFrame, chunks: Int = 8): DataFrame = {
-    require(chunks >= 1, s"chunks must be >= 1, got $chunks")
+  def backfill(docs: DataFrame, chunks: Int = 8,
+               backfillId: Int = 0): DataFrame = {
+    // Sub-seed ids are namespaced by backfillId in FIXED-width blocks
+    // (id i of backfill b lives at SeedBatchId − 1 − b·MaxBackfillChunks
+    // − i), so two backfills can never overlap whatever their chunk
+    // counts. Re-running the SAME backfill (same docs, chunks,
+    // backfillId) converges like a replayed micro-batch — that is the
+    // crash-recovery path, so an existing block is NOT refused — but a
+    // SECOND corpus must use a fresh backfillId: reusing one would
+    // overwrite the first corpus's partitions (probed with own-id
+    // exclusion) and silently delete its dedup protection.
+    require(chunks >= 1 && chunks <= NearDupIndex.MaxBackfillChunks,
+      s"chunks must be in [1, ${NearDupIndex.MaxBackfillChunks}], got $chunks")
+    require(backfillId >= 0, s"backfillId must be >= 0, got $backfillId")
+    val base = StreamDedup.SeedBatchId - 1 -
+      backfillId.toLong * NearDupIndex.MaxBackfillChunks
     val bounds = docs.filter(col("doc_id").isNotNull)
       .agg(min("doc_id"), max("doc_id")).head()
-    if (bounds.isNullAt(0)) return accept(docs, StreamDedup.SeedBatchId - 1)
+    if (bounds.isNullAt(0)) return accept(docs, base)
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = (hi - lo) / chunks + 1
     (0 until chunks).map { i =>
       val from = lo + i * width
       val inRange = col("doc_id") >= from && col("doc_id") < from + width
       val slice = if (i == 0) inRange || col("doc_id").isNull else inRange
-      accept(docs.filter(slice), StreamDedup.SeedBatchId - 1 - i)
+      accept(docs.filter(slice), base - i)
     }.reduce(_.unionByName(_))
   }
 
+}
+
+object NearDupIndex {
+  /** Fixed width of each backfill's sub-seed id block — chunk counts
+    * can vary per backfill without two blocks ever overlapping.
+    */
+  final val MaxBackfillChunks = 1024
 }
 
 /** A persisted, incrementally-maintained gram-hash index for
@@ -494,6 +559,7 @@ class SpanIndex(protected val spark: SparkSession, dir: String, k: Int = 8)
   protected def frameDirs: Seq[String] = Seq(gramsDir)
 
   locally {
+    StreamDedup.bindGeometry(spark, dir, Seq("k" -> k))
     StreamDedup.bootstrapFrame(spark, gramsDir,
       Dedup.gramTable(StreamDedup.emptyDocs(spark), k))
   }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 class SamplingSpec extends SparkSpec {
+  import spark.implicits._
 
   private def docs = Tables(spark, sf(), "documents")
 
@@ -82,5 +83,28 @@ class SamplingSpec extends SparkSpec {
         .orderBy("k").collect().map(r => (r.getInt(0), r.getLong(2))).toSeq
       assert(got == expected, s"buckets=$buckets")
     }
+  }
+
+  test("temperature reports a sampled-to-zero source as n_kept = 0, not " +
+       "a missing row") {
+    // pick texts whose deterministic draws all exceed the source's
+    // rate (sqrt(1/4) = 0.5), so every acceptance fails
+    def draw(s: String): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) / 4294967296.0
+    }
+    val high = (1 to 1000).map(i => s"candidate doc number $i")
+      .filter(t => draw(t) > 0.5).take(4)
+    assert(high.size == 4)
+    val rows: Seq[(String, String)] =
+      high.toList.map(s => ("a", s)) :+ (("b", "the single tiny source doc"))
+    val docs = rows.toDF("source", "text")
+    val out = Sampling.temperature(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("rate"),
+          r.getAs[Long]("n_kept"))).toMap
+    assert(out("a") == ((4L, 0.5, 0L)), s"zero-kept source misreported: $out")
+    assert(out("b") == ((1L, 1.0, 1L)))
   }
 }

@@ -344,6 +344,33 @@ class StreamDedupSpec extends SparkSpec {
       "expiry missed the stream batch below the cutoff")
     assert(idx.accept(Seq((100L, t2)).toDF("doc_id", "text"), 1L).isEmpty,
       "backfilled dedup protection lost after expiry")
+
+    // a SECOND corpus backfills under a fresh backfillId into its own
+    // id block: nothing of backfill 0 is overwritten, and the new
+    // corpus is deduped against it
+    val before2 = idx.postings.count()
+    assert(idx.backfill(Seq((200L, t1)).toDF("doc_id", "text"),
+      chunks = 2, backfillId = 1).isEmpty,
+      "second backfill missed a dup of the first backfill's corpus")
+    assert(idx.postings.count() == before2,
+      "second backfill clobbered or grew partitions it should not")
+  }
+
+  test("layout geometry binds to disk: reconstruction under different " +
+       "params throws; query-time thresholds stay tunable") {
+    val root = java.nio.file.Files.createTempDirectory("graft_geom").toString
+    new NearDupIndex(spark, s"$root/idx", bands = 8)
+    new NearDupIndex(spark, s"$root/idx", bands = 8) // same layout: fine
+    val e = intercept[IllegalStateException](
+      new NearDupIndex(spark, s"$root/idx", bands = 16))
+    assert(e.getMessage.contains("geometry"))
+    // minJaccard is query-time — not bound, legitimately tunable
+    new NearDupIndex(spark, s"$root/idx", minJaccard = 0.9)
+    new SpanIndex(spark, s"$root/span", k = 8)
+    intercept[IllegalStateException](new SpanIndex(spark, s"$root/span", k = 4))
+    new EmbeddingIndex(spark, s"$root/emb")
+    intercept[IllegalStateException](
+      new EmbeddingIndex(spark, s"$root/emb", dims = 32))
   }
 
   test("compact refuses to fold a batch the checkpoint has not committed") {
