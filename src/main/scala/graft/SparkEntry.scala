@@ -403,6 +403,10 @@ object SparkEntry {
     // k-anonymity release audit over (nation, segment) quasi-identifiers
     "k_anonymity" -> ((s, d) => graft.operators.Redact.kAnonymity(
       Tables(s, d, "customer"), Seq("c_nationkey", "c_mktsegment"))),
+    // grouped Pearson correlation from exact integer invariants
+    "corr_quantity_discount" -> ((s, d) => graft.etl.Profile.corrBy(
+      Tables(s, d, "lineitem"), "l_returnflag",
+      round(col("l_quantity"), 0), round(col("l_discount") * 100, 0))),
     "quality_filter" -> ((s, d) => Corpus.qualityFilter(Tables(s, d, "documents"))),
     "gopher_gate" -> ((s, d) => Corpus.gopherGate(Tables(s, d, "documents"))),
     // one-row funnel over the whole prep pipeline: raw -> exact-unique
@@ -1740,6 +1744,28 @@ object SparkEntry {
         |SELECT fold, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens,
         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
         |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
+    // Mirrors Profile.corrBy: exact HUGEINT sufficient statistics,
+    // float assembly (sqrt+divide, correctly rounded) once per group.
+    "corr_quantity_discount" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity, 0) AS BIGINT) AS x,
+        |    CAST(round(l_discount * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x*y) AS HUGEINT) AS sxy,
+        |    CAST(SUM(x*x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(y*y) AS HUGEINT) AS syy
+        |  FROM b GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+        |    THEN ROUND(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |       sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4)
+        |  END AS corr
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     // Mirrors Redact.kAnonymity: QI-grain counts, then the one-row
     // audit re-aggregate (k = 5).
     "k_anonymity" ->

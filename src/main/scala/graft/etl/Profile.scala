@@ -119,4 +119,43 @@ object Profile {
         col("chi2"),
         coalesce(col("chi2") > critical, lit(false)).as("drifted"))
   }
+
+  /** Grouped Pearson correlation with DISTRIBUTED-EXACT sufficient
+    * statistics: `x` and `y` must be integer-valued expressions, so
+    * n, Σx, Σy, Σxy, Σx², Σy² are exact BIGINTs accumulated in
+    * DECIMAL(38) headroom — no float summation whose partition order
+    * could change the answer (the events_anomaly doctrine applied to
+    * correlation; a float `corr()` aggregate is order-dependent in its
+    * last ulps and can differ across engines AND across runs). The
+    * float assembly (two sqrt + one divide, all correctly rounded
+    * under IEEE) happens once per GROUP on the exact integers.
+    *
+    * One partial-aggregating scan; the result is group-sized.
+    * Zero-variance groups → NULL (no correlation is defined there).
+    * The exact invariants stay exact at any scale; past 2^53 their
+    * double CONVERSION rounds — emit the decimals themselves
+    * alongside if last-ulp display parity across engines matters.
+    */
+  def corrBy(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
+    val d = "decimal(38,0)"
+    val agg = df
+      .select(col(groupCol), x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).cast(d).as("__n"),
+        sum(col("__x")).cast(d).as("__sx"),
+        sum(col("__y")).cast(d).as("__sy"),
+        sum(col("__x") * col("__y")).cast(d).as("__sxy"),
+        sum(col("__x") * col("__x")).cast(d).as("__sxx"),
+        sum(col("__y") * col("__y")).cast(d).as("__syy"))
+    val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+      .cast("double")
+    val d1 = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double")
+    val d2 = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .cast("double")
+    agg.select(col(groupCol), col("__n").cast("long").as("n_rows"),
+      when(d1 > 0 && d2 > 0, round(num / (sqrt(d1) * sqrt(d2)), 4))
+        .as("corr"))
+      .orderBy(groupCol)
+  }
 }

@@ -59,4 +59,20 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(exactPlan.contains("Expand"), exactPlan) // the cost approx avoids
   }
+
+  test("corrBy: ±1 on perfectly (anti)correlated groups, NULL on zero variance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      ("pos", 1L, 10L), ("pos", 2L, 20L), ("pos", 3L, 30L),
+      ("neg", 1L, 30L), ("neg", 2L, 20L), ("neg", 3L, 10L),
+      ("flat", 5L, 1L), ("flat", 5L, 2L), ("flat", 5L, 3L))
+      .toDF("g", "x", "y")
+    val out = Profile.corrBy(rows, "g", col("x"), col("y")).collect()
+      .map(r => r.getAs[String]("g") ->
+        Option(r.getAs[java.lang.Double]("corr"))).toMap
+    assert(out("pos").contains(1.0))
+    assert(out("neg").contains(-1.0))
+    assert(out("flat").isEmpty, "zero-variance group must be NULL")
+  }
 }
