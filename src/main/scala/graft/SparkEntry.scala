@@ -407,6 +407,13 @@ object SparkEntry {
     "corr_quantity_discount" -> ((s, d) => graft.etl.Profile.corrBy(
       Tables(s, d, "lineitem"), "l_returnflag",
       round(col("l_quantity"), 0), round(col("l_discount") * 100, 0))),
+    // 2-D Pareto frontier by sweep (oracle replays the quadratic
+    // dominance definition — the sweep is checked against it)
+    "parts_skyline" -> ((s, d) => graft.operators.Segmentation.skyline(
+      Tables(s, d, "part").select("p_partkey", "p_retailprice", "p_size"),
+      "p_retailprice", "p_size")
+      .select("p_partkey", "p_retailprice", "p_size")
+      .orderBy("p_retailprice", "p_partkey")),
     "quality_filter" -> ((s, d) => Corpus.qualityFilter(Tables(s, d, "documents"))),
     "gopher_gate" -> ((s, d) => Corpus.gopherGate(Tables(s, d, "documents"))),
     // one-row funnel over the whole prep pipeline: raw -> exact-unique
@@ -1744,6 +1751,18 @@ object SparkEntry {
         |SELECT fold, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens,
         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
         |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
+    // Mirrors Segmentation.skyline — by the QUADRATIC dominance
+    // definition the sweep implementation optimizes away.
+    "parts_skyline" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM part q
+        |    WHERE q.p_retailprice <= p.p_retailprice
+        |      AND q.p_size >= p.p_size
+        |      AND (q.p_retailprice < p.p_retailprice
+        |        OR q.p_size > p.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
     // Mirrors Profile.corrBy: exact HUGEINT sufficient statistics,
     // float assembly (sqrt+divide, correctly rounded) once per group.
     "corr_quantity_discount" ->

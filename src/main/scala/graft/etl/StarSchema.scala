@@ -130,6 +130,32 @@ object StarSchema {
       .drop("__bkt", "__ps", "__off")
   }
 
+  /** Global EXCLUSIVE prefix MAX of `valueCol` under the total order
+    * `orderBy` — the running-max sibling of [[globalPrefixSum]]
+    * (sweep-line algorithms like the skyline need "best seen among
+    * STRICTLY earlier rows"): per-bucket exclusive running max within
+    * order-preserving buckets, then a broadcast of prior buckets'
+    * maxes. NULL where no earlier row exists. Never an unpartitioned
+    * window, whatever the row count.
+    */
+  def globalPrefixMax(src: DataFrame, orderBy: Seq[String], valueCol: String,
+                      outName: String, buckets: Int = 64): DataFrame = {
+    val bucket = orderBucket(src, orderBy.head, buckets)
+    val local = bucket(src).withColumn("__pm",
+      max(col(valueCol)).over(
+        Window.partitionBy("__bkt").orderBy(orderBy.map(col): _*)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .localCheckpoint(eager = false)
+    val totals = local.groupBy("__bkt").agg(max(col(valueCol)).as("__tot"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__bkt") < col("a.__bkt"), "left")
+      .groupBy(col("a.__bkt").as("__bkt"))
+      .agg(max(col("b.__tot")).as("__off"))
+    local.join(broadcast(offsets), "__bkt")
+      .withColumn(outName, greatest(col("__off"), col("__pm")))
+      .drop("__bkt", "__pm", "__off")
+  }
+
   /** SCD Type-1 dimension: ROW_NUMBER surrogate key over the distinct
     * natural key plus validity metadata (reference DIM_LOCATION,
     * ETL_GlobalWeather_DB.sql:60-74). `validFrom` is a caller-supplied

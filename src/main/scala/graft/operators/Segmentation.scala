@@ -108,4 +108,31 @@ object Segmentation {
           .as("covered_share"))
       .orderBy("threshold_pct")
   }
+
+  /** 2-D skyline (Pareto frontier) under (minimize `costCol`,
+    * maximize `gainCol`): the rows no other row beats on one axis
+    * without losing on the other — the "cheapest at every capability
+    * level" catalog query.
+    *
+    * Sweep formulation, never the O(n²) dominance self-join: a row
+    * survives iff its gain equals its cost-group's max AND strictly
+    * exceeds the best gain among all STRICTLY cheaper rows — one
+    * cost-grain aggregate plus the exclusive
+    * [[graft.etl.StarSchema.globalPrefixMax]] (bucketed two-phase, no
+    * unpartitioned window), then a hash join back to the rows. The
+    * oracle replays the QUADRATIC dominance definition, so the sweep
+    * is cross-checked against the definition it optimizes. Ties on
+    * both axes all survive (neither dominates). NULL cost/gain rows
+    * are excluded — dominance is undefined on missing axes.
+    */
+  def skyline(df: DataFrame, costCol: String, gainCol: String): DataFrame = {
+    val clean = df.filter(col(costCol).isNotNull && col(gainCol).isNotNull)
+    val grp = clean.groupBy(costCol).agg(max(col(gainCol)).as("__gmax"))
+    val best = graft.etl.StarSchema
+      .globalPrefixMax(grp, Seq(costCol), "__gmax", "__prev")
+    clean.join(best, Seq(costCol))
+      .filter(col(gainCol) === col("__gmax") &&
+        (col("__prev").isNull || col("__gmax") > col("__prev")))
+      .drop("__gmax", "__prev")
+  }
 }
