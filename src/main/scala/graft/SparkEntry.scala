@@ -114,6 +114,19 @@ object SparkEntry {
     "dim_location" -> ((s, d) => WeatherMart.dimLocation(s, d).orderBy("location_key")),
     "dim_scd2_merge" -> ((s, d) => WeatherMart.dimLocationMerged(s, d)
       .orderBy("location_key")),
+    // temporal (point-in-time) lookup against the versioned dimension:
+    // each observation date resolves to the ONE version valid then
+    "scd2_pit_join" -> ((s, d) => {
+      val obs = WeatherMart.locationNatural(s, d).select("postal_code")
+        .withColumn("obs_date",
+          explode(array(lit("2026-01-15"), lit("2026-02-15"))))
+      graft.etl.StarSchema
+        .pitJoin(obs, WeatherMart.dimLocationMerged(s, d), Seq("postal_code"),
+          "obs_date")
+        .select("postal_code", "obs_date", "location_key", "city_name",
+          "country", "region_name", "is_current")
+        .orderBy("postal_code", "obs_date")
+    }),
     // the composed incremental path: CDC delta feed → compacted
     // snapshot → SCD2 versioned dimension (WeatherMart.dimLocationCdcMerged)
     "cdc_scd2" -> ((s, d) => WeatherMart.dimLocationCdcMerged(s, d)
@@ -564,6 +577,46 @@ object SparkEntry {
        |  '${WeatherMart.ValidFrom}' AS valid_from,
        |  CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
        |FROM ($locNaturalSql)""".stripMargin
+
+  /** The SCD2-merged location dimension (no ORDER BY) — shared by
+    * `dim_scd2_merge` and the `scd2_pit_join` temporal lookup.
+    */
+  private val scd2MergedSql =
+    s"""WITH dim AS ($dimLocationSql),
+       |nat AS ($locNaturalSql),
+       |snap AS (
+       |  SELECT postal_code, city_name,
+       |    CASE WHEN postal_code % 7 = 0 THEN 'RELOCATED' ELSE country END AS country,
+       |    region_name
+       |  FROM nat WHERE postal_code % 13 <> 0
+       |  UNION ALL SELECT 999999, 'new_city', 'XX', 'YY'),
+       |j AS (
+       |  SELECT d.location_key, d.postal_code AS d_pc, d.city_name AS d_city,
+       |    d.country AS d_ctry, d.region_name AS d_reg, d.valid_from,
+       |    s.postal_code AS s_pc, s.city_name AS s_city, s.country AS s_ctry,
+       |    s.region_name AS s_reg,
+       |    (s.postal_code IS NOT NULL AND d.location_key IS NOT NULL AND
+       |     (d.city_name <> s.city_name OR d.country <> s.country
+       |      OR d.region_name <> s.region_name)) AS changed
+       |  FROM dim d FULL OUTER JOIN snap s ON d.postal_code = s.postal_code),
+       |merged AS (
+       |  SELECT location_key, d_pc AS postal_code, d_city AS city_name,
+       |    d_ctry AS country, d_reg AS region_name, valid_from,
+       |    CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+       |  FROM j WHERE location_key IS NOT NULL AND (s_pc IS NULL OR NOT changed)
+       |  UNION ALL
+       |  SELECT location_key, d_pc, d_city, d_ctry, d_reg, valid_from,
+       |    '2026-02-01', FALSE
+       |  FROM j WHERE changed
+       |  UNION ALL
+       |  SELECT (SELECT MAX(location_key) FROM dim)
+       |      + ROW_NUMBER() OVER (ORDER BY s_pc),
+       |    s_pc, s_city, s_ctry, s_reg, '2026-02-01',
+       |    CAST(NULL AS VARCHAR), TRUE
+       |  FROM j WHERE s_pc IS NOT NULL AND (location_key IS NULL OR changed))
+       |SELECT CAST(location_key AS BIGINT) AS location_key, postal_code,
+       |  city_name, country, region_name, valid_from, valid_to, is_current
+       |FROM merged""".stripMargin
 
   /** ngram-Jaccard pair list (no ORDER BY) — shared by `ngram_jaccard`
     * and the `dedup_cluster` recursive closure.
@@ -1182,42 +1235,22 @@ object SparkEntry {
     // Mirrors WeatherMart.dimLocationMerged (StarSchema.scd2Merge with
     // businessKey=postal_code, asOf=2026-02-01): full-outer dim↔snapshot,
     // untouched/closed/inserted branches, new keys continue after max.
-    "dim_scd2_merge" ->
-      s"""WITH dim AS ($dimLocationSql),
-         |nat AS ($locNaturalSql),
-         |snap AS (
-         |  SELECT postal_code, city_name,
-         |    CASE WHEN postal_code % 7 = 0 THEN 'RELOCATED' ELSE country END AS country,
-         |    region_name
-         |  FROM nat WHERE postal_code % 13 <> 0
-         |  UNION ALL SELECT 999999, 'new_city', 'XX', 'YY'),
-         |j AS (
-         |  SELECT d.location_key, d.postal_code AS d_pc, d.city_name AS d_city,
-         |    d.country AS d_ctry, d.region_name AS d_reg, d.valid_from,
-         |    s.postal_code AS s_pc, s.city_name AS s_city, s.country AS s_ctry,
-         |    s.region_name AS s_reg,
-         |    (s.postal_code IS NOT NULL AND d.location_key IS NOT NULL AND
-         |     (d.city_name <> s.city_name OR d.country <> s.country
-         |      OR d.region_name <> s.region_name)) AS changed
-         |  FROM dim d FULL OUTER JOIN snap s ON d.postal_code = s.postal_code),
-         |merged AS (
-         |  SELECT location_key, d_pc AS postal_code, d_city AS city_name,
-         |    d_ctry AS country, d_reg AS region_name, valid_from,
-         |    CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
-         |  FROM j WHERE location_key IS NOT NULL AND (s_pc IS NULL OR NOT changed)
-         |  UNION ALL
-         |  SELECT location_key, d_pc, d_city, d_ctry, d_reg, valid_from,
-         |    '2026-02-01', FALSE
-         |  FROM j WHERE changed
-         |  UNION ALL
-         |  SELECT (SELECT MAX(location_key) FROM dim)
-         |      + ROW_NUMBER() OVER (ORDER BY s_pc),
-         |    s_pc, s_city, s_ctry, s_reg, '2026-02-01',
-         |    CAST(NULL AS VARCHAR), TRUE
-         |  FROM j WHERE s_pc IS NOT NULL AND (location_key IS NULL OR changed))
-         |SELECT CAST(location_key AS BIGINT) AS location_key, postal_code,
-         |  city_name, country, region_name, valid_from, valid_to, is_current
-         |FROM merged ORDER BY location_key""".stripMargin,
+    "dim_scd2_merge" -> s"$scd2MergedSql\nORDER BY location_key",
+    // Mirrors StarSchema.pitJoin over the merged dimension: one date
+    // inside the closed versions' window, one in the current window —
+    // every observation resolves to exactly one version.
+    "scd2_pit_join" ->
+      s"""WITH m AS ($scd2MergedSql),
+         |obs AS (
+         |  SELECT postal_code, obs_date
+         |  FROM ($locNaturalSql)
+         |  CROSS JOIN (VALUES ('2026-01-15'), ('2026-02-15')) v(obs_date))
+         |SELECT obs.postal_code, obs.obs_date, m.location_key, m.city_name,
+         |  m.country, m.region_name, m.is_current
+         |FROM obs JOIN m ON obs.postal_code = m.postal_code
+         |WHERE obs.obs_date >= m.valid_from
+         |  AND (m.valid_to IS NULL OR obs.obs_date < m.valid_to)
+         |ORDER BY obs.postal_code, obs.obs_date""".stripMargin,
     // Mirrors WeatherMart.dimLocationCdcMerged: the CDC feed compacted
     // latest-seq-wins (D > U > I on ties, deletes dropped) becomes the
     // snapshot folded into the dim by the same merge as dim_scd2_merge.

@@ -156,6 +156,27 @@ object StarSchema {
       .drop("__bkt", "__pm", "__off")
   }
 
+  /** Point-in-time (temporal) join against an SCD2 dimension: each
+    * observation row picks the dimension VERSION whose validity
+    * interval covers its date — the query the VALID_FROM/VALID_TO
+    * schema exists to answer ("which city was this postal code in
+    * when the event happened?").
+    *
+    * Scale shape: an equi-join on the business key (hash-partitioned,
+    * the dim usually broadcast) with the validity range as a
+    * post-filter — the pre-filter fan-out is versions-per-key, which
+    * is bounded by update cadence, not by data size, so this is NOT a
+    * range join needing bucket expansion. NULL `validTo` is the
+    * open-ended current version. ISO date STRINGS order
+    * lexicographically, so string validity columns compare correctly.
+    */
+  def pitJoin(obs: DataFrame, dim: DataFrame, keys: Seq[String],
+              obsDate: String, validFrom: String = "valid_from",
+              validTo: String = "valid_to"): DataFrame =
+    obs.join(dim, keys)
+      .filter(col(obsDate) >= col(validFrom) &&
+        (col(validTo).isNull || col(obsDate) < col(validTo)))
+
   /** SCD Type-1 dimension: ROW_NUMBER surrogate key over the distinct
     * natural key plus validity metadata (reference DIM_LOCATION,
     * ETL_GlobalWeather_DB.sql:60-74). `validFrom` is a caller-supplied
