@@ -43,6 +43,11 @@ import org.apache.spark.sql.types.StructType
   * [[graft.operators.QualityModel.scoreExpr]] cut, or pass `identity`
   * to disable gating without touching the dedup contract.
   */
+/** One batch's stage-by-stage funnel ([[CurationPipeline.acceptWithStats]]). */
+final case class CurationStats(batchId: Long, nIn: Long, nGated: Long,
+                               nAfterExact: Long, nAfterNear: Long,
+                               nOut: Long, nTokensRemoved: Long)
+
 class CurationPipeline(val spark: SparkSession, dir: String,
                        gate: DataFrame => DataFrame =
                          Corpus.gopherGateKeep(_),
@@ -57,20 +62,47 @@ class CurationPipeline(val spark: SparkSession, dir: String,
     * (non-text columns preserved, `clean_text`/`n_removed` from the
     * span excision) and grows all three indexes.
     */
-  def accept(batch: DataFrame, batchId: Long): DataFrame = {
+  def accept(batch: DataFrame, batchId: Long): DataFrame =
+    acceptWithStats(batch, batchId)._1
+
+  /** [[accept]] plus the per-stage funnel — the observability a
+    * production intake needs per batch (where did the batch shrink:
+    * gate, exact, near, span?). Every count runs on a frame the stage
+    * chain already materialized (localCheckpoint), so the funnel costs
+    * one cached count per stage, never a recompute of the stage.
+    */
+  def acceptWithStats(batch: DataFrame, batchId: Long): (DataFrame, CurationStats) = {
+    val nIn = batch.count()
     val scrubbed = Redact.scrub(batch)
-    val gated = gate(scrubbed)
+    val gated = gate(scrubbed).localCheckpoint()
     val unique = exact.accept(gated, batchId)
     val novel = near.accept(unique, batchId)
-    spans.scrub(novel, batchId)
+    val out = spans.scrub(novel, batchId)
+    val removed = Option(out.agg(
+      org.apache.spark.sql.functions.sum("n_removed")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    (out, CurationStats(batchId, nIn, gated.count(), unique.count(),
+      novel.count(), out.count(), removed))
   }
 
   /** [[accept]] + idempotent parquet sink, in the `(batch, id)` shape
     * `foreachBatch` and [[StreamSink.ingestAvailableNowBatches]] call.
+    * With `statsDir` set, the batch's funnel row lands next to the
+    * data under the same per-batch-id overwrite discipline (a replay
+    * rewrites its own stats row, never duplicates it).
     */
-  def sinkTo(outDir: String): (Dataset[Row], Long) => Unit =
-    (batch, batchId) =>
-      StreamSink.idempotentParquet(outDir)(accept(batch.toDF(), batchId), batchId)
+  def sinkTo(outDir: String, statsDir: Option[String] = None): (Dataset[Row], Long) => Unit =
+    (batch, batchId) => {
+      val (out, stats) = acceptWithStats(batch.toDF(), batchId)
+      StreamSink.idempotentParquet(outDir)(out, batchId)
+      statsDir.foreach { sd =>
+        import spark.implicits._
+        StreamSink.idempotentParquet(sd)(
+          Seq(stats).toDF().toDF("batch_id", "n_in", "n_gated",
+            "n_after_exact", "n_after_near", "n_out", "n_tokens_removed"),
+          batchId)
+      }
+    }
 
   /** One checkpointed AvailableNow run over a landing directory: every
     * parquet file not yet processed flows through the full pipeline
@@ -78,9 +110,9 @@ class CurationPipeline(val spark: SparkSession, dir: String,
     * drained live ingest share this code path).
     */
   def ingest(landingDir: String, schema: StructType, checkpointDir: String,
-             outDir: String): Unit =
+             outDir: String, statsDir: Option[String] = None): Unit =
     StreamSink.ingestAvailableNowBatches(spark, landingDir, schema,
-      checkpointDir, (b, id) => sinkTo(outDir)(b, id))
+      checkpointDir, (b, id) => sinkTo(outDir, statsDir)(b, id))
 
   /** Fold all three indexes' batch partitions into their seeds —
     * offline only; throws unless every partition id is provably

@@ -45,7 +45,7 @@ class CurationPipelineSpec extends SparkSpec {
     // drop 1: A keeps; B keeps (email scrubbed); C gated out (too
     // short); D is an in-batch exact dup of A (drop)
     drop(landing, 1L -> docA, 2L -> docB, 3L -> docCShort, 4L -> docA)
-    pipe.ingest(landing, schema, ckpt, out)
+    pipe.ingest(landing, schema, ckpt, out, statsDir = Some(s"$root/stats"))
     val sink0 = spark.read.parquet(s"$out/batch=*")
     assert(sink0.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
     // the sink never stores raw PII: the email was scrubbed BEFORE
@@ -57,11 +57,23 @@ class CurationPipelineSpec extends SparkSpec {
     assert(sink0.agg(org.apache.spark.sql.functions.sum("n_removed"))
       .head().getLong(0) == 0L)
 
+    // the funnel row attributes drop 1's shrinkage stage by stage
+    val st0 = spark.read.parquet(s"$root/stats/batch=0").head()
+    assert((st0.getAs[Long]("n_in"), st0.getAs[Long]("n_gated"),
+      st0.getAs[Long]("n_after_exact"), st0.getAs[Long]("n_out"),
+      st0.getAs[Long]("n_tokens_removed")) == ((4L, 3L, 2L, 2L, 0L)),
+      s"drop-1 funnel wrong: $st0")
+
     // drop 2: A' re-crawl of A (exact-index drop), E near-dup of A
     // (near-index drop), F quotes a 12-token passage of A (kept, span
     // EXCISED), G novel (kept intact)
     drop(landing, 5L -> docA, 6L -> docE, 7L -> docF, 8L -> docG)
-    pipe.ingest(landing, schema, ckpt, out)
+    pipe.ingest(landing, schema, ckpt, out, statsDir = Some(s"$root/stats"))
+    val st1 = spark.read.parquet(s"$root/stats/batch=1").head()
+    assert((st1.getAs[Long]("n_in"), st1.getAs[Long]("n_gated"),
+      st1.getAs[Long]("n_after_exact"), st1.getAs[Long]("n_after_near"),
+      st1.getAs[Long]("n_out"), st1.getAs[Long]("n_tokens_removed"))
+      == ((4L, 4L, 3L, 2L, 2L, 12L)), s"drop-2 funnel wrong: $st1")
     val sink1 = spark.read.parquet(s"$out/batch=1")
     assert(sink1.select("doc_id").as[Long].collect().toSet == Set(7L, 8L))
     val f = sink1.filter($"doc_id" === 7L).head()
