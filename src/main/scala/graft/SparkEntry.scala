@@ -1803,7 +1803,8 @@ object SparkEntry {
         |  SELECT l_returnflag,
         |    CAST(round(l_quantity, 0) AS BIGINT) AS x,
         |    CAST(round(l_discount * 100, 0) AS BIGINT) AS y
-        |  FROM lineitem),
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
         |a AS (
         |  SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
         |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,

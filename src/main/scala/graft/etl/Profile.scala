@@ -138,8 +138,17 @@ object Profile {
     */
   def corrBy(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
     val d = "decimal(38,0)"
+    // decimal BEFORE the products and sums: a LongType Σx² wraps
+    // silently past 2^63 (x ~ 10^6 over 10^7 rows per group is enough)
+    // while the oracle's SUM(BIGINT) promotes to HUGEINT — the decimal
+    // accumulator keeps both sides exact to 10^38. Incomplete pairs
+    // (NULL on either axis) are dropped entirely, the standard corr()
+    // population — counting them in n but not the sums would mix two
+    // populations into a statistic that is the correlation of nothing.
     val agg = df
-      .select(col(groupCol), x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .select(col(groupCol), x.cast("long").cast(d).as("__x"),
+        y.cast("long").cast(d).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
       .groupBy(groupCol)
       .agg(count(lit(1)).cast(d).as("__n"),
         sum(col("__x")).cast(d).as("__sx"),

@@ -81,28 +81,44 @@ object StarSchema {
     }
   }
 
-  def globalRank(src: DataFrame, orderBy: Seq[String], keyName: String,
-                 buckets: Int = 64): DataFrame = {
+  /** The bucketed two-phase scaffold every global ordered aggregate
+    * here shares ([[globalRank]] / [[globalPrefixSum]] /
+    * [[globalPrefixMax]]): order-preserving buckets → a per-bucket
+    * windowed local value → per-bucket totals → triangular offsets of
+    * the PRIOR buckets' totals → broadcast join back and combine. The
+    * locally-windowed frame feeds BOTH the totals and the final join;
+    * without pinning, each consumer replays the whole upstream lineage
+    * (source scan + distinct + the min/max stats subtree), so it is
+    * localCheckpoint'd once — one pass of the input plus two small
+    * columns, and the offsets pass cannot start before it anyway.
+    */
+  private def bucketedTwoPhase(src: DataFrame, orderBy: Seq[String],
+                               buckets: Int, outName: String)(
+      localOver: org.apache.spark.sql.expressions.WindowSpec => Column,
+      bucketTotal: Column,
+      offsetOf: Column => Column,
+      combine: (Column, Column) => Column): DataFrame = {
     val bucket = orderBucket(src, orderBy.head, buckets)
-    // The locally-ranked frame feeds BOTH the per-bucket counts and the
-    // final offset join; without pinning, each consumer replays the
-    // whole upstream lineage (source scan + distinct + the min/max
-    // stats subtree). Materialize it once — it is exactly one pass of
-    // the input plus two small integer columns, and the offsets pass
-    // cannot start before the ranks exist anyway.
-    val local = bucket(src).withColumn("__rn",
-      row_number().over(
-        Window.partitionBy("__bkt").orderBy(orderBy.map(col): _*)))
+    val w = Window.partitionBy("__bkt").orderBy(orderBy.map(col): _*)
+    val local = bucket(src).withColumn("__loc", localOver(w))
       .localCheckpoint(eager = false)
-    val counts = local.groupBy("__bkt").agg(count(lit(1)).as("__cnt"))
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b.__bkt") < col("a.__bkt"), "left")
+    val totals = local.groupBy("__bkt").agg(bucketTotal.as("__tot"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__bkt") < col("a.__bkt"), "left")
       .groupBy(col("a.__bkt").as("__bkt"))
-      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__off"))
+      .agg(offsetOf(col("b.__tot")).as("__off"))
     local.join(broadcast(offsets), "__bkt")
-      .withColumn(keyName, (col("__off") + col("__rn")).cast("long"))
-      .drop("__bkt", "__rn", "__off")
+      .withColumn(outName, combine(col("__off"), col("__loc")))
+      .drop("__bkt", "__loc", "__off")
   }
+
+  def globalRank(src: DataFrame, orderBy: Seq[String], keyName: String,
+                 buckets: Int = 64): DataFrame =
+    bucketedTwoPhase(src, orderBy, buckets, keyName)(
+      w => row_number().over(w),
+      count(lit(1)),
+      t => coalesce(sum(t), lit(0L)),
+      (off, rn) => (off + rn).cast("long"))
 
   /** Global INCLUSIVE prefix sum of `valueCol` under the total order
     * `orderBy` — the running-total twin of [[globalRank]], with the
@@ -112,23 +128,13 @@ object StarSchema {
     * tuple); the window frame is ROWS-based so peers never collapse.
     */
   def globalPrefixSum(src: DataFrame, orderBy: Seq[String], valueCol: String,
-                      outName: String, buckets: Int = 64): DataFrame = {
-    val bucket = orderBucket(src, orderBy.head, buckets)
-    // Same double-consumer shape as [[globalRank]] — pin one pass.
-    val local = bucket(src).withColumn("__ps",
-      sum(col(valueCol)).over(
-        Window.partitionBy("__bkt").orderBy(orderBy.map(col): _*)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint(eager = false)
-    val totals = local.groupBy("__bkt").agg(sum(col(valueCol)).as("__tot"))
-    val offsets = totals.as("a")
-      .join(totals.as("b"), col("b.__bkt") < col("a.__bkt"), "left")
-      .groupBy(col("a.__bkt").as("__bkt"))
-      .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
-    local.join(broadcast(offsets), "__bkt")
-      .withColumn(outName, (col("__off") + col("__ps")).cast("long"))
-      .drop("__bkt", "__ps", "__off")
-  }
+                      outName: String, buckets: Int = 64): DataFrame =
+    bucketedTwoPhase(src, orderBy, buckets, outName)(
+      w => sum(col(valueCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      sum(col(valueCol)),
+      t => coalesce(sum(t), lit(0L)),
+      (off, ps) => (off + ps).cast("long"))
 
   /** Global EXCLUSIVE prefix MAX of `valueCol` under the total order
     * `orderBy` — the running-max sibling of [[globalPrefixSum]]
@@ -139,22 +145,13 @@ object StarSchema {
     * window, whatever the row count.
     */
   def globalPrefixMax(src: DataFrame, orderBy: Seq[String], valueCol: String,
-                      outName: String, buckets: Int = 64): DataFrame = {
-    val bucket = orderBucket(src, orderBy.head, buckets)
-    val local = bucket(src).withColumn("__pm",
-      max(col(valueCol)).over(
-        Window.partitionBy("__bkt").orderBy(orderBy.map(col): _*)
-          .rowsBetween(Window.unboundedPreceding, -1)))
-      .localCheckpoint(eager = false)
-    val totals = local.groupBy("__bkt").agg(max(col(valueCol)).as("__tot"))
-    val offsets = totals.as("a")
-      .join(totals.as("b"), col("b.__bkt") < col("a.__bkt"), "left")
-      .groupBy(col("a.__bkt").as("__bkt"))
-      .agg(max(col("b.__tot")).as("__off"))
-    local.join(broadcast(offsets), "__bkt")
-      .withColumn(outName, greatest(col("__off"), col("__pm")))
-      .drop("__bkt", "__pm", "__off")
-  }
+                      outName: String, buckets: Int = 64): DataFrame =
+    bucketedTwoPhase(src, orderBy, buckets, outName)(
+      w => max(col(valueCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)),
+      max(col(valueCol)),
+      t => max(t),
+      (off, pm) => greatest(off, pm))
 
   /** Point-in-time (temporal) join against an SCD2 dimension: each
     * observation row picks the dimension VERSION whose validity

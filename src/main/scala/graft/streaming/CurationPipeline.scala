@@ -43,11 +43,6 @@ import org.apache.spark.sql.types.StructType
   * [[graft.operators.QualityModel.scoreExpr]] cut, or pass `identity`
   * to disable gating without touching the dedup contract.
   */
-/** One batch's stage-by-stage funnel ([[CurationPipeline.acceptWithStats]]). */
-final case class CurationStats(batchId: Long, nIn: Long, nGated: Long,
-                               nAfterExact: Long, nAfterNear: Long,
-                               nOut: Long, nTokensRemoved: Long)
-
 class CurationPipeline(val spark: SparkSession, dir: String,
                        gate: DataFrame => DataFrame =
                          Corpus.gopherGateKeep(_),
@@ -58,31 +53,44 @@ class CurationPipeline(val spark: SparkSession, dir: String,
   val near = new NearDupIndex(spark, s"$dir/near", n, numHashes, bands, minJaccard)
   val spans = new SpanIndex(spark, s"$dir/spans", spanK)
 
+  /** The stage chain shared by both accept forms — one body, so the
+    * plain and the counted paths cannot drift. `checkpointGate`
+    * materializes the gated frame only when the caller will count it
+    * (the other stages checkpoint internally regardless).
+    */
+  private def stages(batch: DataFrame, batchId: Long, checkpointGate: Boolean)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val gated0 = gate(Redact.scrub(batch))
+    val gated = if (checkpointGate) gated0.localCheckpoint() else gated0
+    val unique = exact.accept(gated, batchId)
+    val novel = near.accept(unique, batchId)
+    (gated, unique, novel, spans.scrub(novel, batchId))
+  }
+
   /** Run one micro-batch through every stage; returns the curated rows
     * (non-text columns preserved, `clean_text`/`n_removed` from the
-    * span excision) and grows all three indexes.
+    * span excision) and grows all three indexes. No funnel counting —
+    * the default production path pays zero extra jobs.
     */
   def accept(batch: DataFrame, batchId: Long): DataFrame =
-    acceptWithStats(batch, batchId)._1
+    stages(batch, batchId, checkpointGate = false)._4
 
   /** [[accept]] plus the per-stage funnel — the observability a
     * production intake needs per batch (where did the batch shrink:
-    * gate, exact, near, span?). Every count runs on a frame the stage
-    * chain already materialized (localCheckpoint), so the funnel costs
-    * one cached count per stage, never a recompute of the stage.
+    * gate, exact, near, span?). Each count runs on a frame the stage
+    * chain materialized (localCheckpoint), so the funnel costs cached
+    * counts plus one input count, never a recompute of a stage.
     */
   def acceptWithStats(batch: DataFrame, batchId: Long): (DataFrame, CurationStats) = {
     val nIn = batch.count()
-    val scrubbed = Redact.scrub(batch)
-    val gated = gate(scrubbed).localCheckpoint()
-    val unique = exact.accept(gated, batchId)
-    val novel = near.accept(unique, batchId)
-    val out = spans.scrub(novel, batchId)
-    val removed = Option(out.agg(
-      org.apache.spark.sql.functions.sum("n_removed")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val (gated, unique, novel, out) = stages(batch, batchId, checkpointGate = true)
+    val outAgg = out.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum("n_removed")).head()
     (out, CurationStats(batchId, nIn, gated.count(), unique.count(),
-      novel.count(), out.count(), removed))
+      novel.count(), outAgg.getLong(0),
+      Option(outAgg.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)))
   }
 
   /** [[accept]] + idempotent parquet sink, in the `(batch, id)` shape
@@ -127,3 +135,8 @@ class CurationPipeline(val spark: SparkSession, dir: String,
     Seq(exact, near, spans).foreach(
       _.expireBatchesBelow(cutoff, lastCommittedBatchId))
 }
+
+/** One batch's stage-by-stage funnel ([[CurationPipeline.acceptWithStats]]). */
+final case class CurationStats(batchId: Long, nIn: Long, nGated: Long,
+                               nAfterExact: Long, nAfterNear: Long,
+                               nOut: Long, nTokensRemoved: Long)
