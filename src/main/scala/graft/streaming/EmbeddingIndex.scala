@@ -113,6 +113,15 @@ class EmbeddingIndex(protected val spark: SparkSession, dir: String,
         minCosine, bands, rowsPerBand, dims),
       (v, bid) => writeIndexRows(v, bid, "overwrite"))
 
+  /** Chunked backfill of a static vector corpus — same contract and
+    * sub-seed id blocks as [[NearDupIndex.backfill]]
+    * ([[StreamDedup.chunkedBackfill]]): the in-batch bucket-pair
+    * verify is bounded by the slice, never the corpus.
+    */
+  def backfill(vecs: DataFrame, chunks: Int = 8,
+               backfillId: Int = 0): DataFrame =
+    StreamDedup.chunkedBackfill(vecs, "vec_id", chunks, backfillId)(accept)
+
   /** Fold all batch partitions of both frames into their seed
     * partitions. `lastCommittedBatchId` is the stopped stream's
     * commit-log high-water mark ([[StreamDedup.lastCommittedBatch]]);
@@ -213,5 +222,10 @@ class PqEmbeddingIndex(protected val spark: SparkSession, dir: String,
         StreamDedup.exceptBatch(codes, batchId),
         codebook, maxD2, bands, rowsPerBand, dims, m),
       (v, bid) => writeIndexRows(v, bid, "overwrite"))
+
+  /** Chunked backfill — see [[EmbeddingIndex.backfill]]. */
+  def backfill(vecs: DataFrame, chunks: Int = 8,
+               backfillId: Int = 0): DataFrame =
+    StreamDedup.chunkedBackfill(vecs, "vec_id", chunks, backfillId)(accept)
 
 }

@@ -157,6 +157,47 @@ object StreamDedup {
     }
   }
 
+  /** The chunked-backfill engine shared by every index's `backfill`:
+    * dedup-and-index a STATIC corpus in bounded ascending-id slices,
+    * each run through the index's own `accept` under a synthetic
+    * sub-seed batch id — so each slice probes the seed ∪ every earlier
+    * slice ∪ itself (the sequence-of-micro-batches semantics of live
+    * ingest), the per-batch candidate-verify fan-out is bounded by the
+    * SLICE, and a crashed backfill RE-RUN converges exactly like a
+    * replayed micro-batch (own-id exclusion + own-partition
+    * overwrite; a naive append-to-seed would self-match every chunk
+    * on re-run and gut it).
+    *
+    * Sub-seed ids live in FIXED-width per-backfillId blocks
+    * (id i of backfill b = SeedBatchId − 1 − b·MaxBackfillChunks − i),
+    * so two backfills can never overlap whatever their chunk counts;
+    * a SECOND corpus must use a fresh backfillId — reusing one would
+    * overwrite the first corpus's partitions and silently delete its
+    * dedup protection. Sub-seed partitions are permanent corpus:
+    * horizon expiry retains them; compact() folds them into the seed.
+    * NULL-id rows ride chunk 0's pass-through. Assumes ids span less
+    * than 2^62 (range arithmetic).
+    */
+  private[streaming] def chunkedBackfill(docs: DataFrame, idCol: String,
+                                         chunks: Int, backfillId: Int)(
+      accept: (DataFrame, Long) => DataFrame): DataFrame = {
+    require(chunks >= 1 && chunks <= NearDupIndex.MaxBackfillChunks,
+      s"chunks must be in [1, ${NearDupIndex.MaxBackfillChunks}], got $chunks")
+    require(backfillId >= 0, s"backfillId must be >= 0, got $backfillId")
+    val base = SeedBatchId - 1 - backfillId.toLong * NearDupIndex.MaxBackfillChunks
+    val bounds = docs.filter(col(idCol).isNotNull)
+      .agg(min(idCol), max(idCol)).head()
+    if (bounds.isNullAt(0)) return accept(docs, base)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = (hi - lo) / chunks + 1
+    (0 until chunks).map { i =>
+      val from = lo + i * width
+      val inRange = col(idCol) >= from && col(idCol) < from + width
+      val slice = if (i == 0) inRange || col(idCol).isNull else inRange
+      accept(docs.filter(slice), base - i)
+    }.reduce(_.unionByName(_))
+  }
+
   /** Bootstrap one index frame if (and only if) it is missing — each
     * frame independently, so a crash between two frames' bootstraps
     * leaves the done one alone and the re-run fills only the gap;
@@ -464,67 +505,29 @@ class NearDupIndex(protected val spark: SparkSession, dir: String, n: Int = 3,
     kept
   }
 
-  /** Dedup-and-index a STATIC corpus in bounded slices — the backfill
-    * guard the [[graft.operators.Dedup.minhashProbe]] giant-batch note
-    * demands: the probe's in-batch verify fan-out is bucket-occupancy²
-    * with occupancy capped by the SLICE size, so a billion-doc backfill
-    * never quadratically explodes a hot bucket the way feeding it as
-    * one "batch" would.
-    *
-    * Chunks ascend by doc_id, and each runs through [[accept]] under a
-    * synthetic sub-seed batch id (`SeedBatchId - 1 - i`) — so a chunk
-    * probes the seed ∪ every earlier chunk ∪ itself: exactly the
-    * sequence-of-micro-batches semantics of live ingest. On clique-
-    * shaped duplicate clusters this equals the one-shot accept for ANY
-    * chunk count (spec-pinned); on transitive CHAINS the in-batch rule
-    * is the stricter side (a near-dup of an already-dropped smaller id
-    * also drops), so moving a chain member across a chunk boundary can
-    * only KEEP more — and in every case no two kept docs are near-dups
-    * of each other, which is the property dedup actually needs. A
-    * crashed backfill RE-RUN converges exactly like a replayed
-    * micro-batch (own-id exclusion + own-partition overwrite; a naive
-    * append-to-seed would self-match every chunk on re-run and gut it).
-    * Sub-seed ids are permanent-corpus partitions: horizon expiry
-    * never deletes them, and an offline [[compact]] folds them into
-    * the seed. NULL-id rows ride chunk 0's pass-through.
-    *
-    * Assumes doc ids span less than 2^62 (range arithmetic) — true of
-    * any real id scheme.
+  /** Dedup-and-index a STATIC corpus in bounded slices
+    * ([[StreamDedup.chunkedBackfill]]) — the guard the
+    * [[graft.operators.Dedup.minhashProbe]] giant-batch note demands:
+    * in-batch verify fan-out is bucket-occupancy² with occupancy
+    * capped by the SLICE size. On clique-shaped duplicate clusters
+    * this equals the one-shot accept for ANY chunk count
+    * (spec-pinned); on transitive CHAINS the in-batch rule is the
+    * stricter side (a near-dup of an already-dropped smaller id also
+    * drops), so moving a chain member across a chunk boundary can
+    * only KEEP more — and in every case no two kept docs are
+    * near-dups of each other, the property dedup actually needs.
     */
   def backfill(docs: DataFrame, chunks: Int = 8,
-               backfillId: Int = 0): DataFrame = {
-    // Sub-seed ids are namespaced by backfillId in FIXED-width blocks
-    // (id i of backfill b lives at SeedBatchId − 1 − b·MaxBackfillChunks
-    // − i), so two backfills can never overlap whatever their chunk
-    // counts. Re-running the SAME backfill (same docs, chunks,
-    // backfillId) converges like a replayed micro-batch — that is the
-    // crash-recovery path, so an existing block is NOT refused — but a
-    // SECOND corpus must use a fresh backfillId: reusing one would
-    // overwrite the first corpus's partitions (probed with own-id
-    // exclusion) and silently delete its dedup protection.
-    require(chunks >= 1 && chunks <= NearDupIndex.MaxBackfillChunks,
-      s"chunks must be in [1, ${NearDupIndex.MaxBackfillChunks}], got $chunks")
-    require(backfillId >= 0, s"backfillId must be >= 0, got $backfillId")
-    val base = StreamDedup.SeedBatchId - 1 -
-      backfillId.toLong * NearDupIndex.MaxBackfillChunks
-    val bounds = docs.filter(col("doc_id").isNotNull)
-      .agg(min("doc_id"), max("doc_id")).head()
-    if (bounds.isNullAt(0)) return accept(docs, base)
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val width = (hi - lo) / chunks + 1
-    (0 until chunks).map { i =>
-      val from = lo + i * width
-      val inRange = col("doc_id") >= from && col("doc_id") < from + width
-      val slice = if (i == 0) inRange || col("doc_id").isNull else inRange
-      accept(docs.filter(slice), base - i)
-    }.reduce(_.unionByName(_))
-  }
+               backfillId: Int = 0): DataFrame =
+    StreamDedup.chunkedBackfill(docs, "doc_id", chunks, backfillId)(accept)
 
 }
 
 object NearDupIndex {
   /** Fixed width of each backfill's sub-seed id block — chunk counts
     * can vary per backfill without two blocks ever overlapping.
+    * Shared by every index's `backfill`
+    * ([[StreamDedup.chunkedBackfill]]).
     */
   final val MaxBackfillChunks = 1024
 }

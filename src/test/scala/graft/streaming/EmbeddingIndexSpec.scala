@@ -191,4 +191,36 @@ class EmbeddingIndexSpec extends SparkSpec {
     assert(survivors == all.map(_._1).toSet -- dropList,
       s"sequential survivors $survivors diverge from semanticDedup keepers")
   }
+
+  test("backfill: chunked == one-shot on clique corpora; re-run converges; " +
+       "backfilled vectors dedup live batches") {
+    // two near-dup cliques (ids spread across chunk ranges) + singletons
+    val corpus = Seq(
+      1L -> vec(0), 12L -> vec(0, 0.01f), 23L -> vec(0, -0.01f),
+      5L -> vec(2), 30L -> vec(2, 0.01f, 3),
+      8L -> vec(4), 17L -> vec(6))
+    val root = java.nio.file.Files.createTempDirectory("graft_embbf").toString
+
+    def kept(chunks: Int): Set[Long] = {
+      val idx = new EmbeddingIndex(spark, s"$root/idx$chunks")
+      idx.backfill(vdf(corpus: _*), chunks)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    val oneShot = {
+      val idx = new EmbeddingIndex(spark, s"$root/one")
+      idx.accept(vdf(corpus: _*), 0L).select("vec_id").as[Long].collect().toSet
+    }
+    assert(kept(1) == oneShot && kept(3) == oneShot && oneShot ==
+      Set(1L, 5L, 8L, 17L), s"chunked embedding backfill diverged: $oneShot")
+
+    val idx = new EmbeddingIndex(spark, s"$root/rerun")
+    val first = idx.backfill(vdf(corpus: _*), 3)
+      .select("vec_id").as[Long].collect().toSet
+    val n = idx.postings.count()
+    assert(idx.backfill(vdf(corpus: _*), 3)
+      .select("vec_id").as[Long].collect().toSet == first)
+    assert(idx.postings.count() == n, "re-run grew the index")
+    // a live batch re-crawling a backfilled vector drops
+    assert(idx.accept(vdf(99L -> vec(2, -0.01f, 3)), 0L).isEmpty)
+  }
 }
