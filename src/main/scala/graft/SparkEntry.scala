@@ -36,6 +36,12 @@ object SparkEntry {
   private val EpochWeights = Map(
     "src0" -> 2.5, "src3" -> 0.25, "src7" -> 3.0, "src12" -> 1.75)
 
+  /** Target mix shares (mixture_weights). Dyadic, sum to 1 — the
+    * solver's divisions then replay bit-for-bit in the oracle.
+    */
+  private val MixtureTargets = Map(
+    "src0" -> 0.5, "src3" -> 0.25, "src7" -> 0.125, "src12" -> 0.125)
+
   /** keyword_search query set — ONE literal source feeding both the
     * Spark call and the oracle's VALUES list, so the two sides can
     * never drift on what was searched.
@@ -406,6 +412,17 @@ object SparkEntry {
     // ops correctly rounded under IEEE, so the float policy replays
     "sample_temperature" -> ((s, d) =>
       Sampling.temperature(Tables(s, d, "documents"))),
+    // mixture-weight SOLVER: largest char budget the corpus can honour
+    // under the target shares + upsampling cap, and the weight per
+    // source that realises it (the feasibility check a hand-written
+    // mixing table skips)
+    "mixture_weights" -> ((s, d) => Sampling.mixtureWeights(
+      Tables(s, d, "documents"), MixtureTargets, cap = 4.0)),
+    // fuzzy entity-resolution candidate pairs: distinct-name grain,
+    // lossless length-band blocking, thresholded-levenshtein verify
+    "fuzzy_name_pairs" -> ((s, d) => graft.operators.Segmentation
+      .fuzzyNamePairs(Tables(s, d, "part"), "p_name", maxDist = 2)
+      .orderBy("name_a", "name_b")),
     "shard_pack" -> ((s, d) => Sampling.shardPack(Tables(s, d, "documents"))),
     "train_test_split" -> ((s, d) => Corpus.trainTestSplit(Tables(s, d, "documents"))),
     // deterministic k-fold CV assignment profile (content-hash folds)
@@ -1723,6 +1740,34 @@ object SparkEntry {
         |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
         |FROM r LEFT JOIN k ON r.source = k.source
         |ORDER BY r.source""".stripMargin,
+    // Mirrors Sampling.mixtureWeights: N* = min(cap·chars/p) over the
+    // targeted sources, weight = N*·p/chars — dyadic shares and cap,
+    // so min and both divides are single correctly-rounded IEEE ops.
+    "mixture_weights" -> {
+      val shareCase = MixtureTargets.toSeq.sorted.map { case (src, p) =>
+        s"WHEN source = '$src' THEN CAST($p AS DOUBLE)"
+      }.mkString("CASE ", " ", " ELSE NULL END")
+      s"""WITH c AS (
+         |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |    $shareCase AS share
+         |  FROM documents GROUP BY source HAVING share IS NOT NULL),
+         |m AS (SELECT MIN(CAST(4.0 AS DOUBLE) * total_chars / share)
+         |        AS nstar FROM c)
+         |SELECT c.source, c.total_chars, c.share,
+         |  ROUND(m.nstar * c.share / c.total_chars, 4) AS weight,
+         |  ROUND(m.nstar * c.share, 4) AS planned_chars
+         |FROM c, m ORDER BY c.source""".stripMargin
+    },
+    // Mirrors Segmentation.fuzzyNamePairs: quadratic definition over
+    // DISTINCT names (the blocking the Spark side adds is lossless —
+    // |len diff| <= edit distance — so definition == blocked result).
+    "fuzzy_name_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
     // Mirrors Sampling.epochMix: same uniform draw, dyadic epoch
     // weights, floor(w) copies + 1 iff u < frac(w), copies exploded.
     "sample_epochs" -> {

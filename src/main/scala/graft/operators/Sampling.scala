@@ -133,4 +133,45 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
       .orderBy("shard")
   }
+
+  /** Mixture-weight SOLVER — the inverse of [[mixture]]/[[epochMix]]:
+    * given target corpus shares per source (`targets`, summing to 1
+    * over the sources the mix should contain) and an upsampling cap
+    * (`cap` = max epochs over any single source), compute the largest
+    * total char budget the corpus can honour and the per-source
+    * sampling weight that realises it. A mixing table is usually
+    * written by hand and then discovers mid-run that a small source
+    * cannot supply its share; this solves the feasibility problem up
+    * front: N* = min over targeted sources of (cap · chars_s / p_s)
+    * — the binding source is sampled at exactly `cap` epochs, every
+    * other weight is N*·p_s/chars_s < cap. Weights > 1 upsample
+    * (feed [[epochMix]]); ≤ 1 downsample (feed [[mixture]]).
+    *
+    * One source-grain aggregate (map-side combined — per-partition
+    * state is |sources| rows however large the corpus) + a broadcast
+    * 1-row scalar: nothing here grows with corpus size. Sources
+    * absent from `targets` are excluded (their share of the mix is
+    * zero). Use dyadic shares/cap so the float divisions replay
+    * bit-for-bit in any engine (the min and both divides are single
+    * correctly-rounded IEEE ops).
+    */
+  def mixtureWeights(docs: DataFrame, targets: Map[String, Double],
+                     cap: Double = 4.0): DataFrame = {
+    require(targets.nonEmpty, "mixtureWeights needs at least one target share")
+    val share = targets.foldLeft(lit(null).cast("double")) {
+      case (acc, (src, p)) => when(col("source") === src, p).otherwise(acc)
+    }
+    val perSource = docs
+      .groupBy("source").agg(sum("n_chars").as("total_chars"))
+      .withColumn("share", share)
+      .filter(col("share").isNotNull)
+    val nStar = perSource.agg(
+      min(lit(cap) * col("total_chars") / col("share")).as("__nstar"))
+    perSource.crossJoin(broadcast(nStar))
+      .select(col("source"), col("total_chars"), col("share"),
+        round(col("__nstar") * col("share") / col("total_chars"), 4)
+          .as("weight"),
+        round(col("__nstar") * col("share"), 4).as("planned_chars"))
+      .orderBy("source")
+  }
 }

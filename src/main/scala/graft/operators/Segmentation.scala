@@ -135,4 +135,76 @@ object Segmentation {
         (col("__prev").isNull || col("__gmax") > col("__prev")))
       .drop("__gmax", "__prev")
   }
+
+  /** Fuzzy duplicate-name pairs (the candidate-match step of entity
+    * resolution): every DISTINCT-name pair within Levenshtein
+    * distance `maxDist`, each unordered pair exactly once.
+    *
+    * Scale shape: (1) collapse the table to NAME grain first — the
+    * entity vocabulary is orders of magnitude smaller than the rows
+    * mentioning it, and the distinct is a map-side-combined hash
+    * aggregate; (2) LOSSLESS length-band blocking: |len(a) − len(b)|
+    * ≤ editDist(a, b) always (each edit changes length by at most 1),
+    * so an equi-join on length keys drops no true pair and no
+    * cartesian ever forms. Each name fans out to the maxDist+1
+    * lengths of the equal-or-longer partners it could match; the
+    * build side keys on its own length; the off==0 band breaks ties
+    * lexicographically — so every unordered pair is produced by
+    * exactly one (probe, build) orientation and no distinct pass is
+    * needed. The verify uses Spark's THRESHOLDED levenshtein (early
+    * abandon at maxDist+1: O(maxDist·n) per pair, not O(n²)).
+    * Within-band occupancy bounds the quadratic term; for web-scale
+    * vocabularies compose a rare-ngram candidate cut (the
+    * [[Dedup.ngramJaccard]] df-cut pattern) in front of the verify.
+    */
+  def fuzzyNamePairs(df: DataFrame, nameCol: String,
+                     maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val names = df.select(col(nameCol).as("name"))
+      .filter(col("name").isNotNull).distinct()
+    val probe = names
+      .select(col("name").as("name_l"),
+        explode(sequence(lit(0), lit(maxDist))).as("off"))
+      .withColumn("key", length(col("name_l")) + col("off"))
+    val build = names
+      .select(col("name").as("name_r"), length(col("name")).as("key"))
+    val dist = levenshtein(col("name_l"), col("name_r"), maxDist)
+    probe.join(build, Seq("key"))
+      .filter(col("off") > 0 || col("name_l") < col("name_r"))
+      .filter(dist >= 0)
+      .select(least(col("name_l"), col("name_r")).as("name_a"),
+        greatest(col("name_l"), col("name_r")).as("name_b"),
+        dist.cast("long").as("dist"))
+  }
+
+  /** Entity resolution end-to-end: names within `maxDist` edits of
+    * each other (transitively) collapse to one canonical entity id —
+    * [[fuzzyNamePairs]] edges fed through
+    * [[Corpus.connectedComponents]] over min-row-key node ids, then
+    * every DISTINCT name labeled with its component's minimum key
+    * (singletons label themselves). Returns (name, entity_id,
+    * canonical) where `canonical` is the entity's minimum-key name —
+    * join it back to the source table to rewrite mentions. The graph
+    * is pair-sized (≪ corpus); components resolve with the
+    * size-adaptive union-find.
+    */
+  def resolveEntities(df: DataFrame, nameCol: String, keyCol: String,
+                      maxDist: Int = 2): DataFrame = {
+    val ids = df.groupBy(col(nameCol).as("name"))
+      .agg(min(col(keyCol)).as("nid"))
+      .filter(col("name").isNotNull)
+    val pairs = fuzzyNamePairs(df, nameCol, maxDist)
+      .join(ids.select(col("name").as("name_a"), col("nid").as("id_a")), "name_a")
+      .join(ids.select(col("name").as("name_b"), col("nid").as("id_b")), "name_b")
+    val comp = Corpus.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("doc_id").as("nid"), col("component_id"))
+    val labeled = ids.join(comp, Seq("nid"), "left")
+      .select(col("name"), col("nid"),
+        coalesce(col("component_id"), col("nid")).as("entity_id"))
+    val canon = labeled.groupBy(col("entity_id"))
+      .agg(min(struct(col("nid"), col("name"))).as("__c"))
+      .select(col("entity_id"), col("__c.name").as("canonical"))
+    labeled.join(canon, "entity_id")
+      .select("name", "entity_id", "canonical")
+  }
 }

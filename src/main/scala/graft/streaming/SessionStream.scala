@@ -28,7 +28,7 @@ object SessionStream extends Serializable {
                         start_us: Long, end_us: Long, total_value: Double,
                         duration_us: Long)
 
-  private def finish(userId: Long, s: St): SessionOut =
+  private[streaming] def finish(userId: Long, s: St): SessionOut =
     SessionOut(userId, s.sessionSeq, s.nEvents, s.startUs, s.lastUs,
       math.round(s.totalValue * 100).toDouble / 100.0, s.lastUs - s.startUs)
 

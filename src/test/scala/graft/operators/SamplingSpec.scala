@@ -107,4 +107,29 @@ class SamplingSpec extends SparkSpec {
     assert(out("a") == ((4L, 0.5, 0L)), s"zero-kept source misreported: $out")
     assert(out("b") == ((1L, 1.0, 1L)))
   }
+
+  test("mixtureWeights: binding source gets the cap exactly, planned chars " +
+       "realise the target shares, untargeted sources are excluded") {
+    // chars: a=1000 b=4000 c=400 d=999999 (untargeted)
+    val rows = Seq(
+      ("a", 1000L), ("b", 4000L), ("c", 400L), ("d", 999999L))
+      .flatMap { case (s, n) => Seq((s, "x", n / 2), (s, "y", n - n / 2)) }
+    val docs = rows.toDF("source", "text", "n_chars")
+    val targets = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+    val out = Sampling.mixtureWeights(docs, targets, cap = 2.0).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("total_chars"), r.getAs[Double]("weight"),
+          r.getAs[Double]("planned_chars"))).toMap
+    assert(!out.contains("d"), s"untargeted source leaked into the mix: $out")
+    // N* = min(2*1000/0.5, 2*4000/0.25, 2*400/0.25) = min(4000,32000,3200)
+    // = 3200 — c binds at the cap; planned = N*·p
+    assert(out("c") == ((400L, 2.0, 800.0)), s"binding source wrong: $out")
+    assert(out("a") == ((1000L, 1.6, 1600.0)), s"a wrong: $out")
+    assert(out("b") == ((4000L, 0.2, 800.0)), s"b wrong: $out")
+    // realised shares are exactly the targets
+    val planned = out.view.mapValues(_._3).toMap
+    val total = planned.values.sum
+    assert(targets.forall { case (s, p) => planned(s) / total == p },
+      s"planned shares off-target: $planned")
+  }
 }

@@ -53,4 +53,52 @@ class SegmentationSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(re == got)
   }
+
+  test("fuzzyNamePairs matches the quadratic levenshtein definition and " +
+       "emits each unordered pair once") {
+    import spark.implicits._
+    // cold/old distance 1 (length band 1); cat/bat 1; cat/cart 1
+    // (cross-length); ab/xy 2; short/very long name excluded by the
+    // length band AND the distance; duplicate rows collapse at name
+    // grain first
+    val names = Seq("cold gear", "old gear", "cat", "bat", "cart",
+      "ab", "xy", "a much longer name", "cold gear", "bat")
+    val df = names.toDF("n")
+    val got = Segmentation.fuzzyNamePairs(df, "n", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // quadratic truth over distinct names
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j), d(i)(j - 1)) + 1,
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val distinct = names.distinct
+    val want = (for {
+      a <- distinct; b <- distinct if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(got.toSet == want, s"pairs ${got.toSet} != $want")
+    assert(got.length == got.toSet.size, "a pair was emitted twice")
+    assert(want.contains(("bat", "cat", 1L)) &&
+      want.contains(("cart", "cat", 1L)) && want.contains(("ab", "xy", 2L)))
+  }
+
+  test("resolveEntities collapses transitive fuzzy chains to the " +
+       "min-key canonical; singletons label themselves") {
+    import spark.implicits._
+    // chain: cat—bat—bad (cat~bat 1, bat~bad 1, cat~bad 2) one entity;
+    // dog isolated
+    val rows = Seq((10L, "cat"), (20L, "bat"), (30L, "bad"), (40L, "dog"),
+      (50L, "cat"))
+    val df = rows.toDF("k", "n")
+    val out = Segmentation.resolveEntities(df, "n", "k", maxDist = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("entity_id"), r.getAs[String]("canonical"))).toMap
+    assert(out("cat") == ((10L, "cat")) && out("bat") == ((10L, "cat")) &&
+      out("bad") == ((10L, "cat")), s"chain did not collapse: $out")
+    assert(out("dog") == ((40L, "dog")), s"singleton mislabeled: $out")
+  }
 }
