@@ -487,6 +487,12 @@ object SparkEntry {
     "events_streaks" -> ((s, d) => Sessionize.activityStreaks(Tables(s, d, "events"))),
     "events_dau_wau" -> ((s, d) => Sessionize.dauWau(Tables(s, d, "events"))),
     "events_argmax" -> ((s, d) => Sessionize.topEventPerUser(Tables(s, d, "events"))),
+    // user-growth accounting: first-seen day per user + cumulative
+    // base via the bucketed two-phase prefix sum (never an
+    // unpartitioned count-distinct window)
+    "user_growth" -> ((s, d) => Sessionize.userGrowth(Tables(s, d, "events"))),
+    // flow discovery: first-3-event paths counted across the user base
+    "events_paths" -> ((s, d) => Sessionize.topPaths(Tables(s, d, "events"))),
     "events_transitions" -> ((s, d) => Sessionize.transitions(Tables(s, d, "events"))),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramCounts(Tables(s, d, "documents"))),
     "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(Tables(s, d, "documents"))),
@@ -2477,6 +2483,31 @@ object SparkEntry {
         |  FROM events)
         |SELECT user_id, event_id, event_type, value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // Mirrors Sessionize.userGrowth: first-seen day per user, day-grain
+    // new-user counts, running total (the prefix sum the Spark side
+    // computes with the bucketed two-phase primitive).
+    "user_growth" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY day)
+        |SELECT CAST(day AS VARCHAR) AS day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cumulative_users
+        |FROM d ORDER BY day""".stripMargin,
+    // Mirrors Sessionize.topPaths (k=3): first-3-event path per user
+    // in (ts, event_id) order, counted.
+    "events_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_users
+        |FROM p GROUP BY path ORDER BY path""".stripMargin,
     // Mirrors Sessionize.transitions: per-user LAG sequence, counts +
     // row-normalized probability (one long/long division, round 4).
     "events_transitions" ->

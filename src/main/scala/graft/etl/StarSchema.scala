@@ -61,22 +61,33 @@ object StarSchema {
     */
   private def orderBucket(src: DataFrame, orderKey: String,
                           buckets: Int): DataFrame => DataFrame = {
-    import org.apache.spark.sql.types.{NumericType, StringType}
+    import org.apache.spark.sql.types.{DateType, NumericType, StringType,
+      TimestampType}
     val k = col(orderKey)
-    src.schema(orderKey).dataType match {
-      case _: NumericType =>
+    // numeric image of the key, order-preserving (dates/timestamps map
+    // to their epoch offset): anything here gets exact-min/max range
+    // buckets; the constant fallback below is a single-partition funnel
+    // AND Catalyst folds the literal partition key away, leaving an
+    // unpartitioned WindowExec
+    val numericKey = src.schema(orderKey).dataType match {
+      case _: NumericType => Some(k.cast("double"))
+      case DateType => Some(unix_date(k).cast("double"))
+      case TimestampType => Some(unix_micros(k).cast("double"))
+      case _ => None
+    }
+    numericKey match {
+      case Some(nk) =>
         // exact min/max (deterministic, unlike range-partitioner sampling)
-        val stats = src.agg(min(k).cast("double").as("__lo"),
-          max(k).cast("double").as("__hi"))
+        val stats = src.agg(min(nk).as("__lo"), max(nk).as("__hi"))
         (df: DataFrame) => df.crossJoin(broadcast(stats))
           .withColumn("__bkt", least(lit(buckets - 1),
-            floor((k.cast("double") - col("__lo")) * buckets /
+            floor((nk - col("__lo")) * buckets /
               (col("__hi") - col("__lo") + 1d)).cast("int")))
           .drop("__lo", "__hi")
-      case StringType =>
+      case None if src.schema(orderKey).dataType == StringType =>
         (df: DataFrame) => df.withColumn("__bkt",
           coalesce(ascii(substring(k, 1, 1)), lit(0)))
-      case _ =>
+      case None =>
         (df: DataFrame) => df.withColumn("__bkt", lit(0))
     }
   }

@@ -153,8 +153,19 @@ object Segmentation {
     * exactly one (probe, build) orientation and no distinct pass is
     * needed. The verify uses Spark's THRESHOLDED levenshtein (early
     * abandon at maxDist+1: O(maxDist·n) per pair, not O(n²)).
-    * Within-band occupancy bounds the quadratic term; for web-scale
-    * vocabularies compose a rare-ngram candidate cut (the
+    *
+    * Hot-band guard: length alone is a LOW-cardinality key (natural
+    * names concentrate on a few lengths — at web scale "every name of
+    * length 12" is one giant band), so a second lossless axis divides
+    * it: the count of characters in a fixed alphabet half (a–m,
+    * case-blind). Every single edit changes that count by at most 1,
+    * so \|cnt(a) − cnt(b)\| ≤ editDist(a, b) — same pigeonhole as the
+    * length axis — and blocking on (length, count) drops no true pair
+    * while splitting each length band ~by the count spread. The
+    * canonical orientation generalizes lexicographically: the probe
+    * side expands only toward (len, cnt, name) tuples ≥ its own, so
+    * each unordered pair still materializes exactly once. For
+    * web-scale vocabularies compose a rare-ngram candidate cut (the
     * [[Dedup.ngramJaccard]] df-cut pattern) in front of the verify.
     */
   def fuzzyNamePairs(df: DataFrame, nameCol: String,
@@ -162,15 +173,23 @@ object Segmentation {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val names = df.select(col(nameCol).as("name"))
       .filter(col("name").isNotNull).distinct()
-    val probe = names
-      .select(col("name").as("name_l"),
-        explode(sequence(lit(0), lit(maxDist))).as("off"))
-      .withColumn("key", length(col("name_l")) + col("off"))
-    val build = names
-      .select(col("name").as("name_r"), length(col("name")).as("key"))
+    def grpCnt(c: Column): Column =
+      length(regexp_replace(lower(c), "[^a-m]", ""))
+    // probe fan-out: toward equal-or-larger (len, cnt) only — off==0
+    // restricts the cnt offset to 0..t, off>0 allows the full ±t
+    val offs = (0 to maxDist).flatMap { o =>
+      (if (o == 0) 0 to maxDist else -maxDist to maxDist).map(o2 => (o, o2))
+    }
+    val offDf = names.sparkSession.createDataFrame(offs).toDF("off", "off2")
+    val probe = names.crossJoin(broadcast(offDf))
+      .select(col("name").as("name_l"), col("off"), col("off2"),
+        (length(col("name")) + col("off")).as("klen"),
+        (grpCnt(col("name")) + col("off2")).as("kcnt"))
+    val build = names.select(col("name").as("name_r"),
+      length(col("name")).as("klen"), grpCnt(col("name")).as("kcnt"))
     val dist = levenshtein(col("name_l"), col("name_r"), maxDist)
-    probe.join(build, Seq("key"))
-      .filter(col("off") > 0 || col("name_l") < col("name_r"))
+    probe.join(build, Seq("klen", "kcnt"))
+      .filter(col("off") > 0 || col("off2") > 0 || col("name_l") < col("name_r"))
       .filter(dist >= 0)
       .select(least(col("name_l"), col("name_r")).as("name_a"),
         greatest(col("name_l"), col("name_r")).as("name_b"),

@@ -470,4 +470,43 @@ object Sessionize {
         when(dev > 0, lit("high")).otherwise(lit("low")).as("side"))
       .orderBy("event_id")
   }
+
+  /** User-growth accounting: per day, how many users appeared for the
+    * FIRST time, and the cumulative user base to date. First-seen day
+    * is a user-grain min aggregate (map-side combined); the running
+    * total is [[graft.etl.StarSchema.globalPrefixSum]] over the
+    * DAY-grain frame — two bounded shuffles and a mart-sized prefix
+    * sum, where the naive `count(distinct user) over (order by day)`
+    * is an unpartitioned window holding every user id.
+    */
+  def userGrowth(events: DataFrame): DataFrame = {
+    val perDay = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id").agg(min("d").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    graft.etl.StarSchema
+      .globalPrefixSum(perDay, Seq("day"), "new_users", "cumulative_users")
+      .select("day", "new_users", "cumulative_users")
+      .orderBy("day")
+  }
+
+  /** Top user paths: the first `k` events of every user's event-time
+    * sequence joined into a `a>b>c` path string, counted across the
+    * user base — the flow-discovery complement of the fixed-stage
+    * [[funnel]]. The rank filter is a per-user top-k, so
+    * WindowGroupLimit keeps k rows per user inside the shuffle; the
+    * path space is |event types|^k however large the corpus, and the
+    * sort_array on a k-bounded array is O(k log k) per user.
+    */
+  def topPaths(events: DataFrame, k: Int = 3): DataFrame =
+    events
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("__rn") <= k)
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("__rn"), col("event_type")))),
+        s => s.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy("path")
 }
