@@ -138,24 +138,28 @@ object Profile {
     */
   def corrBy(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
     val d = "decimal(38,0)"
-    // decimal BEFORE the products and sums: a LongType Σx² wraps
-    // silently past 2^63 (x ~ 10^6 over 10^7 rows per group is enough)
-    // while the oracle's SUM(BIGINT) promotes to HUGEINT — the decimal
-    // accumulator keeps both sides exact to 10^38. Incomplete pairs
-    // (NULL on either axis) are dropped entirely, the standard corr()
-    // population — counting them in n but not the sums would mix two
-    // populations into a statistic that is the correlation of nothing.
+    // decimal ACCUMULATORS, long terms: a LongType Σx² wraps silently
+    // past 2^63 (x ~ 10^6 over 10^7 rows per group is enough) while
+    // the oracle's SUM(BIGINT) promotes to HUGEINT — casting each term
+    // to decimal(38,0) makes the sums exact to 10^38 on both sides.
+    // The per-row PRODUCTS stay in long (metric inputs are rounded
+    // ints; |x·y| < 2^63 holds through ~3·10^9 per axis — far past any
+    // cents/quantity grain) because a 128-bit multiply per row costs
+    // ~3× the whole aggregate; only the unbounded-row-count sums need
+    // the wide accumulator. Incomplete pairs (NULL on either axis) are
+    // dropped entirely, the standard corr() population — counting them
+    // in n but not the sums would mix two populations into a statistic
+    // that is the correlation of nothing.
     val agg = df
-      .select(col(groupCol), x.cast("long").cast(d).as("__x"),
-        y.cast("long").cast(d).as("__y"))
+      .select(col(groupCol), x.cast("long").as("__x"), y.cast("long").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
       .groupBy(groupCol)
       .agg(count(lit(1)).cast(d).as("__n"),
-        sum(col("__x")).cast(d).as("__sx"),
-        sum(col("__y")).cast(d).as("__sy"),
-        sum(col("__x") * col("__y")).cast(d).as("__sxy"),
-        sum(col("__x") * col("__x")).cast(d).as("__sxx"),
-        sum(col("__y") * col("__y")).cast(d).as("__syy"))
+        sum(col("__x").cast(d)).cast(d).as("__sx"),
+        sum(col("__y").cast(d)).cast(d).as("__sy"),
+        sum((col("__x") * col("__y")).cast(d)).cast(d).as("__sxy"),
+        sum((col("__x") * col("__x")).cast(d)).cast(d).as("__sxx"),
+        sum((col("__y") * col("__y")).cast(d)).cast(d).as("__syy"))
     val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
       .cast("double")
     val d1 = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))

@@ -497,12 +497,45 @@ class PlanAuditSpec extends SparkSpec {
       s"the ±1 build re-scanned a fact table:\n$plan")
   }
 
-  test("every contract query stays free of cartesian products") {
+  /** Windows whose partition spec is empty OR entirely foldable: both
+    * funnel every row through one task (Catalyst folds a constant
+    * partition key away, leaving the same unpartitioned WindowExec —
+    * the orderBucket DATE-key regression shipped exactly that way
+    * because only the cartesian sweep was global).
+    */
+  private def unpartitionedWindows(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) =>
+        w.windowExpressions.map(_.sql).mkString(", ")
+    }
+
+  test("the unpartitioned-window detector flags both the empty and the " +
+       "constant-folded shapes") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(4).toDF("x")
+    assert(unpartitionedWindows(
+      df.withColumn("r", row_number().over(Window.orderBy("x")))).nonEmpty)
+    assert(unpartitionedWindows(
+      df.withColumn("k", lit(0)).withColumn("r",
+        row_number().over(Window.partitionBy("k").orderBy("x")))).nonEmpty)
+    assert(unpartitionedWindows(
+      df.withColumn("r", row_number().over(
+        Window.partitionBy("x").orderBy("x")))).isEmpty)
+  }
+
+  test("every contract query stays free of cartesian products and " +
+       "unpartitioned windows") {
     // the 1-row dim_source cross join broadcasts; a CartesianProduct node
-    // anywhere means an equi-join lost its keys
+    // anywhere means an equi-join lost its keys. A window without a real
+    // partition key funnels the frame through one task however large.
     SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, sf()).queryExecution.executedPlan.toString
+      val df = fn(spark, sf())
+      val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+      val bad = unpartitionedWindows(df)
+      assert(bad.isEmpty,
+        s"$name plans unpartitioned window(s): ${bad.mkString("; ")}")
     }
   }
 }
