@@ -157,8 +157,8 @@ object Segmentation {
     * Hot-band guard: length alone is a LOW-cardinality key (natural
     * names concentrate on a few lengths — at web scale "every name of
     * length 12" is one giant band), so a second lossless axis divides
-    * it: the count of characters in a fixed alphabet half (a–m,
-    * case-blind). Every single edit changes that count by at most 1,
+    * it: the count of characters in a fixed alphabet half (a–m /
+    * A–M). Every single edit changes that count by at most 1,
     * so \|cnt(a) − cnt(b)\| ≤ editDist(a, b) — same pigeonhole as the
     * length axis — and blocking on (length, count) drops no true pair
     * while splitting each length band ~by the count spread. The
@@ -173,8 +173,12 @@ object Segmentation {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val names = df.select(col(nameCol).as("name"))
       .filter(col("name").isNotNull).distinct()
+    // case handled by the character class, NOT lower(): Unicode
+    // lowercasing can map one char to two (İ → i̇), which would break
+    // the per-edit ≤1 count-change bound the blocking's losslessness
+    // rests on
     def grpCnt(c: Column): Column =
-      length(regexp_replace(lower(c), "[^a-m]", ""))
+      length(regexp_replace(c, "[^a-mA-M]", ""))
     // probe fan-out: toward equal-or-larger (len, cnt) only — off==0
     // restricts the cnt offset to 0..t, off>0 allows the full ±t
     val offs = (0 to maxDist).flatMap { o =>
