@@ -493,6 +493,9 @@ object SparkEntry {
     "user_growth" -> ((s, d) => Sessionize.userGrowth(Tables(s, d, "events"))),
     // flow discovery: first-3-event paths counted across the user base
     "events_paths" -> ((s, d) => Sessionize.topPaths(Tables(s, d, "events"))),
+    // market-basket affinity: co-ordered part pairs with support+lift
+    "basket_pairs" -> ((s, d) => graft.operators.Affinity
+      .basketPairs(Tables(s, d, "lineitem"))),
     "events_transitions" -> ((s, d) => Sessionize.transitions(Tables(s, d, "events"))),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramCounts(Tables(s, d, "documents"))),
     "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(Tables(s, d, "documents"))),
@@ -2495,6 +2498,25 @@ object SparkEntry {
         |  CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
         |    AS BIGINT) AS cumulative_users
         |FROM d ORDER BY day""".stripMargin,
+    // Mirrors Affinity.basketPairs (minSupport=2 — a fixed ABSOLUTE
+    // threshold must stay low: the catalog grows with the corpus, so
+    // per-pair support thins as both scale): distinct
+    // (order, part) grain, per-order pair counts, lift = one double
+    // division of exact integers, identically associated both sides.
+    "basket_pairs" ->
+      """WITH i AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |c AS (SELECT pk, COUNT(*) AS n FROM i GROUP BY pk),
+        |o AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM i),
+        |p AS (
+        |  SELECT a.pk AS part_a, b.pk AS part_b, COUNT(*) AS support
+        |  FROM i a JOIN i b ON a.okey = b.okey AND a.pk < b.pk
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, support,
+        |  ROUND(CAST(support AS DOUBLE) * n_orders / (ca.n * cb.n), 4) AS lift
+        |FROM p JOIN c ca ON p.part_a = ca.pk
+        |  JOIN c cb ON p.part_b = cb.pk, o
+        |WHERE support >= 2 ORDER BY part_a, part_b""".stripMargin,
     // Mirrors Sessionize.topPaths (k=3): first-3-event path per user
     // in (ts, event_id) order, counted.
     "events_paths" ->
