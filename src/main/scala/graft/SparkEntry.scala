@@ -496,6 +496,10 @@ object SparkEntry {
     // market-basket affinity: co-ordered part pairs with support+lift
     "basket_pairs" -> ((s, d) => graft.operators.Affinity
       .basketPairs(Tables(s, d, "lineitem"))),
+    // robust (median/MAD) outliers: the heavy-tail-safe complement of
+    // the 3-sigma events_anomaly — all cuts on dyadic-exact values
+    "events_robust_outliers" -> ((s, d) =>
+      Sessionize.robustOutliers(Tables(s, d, "events"))),
     "events_transitions" -> ((s, d) => Sessionize.transitions(Tables(s, d, "events"))),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramCounts(Tables(s, d, "documents"))),
     "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(Tables(s, d, "documents"))),
@@ -2498,6 +2502,22 @@ object SparkEntry {
         |  CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
         |    AS BIGINT) AS cumulative_users
         |FROM d ORDER BY day""".stripMargin,
+    // Mirrors Sessionize.robustOutliers (k=5): integer cents, two
+    // exact medians (DuckDB median == sort-based interpolated
+    // percentile), every compared quantity a dyadic rational.
+    "events_robust_outliers" ->
+      """WITH c AS (
+        |  SELECT event_id, event_type, value,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS v
+        |  FROM events),
+        |m AS (SELECT event_type, median(v) AS med FROM c GROUP BY event_type),
+        |d AS (
+        |  SELECT c.event_id, c.event_type, c.value, abs(v - med) AS dev
+        |  FROM c JOIN m USING (event_type)),
+        |md AS (SELECT event_type, median(dev) AS mad FROM d GROUP BY event_type)
+        |SELECT d.event_id, d.event_type, d.value
+        |FROM d JOIN md USING (event_type)
+        |WHERE dev > 5 * mad ORDER BY event_id""".stripMargin,
     // Mirrors Affinity.basketPairs (minSupport=2 — a fixed ABSOLUTE
     // threshold must stay low: the catalog grows with the corpus, so
     // per-pair support thins as both scale): distinct

@@ -471,6 +471,39 @@ object Sessionize {
       .orderBy("event_id")
   }
 
+  /** Robust (median/MAD) outliers per event type — the heavy-tail-safe
+    * complement of the 3-sigma [[anomalies]]: mean and stddev are
+    * themselves dragged by the outliers they hunt, while the median
+    * and the median-absolute-deviation have a 50% breakdown point.
+    * Everything stays EXACT: values land in integer cents, the two
+    * exact `percentile` medians interpolate to at worst quarter-cent
+    * steps — dyadic rationals, exactly representable doubles — and
+    * `k` is an integer, so the `dev > k·MAD` cut compares exactly
+    * representable numbers and replays bit-for-bit in any engine (the
+    * 1.4826 normal-consistency constant is deliberately NOT folded
+    * in: it is not exactly representable, and for a fixed cut it is
+    * just a relabeling of k).
+    *
+    * Two broadcast-joined |types|-row aggregates over one re-read of
+    * the stream: the exact sort-based percentile shuffles per-type
+    * values, the scale knob the sampled [[medianByType]] documents.
+    */
+  def robustOutliers(events: DataFrame, k: Int = 5): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val typed = events
+      .select(col("event_id"), col("event_type"), col("value"), cents.as("__c"))
+    val med = typed.groupBy("event_type")
+      .agg(percentile(col("__c"), lit(0.5)).as("__med"))
+    val dev = typed.join(broadcast(med), "event_type")
+      .withColumn("__dev", abs(col("__c") - col("__med")))
+    val mad = dev.groupBy("event_type")
+      .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("__dev") > lit(k) * col("__mad"))
+      .select(col("event_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** User-growth accounting: per day, how many users appeared for the
     * FIRST time, and the cumulative user base to date. First-seen day
     * is a user-grain min aggregate (map-side combined); the running
