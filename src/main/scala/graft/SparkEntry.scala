@@ -500,6 +500,14 @@ object SparkEntry {
     // the 3-sigma events_anomaly — all cuts on dyadic-exact values
     "events_robust_outliers" -> ((s, d) =>
       Sessionize.robustOutliers(Tables(s, d, "events"))),
+    // CDC GENERATION (inverse of cdc_apply): full-outer digest diff of
+    // two snapshots into the I/U/D feed; unchanged rows never leave
+    // the join
+    "snapshot_diff" -> ((s, d) => graft.etl.Cdc.ordersDiffFeed(s, d)),
+    // OHLC downsampling bars: open/close via struct-min/max under the
+    // (ts,event_id) total order — one hash aggregate, no per-series sort
+    "events_ohlc" -> ((s, d) =>
+      graft.etl.TimeSeries.ohlcBars(Tables(s, d, "events"))),
     "events_transitions" -> ((s, d) => Sessionize.transitions(Tables(s, d, "events"))),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramCounts(Tables(s, d, "documents"))),
     "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(Tables(s, d, "documents"))),
@@ -2399,6 +2407,49 @@ object SparkEntry {
         |  FROM feed)
         |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
         |FROM latest WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin,
+    // Mirrors TimeSeries.ohlcBars: open/close replayed via asc/desc
+    // row_number windows (the definition the struct-min/max aggregate
+    // optimizes); outputs are carried input values — no float math.
+    "events_ohlc" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts, event_id) AS rn,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY ts DESC, event_id DESC) AS rrn
+        |  FROM b)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day,
+        |  MAX(CASE WHEN rn = 1 THEN value END) AS open,
+        |  MAX(CASE WHEN rrn = 1 THEN value END) AS close,
+        |  MAX(value) AS high, MIN(value) AS low,
+        |  COUNT(*) AS n_events
+        |FROM r GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
+    // Mirrors Cdc.ordersDiffFeed: old = raw extract, new = the
+    // compacted demo snapshot; the diff DEFINITION is replayed on
+    // values (the Spark side's md5 digests are an equality device,
+    // not semantics).
+    "snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    round(o_totalprice, 2) AS p FROM orders),
+        |n AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN round(o_totalprice + 1.0, 2)
+        |         ELSE round(o_totalprice, 2) END AS p
+        |  FROM orders WHERE o_orderkey % 10 <> 0),
+        |d AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |         WHEN n.o_orderkey IS NULL THEN 'D'
+        |         WHEN o.o_orderstatus <> n.o_orderstatus OR o.p <> n.p
+        |           THEN 'U' END AS op
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, op FROM d WHERE op IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
     // Mirrors Sessionize.anomalies: the 3-sigma cut as an exact integer
     // inequality — HUGEINT here, DECIMAL(38,0) on the Spark side.
     "events_anomaly" ->

@@ -60,4 +60,49 @@ object Cdc {
         round(col("o_totalprice"), 2).as("o_totalprice"))
     if (ordered) snap.orderBy("o_orderkey") else snap
   }
+
+  /** CDC GENERATION — the inverse of [[applyChanges]]: diff two full
+    * snapshots into the I/U/D feed a downstream incremental consumer
+    * replays (the escape hatch when a source system only hands out
+    * full extracts). One co-partitioned full-outer join on the
+    * business key comparing md5 payload digests: key only in new → I,
+    * only in old → D, in both with different digests → U, identical →
+    * dropped (the overwhelming bulk — unchanged rows never leave the
+    * join). Text payloads never shuffle beyond the digest; both
+    * snapshot scans prune to key + payload columns. NULL payload
+    * cells fold into the digest with a field separator, so
+    * NULL-vs-empty and shifted-field collisions stay distinct.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String], payload: Seq[String]): DataFrame = {
+    def digested(df: DataFrame, h: String) = df.select(
+      keys.map(col) :+
+        md5(concat_ws("",
+          payload.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+          .as(h): _*)
+    val o = digested(oldSnap, "__ho")
+    val n = digested(newSnap, "__hn")
+    o.join(n, keys, "full_outer")
+      .withColumn("op",
+        when(col("__ho").isNull, "I")
+          .when(col("__hn").isNull, "D")
+          .when(col("__ho") =!= col("__hn"), "U"))
+      .filter(col("op").isNotNull)
+      .select(keys.map(col) :+ col("op"): _*)
+  }
+
+  /** [[snapshotDiff]] over the demo feed's own before/after states,
+    * verify-ordered: old = the raw extract, new = the compacted
+    * snapshot after the update/delete waves — so the emitted feed is
+    * exactly the U/D tail of [[ordersFeed]] (plus no inserts), and
+    * the oracle replays the same diff definition.
+    */
+  def ordersDiffFeed(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.core.Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+    snapshotDiff(base, ordersSnapshot(spark, dir, ordered = false),
+      Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      .orderBy("o_orderkey")
+  }
 }

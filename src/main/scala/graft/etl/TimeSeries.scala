@@ -129,4 +129,28 @@ object TimeSeries {
       .withColumn("__day",
         datediff(col("d"), to_date(lit("1970-01-01"))).cast("long"))
   }
+
+  /** OHLC downsampling: per (series, day) bars with open / high / low /
+    * close / volume — the canonical time-series compaction (a year of
+    * tick-grain events becomes 365 rows per series). open and close
+    * ride struct-min/max aggregates under the total order
+    * (ts, event_id) — ONE map-side-combinable hash aggregate, where
+    * the textbook two-window form (row_number asc + desc) costs a
+    * full per-series sort. No float arithmetic anywhere: every output
+    * is an input value carried through min/max, so the bars replay
+    * exactly in any engine.
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        max("value").as("high"), min("value").as("low"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type", "day")
 }
