@@ -508,6 +508,10 @@ object SparkEntry {
     // (ts,event_id) total order — one hash aggregate, no per-series sort
     "events_ohlc" -> ((s, d) =>
       graft.etl.TimeSeries.ohlcBars(Tables(s, d, "events"))),
+    // empirical CDF table at value grain (cume_dist as a table — the
+    // window sees the value domain, never the event stream)
+    "events_value_cdf" -> ((s, d) =>
+      Sessionize.valueCdf(Tables(s, d, "events"))),
     "events_transitions" -> ((s, d) => Sessionize.transitions(Tables(s, d, "events"))),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramCounts(Tables(s, d, "documents"))),
     "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(Tables(s, d, "documents"))),
@@ -2407,6 +2411,22 @@ object SparkEntry {
         |  FROM feed)
         |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
         |FROM latest WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin,
+    // Mirrors Sessionize.valueCdf: value-grain counts, per-type running
+    // sum, cdf = one exact-integer double division (round 4).
+    "events_value_cdf" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v,
+        |    COUNT(*) AS n_at
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, v, n_at,
+        |    CAST(SUM(n_at) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(n_at) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM g)
+        |SELECT event_type, v, n_at, cum,
+        |  ROUND(CAST(cum AS DOUBLE) / n, 4) AS cdf
+        |FROM c ORDER BY event_type, v""".stripMargin,
     // Mirrors TimeSeries.ohlcBars: open/close replayed via asc/desc
     // row_number windows (the definition the struct-min/max aggregate
     // optimizes); outputs are carried input values — no float math.

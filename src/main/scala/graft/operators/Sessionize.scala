@@ -504,6 +504,32 @@ object Sessionize {
       .orderBy("event_id")
   }
 
+  /** Empirical CDF table per event type at integer-cent grain — the
+    * calibration/quantile-lookup artifact (cume_dist as a TABLE, not
+    * a per-row window): P(V ≤ v) for every observed v. The naive
+    * `cume_dist() OVER (PARTITION BY type ORDER BY value)` windows
+    * the raw stream with \|types\| partitions — a handful of giant
+    * sorted partitions at scale. Collapsing to VALUE grain first
+    * bounds the windowed frame by the value domain (≤ cents range ×
+    * types) however many events exist, and the running sum over that
+    * mart-sized frame is the only window. cdf = cum/n is one double
+    * division of exact integers, round 4.
+    */
+  def valueCdf(events: DataFrame): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("long")
+    val grain = events.select(col("event_type"), cents.as("v"))
+      .groupBy("event_type", "v").agg(count(lit(1)).as("n_at"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = grain.groupBy("event_type").agg(sum("n_at").as("__n"))
+    grain
+      .withColumn("cum", sum("n_at").over(w))
+      .join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("v"), col("n_at"), col("cum"),
+        round(col("cum").cast("double") / col("__n"), 4).as("cdf"))
+      .orderBy("event_type", "v")
+  }
+
   /** User-growth accounting: per day, how many users appeared for the
     * FIRST time, and the cumulative user base to date. First-seen day
     * is a user-grain min aggregate (map-side combined); the running
