@@ -26,9 +26,14 @@ object Affinity {
     * of exact integers, identically associated on both engines.
     */
   def basketPairs(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
+    // the distinct basket frame feeds FOUR consumers (both self-join
+    // sides, item counts, the order count); without pinning, each
+    // replays the fact scan + distinct — 10 scans of a 100 TB table
+    // in the unpinned plan
     val items = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
+      .localCheckpoint(eager = false)
     val itemCounts = items.groupBy("pk").agg(count(lit(1)).as("n_item"))
     val nOrders = items.agg(countDistinct("okey").as("n_orders"))
     val pairs = items.as("a")
