@@ -67,4 +67,37 @@ object Incremental {
     val oldWithNewB = aOld.join(bDelta, keys)
     newMatches.unionByName(oldWithNewB)
   }
+
+  /** Update/delete-aware JOIN-view maintenance — the retraction path
+    * [[joinDelta]]'s insert-only contract defers to. Given the STORED
+    * view `A ⋈ B`, a CDC feed on A (`seq`/`op` rows, the
+    * [[graft.etl.Cdc.applyChanges]] shape) and the static join side
+    * `b`, emit the delete-then-insert feed that brings the view
+    * current:
+    *
+    *   - 'D': every stored view row whose A-key appears in the feed
+    *     (an updated key's old join rows are stale whatever changed;
+    *     a deleted key's rows must go) — a semi-join of the view
+    *     against the DISTINCT touched keys;
+    *   - 'I': the feed compacted latest-wins (deletes dropped)
+    *     re-joined to `b` — the touched keys' fresh join rows.
+    *
+    * Applying D-then-I by key to the stored view equals recomputing
+    * `A' ⋈ B` from scratch (spec). Work is ∝ |feed|: the view is
+    * probed by a semi-join on the (broadcast-able) touched-key set
+    * and only feed rows shuffle against `b` — the standing 100 TB
+    * sides are never re-joined. An update is a retraction pair, not
+    * an in-place diff: join fan-out makes per-row updates ambiguous
+    * (one A-row maps to many view rows), delete-then-insert is the
+    * shape every IVM engine emits.
+    */
+  def maintainJoinView(view: DataFrame, feed: DataFrame, b: DataFrame,
+                       aKey: Seq[String], joinKeys: Seq[String]): DataFrame = {
+    val touched = feed.select(aKey.map(col): _*).distinct()
+    val retract = view.join(touched, aKey, "left_semi")
+      .withColumn("op", lit("D"))
+    val fresh = Cdc.applyChanges(feed, aKey).join(b, joinKeys)
+      .withColumn("op", lit("I"))
+    retract.unionByName(fresh)
+  }
 }
