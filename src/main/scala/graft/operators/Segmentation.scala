@@ -171,8 +171,11 @@ object Segmentation {
   def fuzzyNamePairs(df: DataFrame, nameCol: String,
                      maxDist: Int = 2): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    // the distinct-name frame feeds both join sides; pin it so the
+    // corpus scan + distinct run once, not once per side
     val names = df.select(col(nameCol).as("name"))
       .filter(col("name").isNotNull).distinct()
+      .localCheckpoint(eager = false)
     // case handled by the character class, NOT lower(): Unicode
     // lowercasing can map one char to two (İ → i̇), which would break
     // the per-edit ≤1 count-change bound the blocking's losslessness

@@ -132,4 +132,27 @@ class SamplingSpec extends SparkSpec {
     assert(targets.forall { case (s, p) => planned(s) / total == p },
       s"planned shares off-target: $planned")
   }
+
+  test("solver → sampler loop closes: epoch-mixing with mixtureWeights' " +
+       "weights realises the target shares on the real corpus") {
+    val targets = Map("src0" -> 0.5, "src3" -> 0.25, "src7" -> 0.25)
+    val solved = Sampling.mixtureWeights(docs, targets, cap = 4.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("weight")).toMap
+    // epochMix defaults unlisted sources to weight 1.0 — restrict the
+    // corpus to the mix first (the solver already excluded the rest)
+    val mixDocs = docs.filter(col("source").isin(targets.keys.toSeq: _*))
+    val realized = Sampling.epochMix(mixDocs, solved)
+      .join(docs.select("doc_id", "source", "n_chars"), Seq("doc_id", "source"))
+      .groupBy("source").agg(sum("n_chars").as("chars"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val total = realized.values.sum
+    targets.foreach { case (s, p) =>
+      val got = realized(s) / total
+      // the integer-copy + hash-acceptance realization is stochastic
+      // at the margin; 10% relative tolerance on a 25-doc source
+      assert(math.abs(got - p) / p < 0.10,
+        s"$s realised share $got vs target $p (all: $realized)")
+    }
+  }
 }
