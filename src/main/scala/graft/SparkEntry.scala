@@ -512,6 +512,9 @@ object SparkEntry {
     // window sees the value domain, never the event stream)
     "events_value_cdf" -> ((s, d) =>
       Sessionize.valueCdf(Tables(s, d, "events"))),
+    // conversion latency: first signup → first at-or-after purchase
+    "events_conversion_lag" -> ((s, d) =>
+      Sessionize.conversionLag(Tables(s, d, "events"))),
     "events_transitions" -> ((s, d) => Sessionize.transitions(Tables(s, d, "events"))),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramCounts(Tables(s, d, "documents"))),
     "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(Tables(s, d, "documents"))),
@@ -2411,6 +2414,25 @@ object SparkEntry {
         |  FROM feed)
         |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
         |FROM latest WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin,
+    // Mirrors Sessionize.conversionLag: first signup, first purchase
+    // at-or-after it; epoch-MICROS integers on both sides (timestamp
+    // string rendering differs across engines on sub-second values).
+    "events_conversion_lag" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        |  GROUP BY e.user_id)
+        |SELECT s.user_id,
+        |  CAST(epoch_us(s.signup_ts) AS BIGINT) AS signup_us,
+        |  CAST(epoch_us(p.purchase_ts) AS BIGINT) AS purchase_us,
+        |  CAST(epoch_us(p.purchase_ts) - epoch_us(s.signup_ts) AS BIGINT)
+        |    AS lag_us
+        |FROM s JOIN p ON s.user_id = p.user_id
+        |ORDER BY s.user_id""".stripMargin,
     // Mirrors Sessionize.valueCdf: value-grain counts, per-type running
     // sum, cdf = one exact-integer double division (round 4).
     "events_value_cdf" ->

@@ -29,7 +29,10 @@ object Affinity {
     // the distinct basket frame feeds FOUR consumers (both self-join
     // sides, item counts, the order count); without pinning, each
     // replays the fact scan + distinct — 10 scans of a 100 TB table
-    // in the unpinned plan
+    // in the unpinned plan. The pinned frame is itself near
+    // fact-ROW-count (distinct barely reduces a real basket table)
+    // but column-pruned to two ids (~16 B/row): one materialization
+    // of that beats re-reading the wide fact four times
     val items = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()

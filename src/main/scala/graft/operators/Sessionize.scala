@@ -504,6 +504,32 @@ object Sessionize {
       .orderBy("event_id")
   }
 
+  /** Conversion latency: per user, the time from FIRST signup to the
+    * first purchase at-or-after it — the metric the stage-count
+    * [[funnel]] deliberately doesn't measure (how LONG conversion
+    * takes, not whether it happened). Two user-grain conditional
+    * aggregates sharing one user partitioning (the purchase min is
+    * conditional on the signup time, so it joins the signup frame
+    * co-partitioned rather than forcing a second full window);
+    * lag in whole seconds — exact integer arithmetic end to end.
+    */
+  def conversionLag(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("signup_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(signups, "user_id")
+      .filter(col("ts") >= col("signup_ts"))
+      .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+    signups.join(purchases, "user_id")
+      .select(col("user_id"),
+        unix_micros(col("signup_ts")).as("signup_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"),
+        (unix_micros(col("purchase_ts")) -
+          unix_micros(col("signup_ts"))).as("lag_us"))
+      .orderBy("user_id")
+  }
+
   /** Empirical CDF table per event type at integer-cent grain — the
     * calibration/quantile-lookup artifact (cume_dist as a TABLE, not
     * a per-row window): P(V ≤ v) for every observed v. The naive
