@@ -515,6 +515,12 @@ object SparkEntry {
     // conversion latency: first signup → first at-or-after purchase
     "events_conversion_lag" -> ((s, d) =>
       Sessionize.conversionLag(Tables(s, d, "events"))),
+    // churn audit per segment (never-ordered customers count churned)
+    "customer_churn" -> ((s, d) => graft.operators.Segmentation
+      .churnBySegment(Tables(s, d, "customer"), Tables(s, d, "orders"))),
+    // supplier fulfillment lead time (order placement → line shipment)
+    "supplier_lead_time" -> ((s, d) => graft.operators.Segmentation
+      .supplierLeadTime(Tables(s, d, "lineitem"), Tables(s, d, "orders"))),
     "events_transitions" -> ((s, d) => Sessionize.transitions(Tables(s, d, "events"))),
     "ngram_lm" -> ((s, d) => TextAnalysis.ngramCounts(Tables(s, d, "documents"))),
     "vocab_coverage" -> ((s, d) => TextAnalysis.vocabCoverage(Tables(s, d, "documents"))),
@@ -2414,6 +2420,33 @@ object SparkEntry {
         |  FROM feed)
         |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
         |FROM latest WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin,
+    // Mirrors Segmentation.churnBySegment (horizon 90d): last order
+    // per customer, never-ordered customers churned, exact division.
+    "customer_churn" ->
+      """WITH l AS (
+        |  SELECT o_custkey AS c_custkey, MAX(o_orderdate) AS last_o
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT MAX(o_orderdate) AS mx FROM orders)
+        |SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CASE WHEN l.last_o IS NULL
+        |    OR date_diff('day', CAST(l.last_o AS DATE), CAST(m.mx AS DATE)) > 90
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+        |  ROUND(CAST(SUM(CASE WHEN l.last_o IS NULL
+        |    OR date_diff('day', CAST(l.last_o AS DATE), CAST(m.mx AS DATE)) > 90
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4) AS churn_rate
+        |FROM customer c LEFT JOIN l ON c.c_custkey = l.c_custkey, m
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    // Mirrors Segmentation.supplierLeadTime: integer day diffs, the
+    // scaled-integer average idiom, max.
+    "supplier_lead_time" ->
+      """SELECT l_suppkey, COUNT(*) AS n_lines,
+        |  ROUND(CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE))) * 100 AS DOUBLE) / COUNT(*), 0)
+        |    / 100.0 AS avg_lead_days,
+        |  CAST(MAX(date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE))) AS BIGINT) AS max_lead_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     // Mirrors Sessionize.conversionLag: first signup, first purchase
     // at-or-after it; epoch-MICROS integers on both sides (timestamp
     // string rendering differs across engines on sub-second values).

@@ -136,6 +136,53 @@ object Segmentation {
       .drop("__gmax", "__prev")
   }
 
+  /** Churn audit per market segment: customers whose LAST order is
+    * older than `horizonDays` before the corpus's newest order date
+    * (plus never-ordered customers — silent in the fact, churned for
+    * any revenue purpose). One custkey max-aggregate over orders
+    * (map-side combined), a co-partitioned left join onto the
+    * customer dimension, a 1-row broadcast anchor date, a
+    * segment-sized rollup. Rate is one exact-integer division.
+    */
+  def churnBySegment(customer: DataFrame, orders: DataFrame,
+                     horizonDays: Int = 90): DataFrame = {
+    val lastOrder = orders.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max("o_orderdate").as("__last"))
+    val anchor = orders.agg(max("o_orderdate").as("__max"))
+    customer.select("c_custkey", "c_mktsegment")
+      .join(lastOrder, Seq("c_custkey"), "left")
+      .crossJoin(broadcast(anchor))
+      .withColumn("__churned",
+        col("__last").isNull ||
+          datediff(col("__max"), col("__last")) > horizonDays)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("__churned"), 1L).otherwise(0L)).as("n_churned"))
+      .withColumn("churn_rate",
+        round(col("n_churned").cast("double") / col("n_customers"), 4))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Supplier fulfillment lead time: days from order placement to
+    * line shipment, per supplier — the operational SLA rollup. The
+    * orderkey join is big⋈big but co-partitioned on the join key;
+    * day diffs are exact integers, the average uses the
+    * integer-cents trick (scale by 100 before the division) so the
+    * oracle hash-matches.
+    */
+  def supplierLeadTime(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate").cast("date").as("__ship"))
+      .join(orders.select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderdate").cast("date").as("__ord")), "l_orderkey")
+      .withColumn("__lead", datediff(col("__ship"), col("__ord")).cast("long"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_lines"),
+        (round(sum("__lead") * 100 / count(lit(1)), 0) / 100.0)
+          .as("avg_lead_days"),
+        max("__lead").as("max_lead_days"))
+      .orderBy("l_suppkey")
+
   /** Fuzzy duplicate-name pairs (the candidate-match step of entity
     * resolution): every DISTINCT-name pair within Levenshtein
     * distance `maxDist`, each unordered pair exactly once.
