@@ -61,4 +61,25 @@ object Ingest {
     val (clean, _) = quarantine(Tables.json(spark, out, documentsSchema))
     clean.select(docCols: _*).orderBy("doc_id")
   }
+
+  /** Schema-evolution read: a parquet table whose later files carry
+    * columns the early files lack (the normal life of a long-lived
+    * landing table — producers add fields, history is never
+    * rewritten). `mergeSchema` unions the file footers; rows from
+    * pre-evolution files surface the new columns as NULL, and
+    * `defaults` backfills them so downstream logic never
+    * special-cases vintage. Footer merging reads metadata only —
+    * data pages are untouched — and per-file schemas are still
+    * pruned/pushed down individually, so old files don't pay for
+    * columns they lack.
+    */
+  def readEvolved(spark: SparkSession, path: String,
+                  defaults: Map[String, Any] = Map.empty): DataFrame = {
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    defaults.foldLeft(merged) { case (df, (c, v)) =>
+      if (df.columns.contains(c))
+        df.withColumn(c, coalesce(col(c), lit(v)))
+      else df.withColumn(c, lit(v))
+    }
+  }
 }

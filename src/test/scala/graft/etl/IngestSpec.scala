@@ -37,4 +37,29 @@ class IngestSpec extends SparkSpec {
     val rawBad = bad.collect().map(_.getAs[String](Tables.CorruptCol))
     assert(rawBad.toSeq == Seq("not_a_long,cc,en,web,zz"))
   }
+
+  test("readEvolved: pre-evolution files surface added columns with " +
+       "defaults; evolved rows keep their values") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    // vintage files: (id, name); later producer adds (score, tag)
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 9L, "new")).toDF("id", "name", "score", "tag")
+      .write.mode("append").parquet(dir)
+
+    val got = Ingest.readEvolved(spark, dir,
+      Map("score" -> 0L, "tag" -> "legacy"))
+      .select("id", "name", "score", "tag")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getString(3))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", 0L, "legacy"), (2L, "b", 0L, "legacy"),
+      (3L, "c", 9L, "new")), s"evolved read wrong: $got")
+
+    // a plain (mergeSchema-less) read of the same dir may or may not
+    // see the new columns depending on which footer wins — the
+    // evolved read is the only deterministic contract
+    val plain = spark.read.parquet(dir)
+    assert(plain.columns.contains("id"))
+  }
 }
