@@ -155,6 +155,36 @@ object Sampling {
     * bit-for-bit in any engine (the min and both divides are single
     * correctly-rounded IEEE ops).
     */
+  /** The composed mix-and-pack step a training run actually executes:
+    * SOLVE the feasible weights for the target shares
+    * ([[mixtureWeights]]), realise them as deterministic epoch copies
+    * ([[epochMix]]), and pack the copies into token-budget shards in
+    * (doc_id, copy) order ([[StarSchema.globalPrefixSum]] — packing a
+    * trillion-token mix never funnels one task). Returns the
+    * per-shard manifest. The solved weight table is mix-sized
+    * (|sources| rows — a model-sized driver collect, the codebook
+    * precedent); everything row-grain stays distributed. Sources
+    * outside `targets` are excluded up front, matching the solver.
+    */
+  def packTrainingMix(docs: DataFrame, targets: Map[String, Double],
+                      cap: Double = 4.0, budget: Long = 4096L): DataFrame = {
+    val weights = mixtureWeights(docs, targets, cap)
+      .select("source", "weight").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val mixDocs = docs.filter(col("source").isin(targets.keys.toSeq: _*))
+    val copies = epochMix(mixDocs, weights)
+    val withTokens = copies
+      .join(docs.select(col("doc_id"),
+        TextAnalysis.nTokensExpr(col("text")).as("n_tokens")), "doc_id")
+      .select(col("doc_id"), col("copy"), col("n_tokens"))
+    StarSchema.globalPrefixSum(withTokens, Seq("doc_id", "copy"),
+        "n_tokens", "cum")
+      .withColumn("shard", expr(s"(cum - n_tokens) div ${budget}L"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"), sum("n_tokens").as("shard_tokens"))
+      .orderBy("shard")
+  }
+
   def mixtureWeights(docs: DataFrame, targets: Map[String, Double],
                      cap: Double = 4.0): DataFrame = {
     require(targets.nonEmpty, "mixtureWeights needs at least one target share")

@@ -155,4 +155,29 @@ class SamplingSpec extends SparkSpec {
         s"$s realised share $got vs target $p (all: $realized)")
     }
   }
+
+  test("packTrainingMix: manifest conserves the mixed copies' tokens, " +
+       "shards are consecutive, layout-independent") {
+    val targets = Map("src0" -> 0.5, "src3" -> 0.5)
+    val manifest = Sampling.packTrainingMix(docs, targets, cap = 2.0,
+      budget = 2048L).collect()
+    val shards = manifest.map(_.getLong(0)).toSeq
+    assert(shards == (shards.min to shards.max), s"shard gaps: $shards")
+    // conservation: manifest totals == the mix's own token count
+    val weights = Sampling.mixtureWeights(docs, targets, 2.0)
+      .select("source", "weight").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val expected = Sampling.epochMix(
+        docs.filter(col("source").isin(targets.keys.toSeq: _*)), weights)
+      .join(docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.nTokensExpr(col("text")).as("t")),
+        "doc_id")
+      .agg(sum("t")).head().getLong(0)
+    assert(manifest.map(_.getLong(2)).sum == expected,
+      "manifest lost or duplicated tokens")
+    val re = Sampling.packTrainingMix(docs.repartition(7), targets,
+      cap = 2.0, budget = 2048L).collect().toSeq
+    assert(re.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+      manifest.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
 }
