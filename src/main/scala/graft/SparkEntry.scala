@@ -515,6 +515,9 @@ object SparkEntry {
     // conversion latency: first signup → first at-or-after purchase
     "events_conversion_lag" -> ((s, d) =>
       Sessionize.conversionLag(Tables(s, d, "events"))),
+    // session-length histogram (sessionize → two bounded re-aggregates)
+    "session_length_hist" -> ((s, d) =>
+      Sessionize.sessionLengthHist(Tables(s, d, "events"))),
     // churn audit per segment (never-ordered customers count churned)
     "customer_churn" -> ((s, d) => graft.operators.Segmentation
       .churnBySegment(Tables(s, d, "customer"), Tables(s, d, "orders"))),
@@ -2420,6 +2423,29 @@ object SparkEntry {
         |  FROM feed)
         |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
         |FROM latest WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin,
+    // Mirrors Sessionize.sessionLengthHist: the sessionize CTE chain
+    // re-aggregated to length grain; session totals re-integerized to
+    // cents before the cross-session sum (double sums are
+    // partition-order-dependent; long cent sums are exact).
+    "session_length_hist" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+        |      OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged),
+        |s AS (
+        |  SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |    ROUND(SUM(value) * 100, 0) / 100.0 AS total_value
+        |  FROM sess GROUP BY user_id, session_seq)
+        |SELECT n_events, COUNT(*) AS n_sessions,
+        |  SUM(CAST(ROUND(total_value * 100, 0) AS BIGINT)) / 100.0
+        |    AS total_value
+        |FROM s GROUP BY n_events ORDER BY n_events""".stripMargin,
     // Mirrors Segmentation.churnBySegment (horizon 90d): last order
     // per customer, never-ordered customers churned, exact division.
     "customer_churn" ->

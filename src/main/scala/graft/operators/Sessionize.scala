@@ -504,6 +504,24 @@ object Sessionize {
       .orderBy("event_id")
   }
 
+  /** Session-length distribution: how many sessions contain k events —
+    * the engagement histogram product teams read daily, and a
+    * composition proof: [[sessions]]' output re-aggregated twice
+    * (session grain → length grain), each step map-side combined.
+    * The sessionizer's one user exchange is the only data-sized
+    * shuffle; everything after is histogram-sized.
+    */
+  def sessionLengthHist(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessions(events, gapMinutes)
+      .groupBy("n_events")
+      .agg(count(lit(1)).as("n_sessions"),
+        // re-integerize the 2-decimal session totals BEFORE summing:
+        // a double sum is partition-order-dependent; a long cent sum
+        // is exact
+        (sum(round(col("total_value") * 100, 0).cast("long")) / 100.0)
+          .as("total_value"))
+      .orderBy("n_events")
+
   /** Conversion latency: per user, the time from FIRST signup to the
     * first purchase at-or-after it — the metric the stage-count
     * [[funnel]] deliberately doesn't measure (how LONG conversion
