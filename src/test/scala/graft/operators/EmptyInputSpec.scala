@@ -162,4 +162,46 @@ class EmptyInputSpec extends SparkSpec {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "url")
     assert(Redact.dedupByUrl(docs, "url").count() == 0)
   }
+
+  test("session-4 additions: empty in, empty (or identity) out, no crash") {
+    val orders0 = Tables(spark, sf(), "orders").limit(0)
+    val lineitem0 = Tables(spark, sf(), "lineitem").limit(0)
+    val customer0 = Tables(spark, sf(), "customer").limit(0)
+    val customer = Tables(spark, sf(), "customer")
+
+    assert(Sampling.mixtureWeights(docs0, Map("src0" -> 1.0)).count() == 0)
+    assert(Sampling.packTrainingMix(docs0, Map("src0" -> 1.0)).count() == 0)
+    assert(Segmentation.fuzzyNamePairs(docs0, "text").count() == 0)
+    assert(Segmentation.resolveEntities(docs0, "text", "doc_id").count() == 0)
+    assert(Sessionize.userGrowth(events0).count() == 0)
+    assert(Sessionize.topPaths(events0).count() == 0)
+    assert(Sessionize.robustOutliers(events0).count() == 0)
+    assert(Sessionize.valueCdf(events0).count() == 0)
+    assert(Sessionize.conversionLag(events0).count() == 0)
+    assert(Sessionize.sessionLengthHist(events0).count() == 0)
+    assert(Affinity.basketPairs(lineitem0).count() == 0)
+    assert(graft.etl.TimeSeries.ohlcBars(events0).count() == 0)
+    // churn with NO orders: every customer is churned, not a crash
+    val churn = Segmentation.churnBySegment(customer, orders0)
+    assert(churn.agg(sum("n_customers")).head().getLong(0) ==
+      churn.agg(sum("n_churned")).head().getLong(0))
+    assert(Segmentation.churnBySegment(customer0, orders0).count() == 0)
+    assert(Segmentation.supplierLeadTime(lineitem0, orders0).count() == 0)
+    // snapshot diff: both empty → empty; old-only → all deletes
+    val o = Tables(spark, sf(), "orders")
+      .select("o_orderkey", "o_orderstatus").limit(5)
+    assert(graft.etl.Cdc.snapshotDiff(orders0.select("o_orderkey",
+      "o_orderstatus"), orders0.select("o_orderkey", "o_orderstatus"),
+      Seq("o_orderkey"), Seq("o_orderstatus")).count() == 0)
+    val allD = graft.etl.Cdc.snapshotDiff(o,
+      orders0.select("o_orderkey", "o_orderstatus"),
+      Seq("o_orderkey"), Seq("o_orderstatus"))
+    assert(allD.count() == 5 &&
+      allD.filter(col("op") =!= "D").count() == 0)
+    // join IVM: empty deltas → empty delta feed
+    val o2 = Tables(spark, sf(), "orders")
+      .select("o_orderkey", "o_custkey").limit(5)
+    assert(graft.etl.Incremental.joinDelta(o, o.limit(0), o2,
+      o2.limit(0), Seq("o_orderkey")).count() == 0)
+  }
 }
