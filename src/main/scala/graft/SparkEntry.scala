@@ -461,6 +461,11 @@ object SparkEntry {
     }),
     "dedup_cluster" -> ((s, d) => Corpus.connectedComponents(
       Dedup.ngramJaccard(Tables(s, d, "documents")), "doc_a", "doc_b")),
+    // keeper policy per NEAR-dup cluster: keep the most complete copy
+    "dedup_cluster_best" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      Corpus.clusterKeepers(docs, Dedup.ngramJaccard(docs))
+    }),
     "doc_chunk" -> ((s, d) => Corpus.chunk(Tables(s, d, "documents"))),
     "doc_novelty" -> ((s, d) => Corpus.noveltyScore(Tables(s, d, "documents"))),
     "tfidf_topterms" -> ((s, d) => TextAnalysis.tfidfTop(Tables(s, d, "documents"))),
@@ -1533,6 +1538,32 @@ object SparkEntry {
          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
          |SELECT src AS doc_id, MIN(dst) AS component_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // Mirrors Corpus.clusterKeepers: same closure, keeper = longest
+    // member (doc_id tiebreak), member counts.
+    "dedup_cluster_best" ->
+      s"""WITH RECURSIVE
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ($ngramJaccardBody)
+         |          UNION ALL
+         |          SELECT doc_b AS src, doc_a AS dst FROM ($ngramJaccardBody)),
+         |reach(src, dst) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT src AS doc_id, MIN(dst) AS component_id
+         |  FROM reach GROUP BY src),
+         |j AS (
+         |  SELECT c.component_id, c.doc_id, d.n_chars
+         |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+         |r AS (
+         |  SELECT component_id, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY component_id
+         |      ORDER BY n_chars DESC, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY component_id) AS n_members
+         |  FROM j)
+         |SELECT component_id, doc_id AS keeper_doc_id,
+         |  n_chars AS keeper_chars, CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1 ORDER BY component_id""".stripMargin,
     // Marker-count scoring via UNNEST+SUM (portable across DuckDB versions,
     // no list lambdas). Mirrors TextAnalysis.Markers and the CASE priority.
     "lang_id" -> s"$langIdBody ORDER BY doc_id",

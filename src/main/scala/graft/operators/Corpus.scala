@@ -555,4 +555,25 @@ object Corpus {
       .toDF("doc_id", "component_id")
       .orderBy("doc_id")
   }
+
+  /** Keeper policy for NEAR-dup clusters — the near-dup twin of
+    * [[Dedup.exactByPreference]]: exact duplicates tie on content so
+    * the keeper is a provenance choice, but near-dup cluster members
+    * genuinely DIFFER, and the standard policy is "keep the most
+    * complete copy" — the longest member, doc_id breaking ties.
+    * One member-grain join of the component labeling onto doc
+    * lengths, then an argmax-struct per component (map-side
+    * combined); clusters are pair-graph-sized, ≪ corpus.
+    */
+  def clusterKeepers(docs: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponents(pairs, "doc_a", "doc_b")
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars").as("c"),
+          (lit(0L) - col("doc_id")).as("neg"))).as("__k"))
+      .select(col("component_id"),
+        (lit(0L) - col("__k.neg")).as("keeper_doc_id"),
+        col("__k.c").as("keeper_chars"), col("n_members"))
+      .orderBy("component_id")
 }
