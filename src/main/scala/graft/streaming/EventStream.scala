@@ -29,6 +29,29 @@ object EventStream {
         col("n_events"), col("total_value"))
   }
 
+  /** Daily OHLC bars, batch or streaming — the live twin of
+    * [[graft.etl.TimeSeries.ohlcBars]]. The open/close argmin/argmax
+    * ride struct-min/max aggregates, which are ASSOCIATIVE — so the
+    * exact same aggregate that map-side combines in batch also folds
+    * incrementally across micro-batches in the streaming state store,
+    * and a bar emitted at watermark close equals the batch bar over
+    * the same events (spec-pinned). One (window, type) shuffle.
+    */
+  def ohlcDaily(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        max("value").as("high"), min("value").as("low"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("date").as("day"), col("event_type"),
+        col("open"), col("close"), col("high"), col("low"), col("n_events"))
+  }
+
   /** Sliding event-time windows (1h length, 15min slide): every event
     * lands in length/slide = 4 overlapping windows. Spark expands the
     * slide inline (no self-join) and the aggregate shuffles once on

@@ -38,6 +38,47 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ohlcDaily streams to the exact bars TimeSeries.ohlcBars computes " +
+       "in batch (struct-min/max folds associatively across micro-batches)") {
+    // out-of-order within the day: open must be the 09:00 event, close
+    // the 18:00 one, whatever order they arrive in
+    val evRows = Seq(
+      (Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "click", 5.0),
+      (Timestamp.valueOf("2024-01-01 09:00:00"), 2L, "click", 7.0),
+      (Timestamp.valueOf("2024-01-01 18:00:00"), 3L, "click", 2.0),
+      (Timestamp.valueOf("2024-01-02 10:00:00"), 4L, "click", 9.0),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), 5L, "view", 1.0))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), col("day").cast("string"), col("open"),
+        col("close"), col("high"), col("low"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .sorted.toSeq
+
+    val batch = canon(graft.etl.TimeSeries.ohlcBars(
+      evRows.toDF("ts", "event_id", "event_type", "value")))
+    assert(batch.contains(("click", "2024-01-01", 7.0, 2.0, 7.0, 2.0, 3L)),
+      s"batch bars wrong: $batch")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val q = EventStream.ohlcDaily(
+        mem.toDF().toDF("ts", "event_id", "event_type", "value"),
+        watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("ohlc_test")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches split MID-DAY: the state store must fold the
+      // partial bars associatively
+      mem.addData(evRows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(evRows.drop(2): _*)
+      q.processAllAvailable()
+      assert(canon(spark.table("ohlc_test")) == batch,
+        "streamed bars diverge from batch")
+    } finally q.stop()
+  }
+
   test("slidingByType in streaming mode matches batch and lands 4 windows per event") {
     val batch = EventStream.slidingByType(
       rows.toDF("ts", "event_type", "value"))
