@@ -36,18 +36,53 @@ object Retrieval {
     */
   def keywordSearch(docs: DataFrame, queries: Seq[(Int, Seq[String])],
                     k: Int = 10, scale: Long = 1000000L): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val qdf = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
-      .toDF("query_id", "term")
     val qTerms = queries.flatMap(_._2).distinct
     val tf = docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       .filter(col("term").isin(qTerms.map(lit(_)): _*))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
+    searchCore(tf, docs.agg(count(lit(1)).as("n_docs")), queries, k, scale)
+  }
+
+  /** Build-once inverted index: the corpus tokenized ONCE into
+    * (doc_id, term, tf) postings — persist this and every subsequent
+    * query set runs against it via [[keywordSearchIndexed]] without
+    * ever rescanning corpus text (the build-once/query-many split the
+    * dedup indexes make for ingest, applied to retrieval). Postings
+    * are term-grain aggregated (map-side combined), ~tens of bytes a
+    * row vs the documents they summarize.
+    */
+  def postingsTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** [[keywordSearch]] against a prebuilt [[postingsTable]]: the term
+    * `isin` prunes the postings scan (pushed to parquet when the table
+    * is persisted), so per-query-set work is the matched postings —
+    * corpus text never moves. `nDocs` is the corpus size the idf needs
+    * (record it when building the index). Shares [[searchCore]] with
+    * the inline form, so the two can never drift on scoring
+    * (spec-pinned identical results).
+    */
+  def keywordSearchIndexed(postings: DataFrame, nDocs: Long,
+                           queries: Seq[(Int, Seq[String])],
+                           k: Int = 10, scale: Long = 1000000L): DataFrame = {
+    val qTerms = queries.flatMap(_._2).distinct
+    val tf = postings.filter(col("term").isin(qTerms.map(lit(_)): _*))
+    searchCore(tf,
+      postings.sparkSession.range(1).select(lit(nDocs).as("n_docs")),
+      queries, k, scale)
+  }
+
+  private def searchCore(tf: DataFrame, n: DataFrame,
+                         queries: Seq[(Int, Seq[String])],
+                         k: Int, scale: Long): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
+    val qdf = queries.flatMap { case (qid, ts) => ts.distinct.map((qid, _)) }
+      .toDF("query_id", "term")
     val dfTable = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("doc_id"))
     tf.join(broadcast(qdf), "term")

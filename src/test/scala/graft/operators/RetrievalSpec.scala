@@ -57,4 +57,24 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.keywordSearch(docs, Seq(1 -> Seq("zzz_absent"))).isEmpty)
     assert(Retrieval.keywordSearch(docs, Seq.empty).isEmpty)
   }
+
+  test("indexed search over a persisted postings table matches the inline " +
+       "form exactly and never touches corpus text") {
+    val qs = Seq(1 -> Seq("hash", "join"), 2 -> Seq("vector", "scan"))
+    val inline = Retrieval.keywordSearch(docs, qs).collect().toSeq
+
+    // build once, persist, query the parquet — the deployment shape
+    val dir = java.nio.file.Files.createTempDirectory("graft_kwidx").toString
+    val nDocs = docs.count()
+    Retrieval.postingsTable(docs).write.mode("overwrite").parquet(dir)
+    val postings = spark.read.parquet(dir)
+    val indexed = Retrieval.keywordSearchIndexed(postings, nDocs, qs)
+    assert(indexed.collect().toSeq == inline && inline.nonEmpty,
+      "indexed search diverged from the inline form")
+    // the indexed plan reads the postings files only — no documents
+    // table, no text column
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet") && !plan.contains("text#"),
+      s"indexed search touched corpus text:\n$plan")
+  }
 }
