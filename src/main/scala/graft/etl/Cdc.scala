@@ -91,6 +91,43 @@ object Cdc {
       .select(keys.map(col) :+ col("op"): _*)
   }
 
+  /** The FULL-EXTRACT ingestion shape: a source that can only hand
+    * out complete snapshots, diffed per drop against the stored
+    * previous snapshot — each call emits the I/U/D feed downstream
+    * incremental consumers replay, then advances the stored state.
+    *
+    * First drop (no state) emits everything as inserts. Re-delivering
+    * the SAME snapshot emits an empty feed — diff-against-state is
+    * naturally idempotent, no batch-id bookkeeping needed. The state
+    * swap is staged crash-safely: the new snapshot lands in a
+    * `.staged` dir before the old state is deleted and the stage
+    * renamed, and the read side completes an interrupted swap (stage
+    * present, state missing → adopt the stage), so no crash point
+    * loses the state or double-emits a feed that already advanced.
+    */
+  def diffAgainstStored(stateDir: String, snap: DataFrame,
+                        keys: Seq[String], payload: Seq[String]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val spark = snap.sparkSession
+    val state = new Path(stateDir)
+    val staged = new Path(stateDir + ".staged")
+    val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery: an interrupted swap deleted the state but not
+    // yet renamed the stage — the stage IS the state
+    if (!fs.exists(state) && fs.exists(staged)) fs.rename(staged, state)
+    val feed =
+      if (!fs.exists(state))
+        snap.select((keys.map(col) :+ lit("I").as("op")): _*)
+      else
+        snapshotDiff(spark.read.parquet(stateDir), snap, keys, payload)
+    // materialize the feed BEFORE the state advances under it
+    val out = feed.localCheckpoint()
+    snap.write.mode("overwrite").parquet(staged.toString)
+    fs.delete(state, true)
+    fs.rename(staged, state)
+    out
+  }
+
   /** [[snapshotDiff]] over the demo feed's own before/after states,
     * verify-ordered: old = the raw extract, new = the compacted
     * snapshot after the update/delete waves — so the emitted feed is
