@@ -114,7 +114,9 @@ object Cdc {
     val fs = state.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // crash recovery: an interrupted swap deleted the state but not
     // yet renamed the stage — the stage IS the state
-    if (!fs.exists(state) && fs.exists(staged)) fs.rename(staged, state)
+    if (!fs.exists(state) && fs.exists(staged))
+      require(fs.rename(staged, state),
+        s"adopting the interrupted state swap failed for $stateDir")
     val feed =
       if (!fs.exists(state))
         snap.select((keys.map(col) :+ lit("I").as("op")): _*)
@@ -124,7 +126,9 @@ object Cdc {
     val out = feed.localCheckpoint()
     snap.write.mode("overwrite").parquet(staged.toString)
     fs.delete(state, true)
-    fs.rename(staged, state)
+    require(fs.rename(staged, state),
+      s"state swap failed for $stateDir — state is in ${staged} " +
+        "(the next call adopts it)")
     out
   }
 
