@@ -15,6 +15,9 @@ import org.apache.spark.sql.types.StructType
   *   → exact dedup          (ExactIndex  — persisted content hashes)
   *   → near-dup scrub       (NearDupIndex — persisted LSH postings)
   *   → duplicate-span excision (SpanIndex — persisted gram hashes)
+  *   → [optional] searchable keyword index (KeywordIndex over the
+  *     CURATED clean_text — queries can never surface PII or excised
+  *     passages)
   *   → idempotent parquet sink (StreamSink.idempotentParquet)
   * }}}
   *
@@ -47,11 +50,21 @@ class CurationPipeline(val spark: SparkSession, dir: String,
                        gate: DataFrame => DataFrame =
                          Corpus.gopherGateKeep(_),
                        n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                       minJaccard: Double = 0.5, spanK: Int = 8) {
+                       minJaccard: Double = 0.5, spanK: Int = 8,
+                       indexForSearch: Boolean = false) {
 
   val exact = new ExactIndex(spark, s"$dir/exact")
   val near = new NearDupIndex(spark, s"$dir/near", n, numHashes, bands, minJaccard)
   val spans = new SpanIndex(spark, s"$dir/spans", spanK)
+
+  /** Optional final stage: make the CURATED text searchable — the
+    * [[KeywordIndex]] indexes each batch's `clean_text` (what
+    * actually ships, post-scrub post-excision, so a query can never
+    * surface PII or an excised passage), under the same per-batch-id
+    * replay discipline and the shared compact/expire proof.
+    */
+  val search: Option[KeywordIndex] =
+    if (indexForSearch) Some(new KeywordIndex(spark, s"$dir/search")) else None
 
   /** The stage chain shared by both accept forms — one body, so the
     * plain and the counted paths cannot drift. `checkpointGate`
@@ -64,7 +77,11 @@ class CurationPipeline(val spark: SparkSession, dir: String,
     val gated = if (checkpointGate) gated0.localCheckpoint() else gated0
     val unique = exact.accept(gated, batchId)
     val novel = near.accept(unique, batchId)
-    (gated, unique, novel, spans.scrub(novel, batchId))
+    val out = spans.scrub(novel, batchId)
+    search.foreach(_.accept(
+      out.withColumn("text", org.apache.spark.sql.functions.col("clean_text")),
+      batchId))
+    (gated, unique, novel, out)
   }
 
   /** Run one micro-batch through every stage; returns the curated rows
@@ -127,12 +144,15 @@ class CurationPipeline(val spark: SparkSession, dir: String,
     * committed (the [[IndexMaintenance]] contract, applied atomically
     * across the pipeline's indexes).
     */
-  def compact(lastCommittedBatchId: Long): Unit =
-    Seq(exact, near, spans).foreach(_.compact(lastCommittedBatchId))
+  private def allIndexes: Seq[IndexMaintenance] =
+    Seq(exact, near, spans) ++ search
 
-  /** Re-crawl-window retention across all three indexes. */
+  def compact(lastCommittedBatchId: Long): Unit =
+    allIndexes.foreach(_.compact(lastCommittedBatchId))
+
+  /** Re-crawl-window retention across every index (incl. search). */
   def expireBatchesBelow(cutoff: Long, lastCommittedBatchId: Long): Unit =
-    Seq(exact, near, spans).foreach(
+    allIndexes.foreach(
       _.expireBatchesBelow(cutoff, lastCommittedBatchId))
 }
 

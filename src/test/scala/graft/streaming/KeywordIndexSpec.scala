@@ -39,6 +39,32 @@ class KeywordIndexSpec extends SparkSpec {
     assert(idx.nDocs == docs.count())
   }
 
+  test("the pipeline's optional search stage indexes CURATED text: " +
+       "scrubbed PII and dropped duplicates are unfindable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_curkw").toString
+    val pipe = new CurationPipeline(spark, root, gate = identity,
+      indexForSearch = true)
+    // DISTINCT filler per doc — a shared tail would near-dup them away
+    val fillerA = (1 to 40).map(i => s"aword$i").mkString(" ")
+    val fillerB = (1 to 40).map(i => s"bword$i").mkString(" ")
+    val docA = s"alpha retrieval corpus $fillerA"
+    val batch1 = Seq(1L -> docA,
+      2L -> s"contact bob@example.com beta $fillerB").toDF("doc_id", "text")
+    pipe.accept(batch1, 0L)
+    // an exact re-crawl in a later batch must not land in the index
+    pipe.accept(Seq(3L -> docA).toDF("doc_id", "text"), 1L)
+
+    val idx = pipe.search.get
+    assert(idx.nDocs == 2, s"index holds ${idx.nDocs} docs, want 2")
+    def hits(term: String): Set[Long] = idx.search(Seq(1 -> Seq(term)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits("alpha") == Set(1L), "curated doc not findable")
+    assert(hits("beta") == Set(2L))
+    // the raw email was scrubbed before indexing — unfindable
+    assert(hits("bob@example.com").isEmpty, "PII leaked into the index")
+  }
+
   test("search plans read index frames only — never the documents table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kwidx2").toString
     val idx = new KeywordIndex(spark, dir)
