@@ -520,6 +520,23 @@ object SparkEntry {
     // conversion latency: first signup → first at-or-after purchase
     "events_conversion_lag" -> ((s, d) =>
       Sessionize.conversionLag(Tables(s, d, "events"))),
+    // per-source curation dashboard: doc/token counts, mean quality
+    // (scores scaled to 10^-6 integers BEFORE the cross-doc sum — a
+    // double sum is partition-order-dependent), English share
+    "source_quality_profile" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      docs.select(col("source"),
+          TextAnalysis.qualityScoreExpr(col("text")).as("q"),
+          TextAnalysis.predictedLangExpr(col("text")).as("lang"),
+          TextAnalysis.nTokensExpr(col("text")).as("t"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("t").as("total_tokens"),
+          round(sum(round(col("q") * 1000000, 0).cast("long")).cast("double")
+            / count(lit(1)) / 1000000.0, 4).as("avg_quality"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .orderBy("source")
+    }),
     // session-length histogram (sessionize → two bounded re-aggregates)
     "session_length_hist" -> ((s, d) =>
       Sessionize.sessionLengthHist(Tables(s, d, "events"))),
@@ -2454,6 +2471,21 @@ object SparkEntry {
         |  FROM feed)
         |SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
         |FROM latest WHERE rn = 1 AND op <> 'D' ORDER BY o_orderkey""".stripMargin,
+    // Mirrors source_quality_profile: the quality/lang doc-grain
+    // fragments re-aggregated at source grain; scores scaled to
+    // integers before summing (identical association both sides).
+    "source_quality_profile" ->
+      s"""WITH q AS ($textQualityBody), l AS ($langIdBody)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+         |  ROUND(CAST(SUM(CAST(ROUND(q.quality_score * 1000000, 0) AS BIGINT))
+         |      AS DOUBLE) / COUNT(*) / 1000000.0, 4) AS avg_quality,
+         |  CAST(SUM(CASE WHEN l.predicted_lang = 'en' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_en
+         |FROM documents d
+         |  JOIN q ON d.doc_id = q.doc_id
+         |  JOIN l ON d.doc_id = l.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // Mirrors Sessionize.sessionLengthHist: the sessionize CTE chain
     // re-aggregated to length grain; session totals re-integerized to
     // cents before the cross-session sum (double sums are
