@@ -69,17 +69,23 @@ object Cdc {
     * only in old → D, in both with different digests → U, identical →
     * dropped (the overwhelming bulk — unchanged rows never leave the
     * join). Text payloads never shuffle beyond the digest; both
-    * snapshot scans prune to key + payload columns. NULL payload
-    * cells fold into the digest with a field separator, so
-    * NULL-vs-empty and shifted-field collisions stay distinct.
+    * snapshot scans prune to key + payload columns. Each payload
+    * cell folds in LENGTH-PREFIXED (`v<len>:<bytes>`; NULL → the
+    * distinct token `n`), so NULL vs empty string and shifted-field
+    * payloads (('ab','') vs ('a','b')) digest differently no matter
+    * what bytes the values contain — digest equality is exactly
+    * per-field NULL-safe equality (IS NOT DISTINCT FROM semantics).
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keys: Seq[String], payload: Seq[String]): DataFrame = {
+    def cell(c: String) = {
+      val s = col(c).cast("string")
+      when(s.isNull, lit("n"))
+        .otherwise(concat(lit("v"), length(s), lit(":"), s))
+    }
     def digested(df: DataFrame, h: String) = df.select(
       keys.map(col) :+
-        md5(concat_ws("",
-          payload.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
-          .as(h): _*)
+        md5(concat(payload.map(cell): _*)).as(h): _*)
     val o = digested(oldSnap, "__ho")
     val n = digested(newSnap, "__hn")
     o.join(n, keys, "full_outer")
@@ -104,6 +110,12 @@ object Cdc {
     * renamed, and the read side completes an interrupted swap (stage
     * present, state missing → adopt the stage), so no crash point
     * loses the state or double-emits a feed that already advanced.
+    * The feed itself is persisted to `<stateDir>.feed` BEFORE the
+    * swap, so a crash between the swap and the caller's durable
+    * write of the returned feed loses nothing: the last emitted feed
+    * survives on disk and can be re-read (at-least-once delivery;
+    * replaying it through [[applyChanges]]'s latest-wins compaction
+    * is idempotent).
     */
   def diffAgainstStored(stateDir: String, snap: DataFrame,
                         keys: Seq[String], payload: Seq[String]): DataFrame = {
@@ -122,8 +134,20 @@ object Cdc {
         snap.select((keys.map(col) :+ lit("I").as("op")): _*)
       else
         snapshotDiff(spark.read.parquet(stateDir), snap, keys, payload)
-    // materialize the feed BEFORE the state advances under it
-    val out = feed.localCheckpoint()
+    // persist the feed DURABLY before the state advances under it: a
+    // crash after the swap but before the caller consumed the feed is
+    // recoverable by re-reading feedDir (at-least-once, not at-most-
+    // once) — a crash before the swap just re-diffs the same snapshot
+    // against the unadvanced state and rewrites the identical feed.
+    val feedDir = new Path(stateDir + ".feed")
+    val feedSchema = feed.schema
+    feed.write.mode("overwrite").parquet(feedDir.toString)
+    val out =
+      if (fs.globStatus(new Path(feedDir, "*.parquet")).nonEmpty)
+        spark.read.schema(feedSchema).parquet(feedDir.toString)
+      else // empty feed writes no part files; keep the schema
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], feedSchema)
     snap.write.mode("overwrite").parquet(staged.toString)
     fs.delete(state, true)
     require(fs.rename(staged, state),

@@ -135,6 +135,16 @@ object Profile {
     * The exact invariants stay exact at any scale; past 2^53 their
     * double CONVERSION rounds — emit the decimals themselves
     * alongside if last-ulp display parity across engines matters.
+    *
+    * CALLER CONTRACT: |x| and |y| must stay ≤ 3·10⁹ per row (any
+    * cents/quantity grain is far inside this) so the per-row long
+    * products can't wrap past 2^63. The bound is ENFORCED, not
+    * assumed: under ANSI mode (Spark's default) a wrapping product
+    * throws ARITHMETIC_OVERFLOW at scan time, and for non-ANSI
+    * deployments the same scan tracks max(|x|,|y|) and raise_errors
+    * past the bound — either way the query fails loudly instead of
+    * silently corrupting the statistic. Switch the grain or widen
+    * the products to decimal at the call site if it fires.
     */
   def corrBy(df: DataFrame, groupCol: String, x: Column, y: Column): DataFrame = {
     val d = "decimal(38,0)"
@@ -159,15 +169,24 @@ object Profile {
         sum(col("__y").cast(d)).cast(d).as("__sy"),
         sum((col("__x") * col("__y")).cast(d)).cast(d).as("__sxy"),
         sum((col("__x") * col("__x")).cast(d)).cast(d).as("__sxx"),
-        sum((col("__y") * col("__y")).cast(d)).cast(d).as("__syy"))
+        sum((col("__y") * col("__y")).cast(d)).cast(d).as("__syy"),
+        greatest(max(abs(col("__x"))), max(abs(col("__y"))))
+          .as("__maxabs"))
     val num = (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
       .cast("double")
     val d1 = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
       .cast("double")
     val d2 = (col("__n") * col("__syy") - col("__sy") * col("__sy"))
       .cast("double")
+    // enforce the long-product bound loudly: past 3e9 per axis the
+    // per-row x·y could wrap 2^63 — fail the query, never corrupt
+    val bound = 3000000000L
     agg.select(col(groupCol), col("__n").cast("long").as("n_rows"),
-      when(d1 > 0 && d2 > 0, round(num / (sqrt(d1) * sqrt(d2)), 4))
+      when(col("__maxabs") > bound,
+        raise_error(concat(lit("corrBy: |input| exceeds the exact " +
+          "long-product bound 3e9 in group "), col(groupCol).cast("string"))))
+        .otherwise(
+          when(d1 > 0 && d2 > 0, round(num / (sqrt(d1) * sqrt(d2)), 4)))
         .as("corr"))
       .orderBy(groupCol)
   }

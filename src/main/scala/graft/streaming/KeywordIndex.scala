@@ -11,53 +11,84 @@ import org.apache.spark.sql.functions._
   * term, tf) postings and never rescans a document.
   *
   * Layout: two parquet frames under `dir`, each partitioned by the
-  * writing micro-batch's id — `postings/` (doc_id, term, tf — the
-  * [[Retrieval.postingsTable]] grain) and `doc_counts/` (n_docs, one
-  * row per batch: the idf denominator must count EVERY indexed doc,
-  * including docs none of a query's terms hit, so it cannot be
-  * derived from queried postings). Replay safety is own-partition
-  * OVERWRITE: `foreachBatch` delivers at-least-once, and a replayed
-  * batch rewrites exactly its own partitions — no exclusion join is
-  * needed because indexing (unlike dedup) makes no accept/reject
-  * decision a replay could flip. Compaction/retention come from
-  * [[IndexMaintenance]] under the same commit-log proof as every
-  * other index.
+  * writing micro-batch's id — `postings/` (doc_id, term, tf,
+  * src_batch — the [[Retrieval.postingsTable]] grain) and
+  * `indexed_docs/` (doc_id, src_batch — one row per doc per indexing:
+  * the idf denominator must count EVERY indexed doc, including docs
+  * none of a query's terms hit, so it cannot be derived from queried
+  * postings). Replay safety is own-partition OVERWRITE:
+  * `foreachBatch` delivers at-least-once, and a replayed batch
+  * rewrites exactly its own partitions — no exclusion join is needed
+  * because indexing (unlike dedup) makes no accept/reject decision a
+  * replay could flip.
+  *
+  * RE-SEEN DOCS (re-crawl/update of a doc_id already indexed in an
+  * earlier batch) are LAST-WRITER-WINS, not double-counted: every row
+  * carries its writing batch as the DATA column `src_batch`, and the
+  * [[postings]]/[[nDocs]] read path keeps only each doc's
+  * max-src_batch rows — tf, df and the idf denominator all see one
+  * version per doc. Because the resolution rides a data column (not
+  * the partition directory), it survives [[IndexMaintenance]]'s
+  * generic compaction fold unchanged; stale rows merely occupy disk
+  * until a compact-after-expire cycle drops their batches.
+  * Compaction/retention come from [[IndexMaintenance]] under the same
+  * commit-log proof as every other index.
   */
 class KeywordIndex(protected val spark: SparkSession, dir: String)
     extends IndexMaintenance {
   private val postingsDir = s"$dir/postings"
-  private val countsDir = s"$dir/doc_counts"
-  protected def frameDirs: Seq[String] = Seq(postingsDir, countsDir)
+  private val docsDir = s"$dir/indexed_docs"
+  protected def frameDirs: Seq[String] = Seq(postingsDir, docsDir)
 
   locally {
     StreamDedup.bootstrapFrame(spark, postingsDir,
-      Retrieval.postingsTable(StreamDedup.emptyDocs(spark)))
-    StreamDedup.bootstrapFrame(spark, countsDir,
-      spark.range(0).select(col("id").as("n_docs")))
+      Retrieval.postingsTable(StreamDedup.emptyDocs(spark))
+        .withColumn("src_batch", lit(0L)))
+    StreamDedup.bootstrapFrame(spark, docsDir,
+      StreamDedup.emptyDocs(spark)
+        .select(col("doc_id"), lit(0L).as("src_batch")))
   }
 
-  def postings: DataFrame = spark.read.parquet(postingsDir)
+  /** Each doc's winning (latest) src_batch — doc-grain, far smaller
+    * than the postings it arbitrates; re-seen docs are the only rows
+    * where it differs from any posting's own src_batch.
+    */
+  private def latestPerDoc: DataFrame =
+    spark.read.parquet(docsDir)
+      .groupBy("doc_id").agg(max("src_batch").as("__winner"))
 
-  /** Total indexed documents (the idf denominator). */
-  def nDocs: Long = {
-    val r = spark.read.parquet(countsDir).agg(sum("n_docs")).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
-  }
+  /** The index's live postings: one version per doc (last writer
+    * wins). The arbitration join is doc-grain against postings-grain
+    * — when no doc was ever re-seen it filters nothing out.
+    */
+  def postings: DataFrame =
+    spark.read.parquet(postingsDir)
+      .join(latestPerDoc, Seq("doc_id"), "inner")
+      .filter(col("src_batch") === col("__winner"))
+      .drop("src_batch", "__winner")
+
+  /** Total indexed documents (the idf denominator) — each re-seen doc
+    * counted ONCE.
+    */
+  def nDocs: Long =
+    spark.read.parquet(docsDir).select("doc_id").distinct().count()
 
   /** Index one micro-batch: tokenize ONCE, land postings + the
-    * batch's doc count in its own partitions (idempotent under
-    * replay), pass the batch through unchanged — indexing is a
-    * side-effect stage, not a filter. NULL doc_id / NULL text rows
-    * are passed through un-indexed (no retrieval identity).
+    * batch's doc ids in its own partitions (idempotent under replay),
+    * pass the batch through unchanged — indexing is a side-effect
+    * stage, not a filter. NULL doc_id / NULL text rows are passed
+    * through un-indexed (no retrieval identity).
     */
   def accept(batch: DataFrame, batchId: Long): DataFrame = {
     val real = batch
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .localCheckpoint()
     Retrieval.postingsTable(real)
+      .withColumn("src_batch", lit(batchId))
       .write.mode("overwrite").parquet(s"$postingsDir/batch=$batchId")
-    real.agg(count(lit(1)).as("n_docs"))
-      .write.mode("overwrite").parquet(s"$countsDir/batch=$batchId")
+    real.select(col("doc_id")).distinct()
+      .withColumn("src_batch", lit(batchId))
+      .write.mode("overwrite").parquet(s"$docsDir/batch=$batchId")
     batch
   }
 

@@ -44,4 +44,43 @@ class CdcSpec extends SparkSpec {
     assert(feedOf(Cdc.diffAgainstStored(dir, v3, keys, payload)) ==
       Set((2L, "D")), "interrupted swap was not adopted")
   }
+
+  test("snapshotDiff digest is collision-free on NULL-vs-empty, " +
+       "shifted-field, and separator-byte payloads") {
+    val keys = Seq("id"); val payload = Seq("a", "b")
+    def diff(o: Seq[(Long, String, String)], n: Seq[(Long, String, String)]) =
+      feedOf(Cdc.snapshotDiff(o.toDF("id", "a", "b"), n.toDF("id", "a", "b"),
+        keys, payload))
+
+    // a real NULL → '' update must surface as U, not vanish
+    assert(diff(Seq((1L, null, "x")), Seq((1L, "", "x"))) == Set((1L, "U")),
+      "NULL-to-empty update digested as unchanged")
+    // shifted-field payloads ('ab','') vs ('a','b') must differ
+    assert(diff(Seq((1L, "ab", "")), Seq((1L, "a", "b"))) == Set((1L, "U")),
+      "shifted-field payloads digested identically")
+    // values CONTAINING any would-be separator byte can't alias a
+    // field boundary under length-prefixing
+    assert(diff(Seq((1L, "ab", "c")), Seq((1L, "a", "bc")))
+      == Set((1L, "U")), "separator bytes inside values aliased a boundary")
+    // and genuinely identical rows — including all-NULL — stay silent
+    assert(diff(Seq((1L, null, null), (2L, "", "")),
+      Seq((1L, null, null), (2L, "", ""))).isEmpty)
+  }
+
+  test("diffAgainstStored persists each drop's feed durably under " +
+       "<state>.feed before the swap — recoverable after a post-swap crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fefeed")
+      .toString + "/state"
+    val keys = Seq("id"); val payload = Seq("v")
+    Cdc.diffAgainstStored(dir, Seq((1L, "a")).toDF("id", "v"), keys, payload)
+      .collect()
+    Cdc.diffAgainstStored(dir, Seq((1L, "A"), (2L, "b")).toDF("id", "v"),
+      keys, payload).collect()
+    // the caller crashed before consuming the second feed: the state
+    // already advanced, but the feed survives on disk for re-reading
+    val recovered = feedOf(spark.read.parquet(dir + ".feed")
+      .select("id", "op"))
+    assert(recovered == Set((1L, "U"), (2L, "I")),
+      s"durable feed lost or wrong: $recovered")
+  }
 }

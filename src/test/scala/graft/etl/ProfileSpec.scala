@@ -75,4 +75,29 @@ class ProfileSpec extends SparkSpec {
     assert(out("neg").contains(-1.0))
     assert(out("flat").isEmpty, "zero-variance group must be NULL")
   }
+
+  test("corrBy ENFORCES the exact long-product bound: inputs past 3e9 " +
+       "fail loudly instead of silently wrapping 2^63") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 4e9 * 4e9 = 1.6e19 > 2^63 ≈ 9.2e18 — the per-row square would wrap
+    val rows = Seq(("g", 4000000000L, 1L), ("g", 1L, 2L)).toDF("g", "x", "y")
+    val ex = intercept[Exception] {
+      Profile.corrBy(rows, "g", col("x"), col("y")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    // under ANSI (the default) the wrapping product itself throws at
+    // scan time; under non-ANSI the maxabs guard catches it — either
+    // way the failure is loud, never a silently corrupted statistic
+    assert(messages(ex).exists(m => m.contains("long-product bound") ||
+      m.contains("ARITHMETIC_OVERFLOW")),
+      s"expected a loud failure, got: $ex")
+    // inputs AT the bound still compute
+    val ok = Profile.corrBy(
+      Seq(("g", 3000000000L, 1L), ("g", 1L, 2L)).toDF("g", "x", "y"),
+      "g", col("x"), col("y")).collect()
+    assert(ok.length == 1)
+  }
 }

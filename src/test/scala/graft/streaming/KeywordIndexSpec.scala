@@ -65,6 +65,36 @@ class KeywordIndexSpec extends SparkSpec {
     assert(hits("bob@example.com").isEmpty, "PII leaked into the index")
   }
 
+  test("a doc re-seen in a later batch is LAST-WRITER-WINS: old terms " +
+       "unfindable, tf/df/nDocs count one version, and the resolution " +
+       "survives compact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kwidx3").toString
+    val idx = new KeywordIndex(spark, dir)
+    idx.accept(Seq(1L -> "stale obsolete words",
+      2L -> "stable neighbor").toDF("doc_id", "text"), 0L)
+    // re-crawl of doc 1 with entirely new text in a later batch
+    idx.accept(Seq(1L -> "fresh rewritten words").toDF("doc_id", "text"), 1L)
+
+    assert(idx.nDocs == 2, s"re-seen doc double-counted: nDocs=${idx.nDocs}")
+    def hits(term: String): Set[Long] = idx.search(Seq(1 -> Seq(term)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits("stale").isEmpty, "old version's terms still findable")
+    assert(hits("fresh") == Set(1L), "new version not findable")
+    assert(hits("stable") == Set(2L))
+    // df for the shared term counts the doc once: postings carry one
+    // (doc, term) row for "words"
+    assert(idx.postings.filter($"term" === "words").count() == 1,
+      "re-seen doc contributes postings from both versions")
+
+    // the arbitration rides a data column — folding every batch
+    // partition into the seed must not resurrect the stale version
+    idx.compact(lastCommittedBatchId = 1L)
+    assert(hits("stale").isEmpty, "compaction resurrected the old version")
+    assert(hits("fresh") == Set(1L))
+    assert(idx.nDocs == 2)
+  }
+
   test("search plans read index frames only — never the documents table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kwidx2").toString
     val idx = new KeywordIndex(spark, dir)
