@@ -216,6 +216,17 @@ object SparkEntry {
       Dedup.exciseSpans(Tables(s, d, "documents"))),
     "dedup_embedding" -> ((s, d) =>
       Similarity.embeddingNearDup(Tables(s, d, "embeddings"))),
+    // SEMANTIC decontamination (Corpus.decontaminateSemantic): the
+    // paraphrase-leak gate over embeddings — every 20th vector plays
+    // the benchmark set, the rest is the train corpus; sign-bit LSH
+    // candidates (hyperplane literals replayed by the oracle, the
+    // dedup_embedding precedent) + exact-cosine verify, kept ids out
+    "decontaminate_semantic" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      Corpus.decontaminateSemantic(
+        emb.filter(pmod(col("vec_id"), lit(20)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(20)) === 0))
+    }),
     // --- similarity search (SURVEY.md §2) ---
     "embedding_normalize" -> ((s, d) =>
       Similarity.normalize(Tables(s, d, "embeddings"))),
@@ -240,6 +251,25 @@ object SparkEntry {
     // counting analog of events_approx_stats' HLL
     "heavy_hitters_cms" -> ((s, d) =>
       Sketches.heavyHitters(Tables(s, d, "documents"))),
+    // quantile sketch (operators.Sketches.quantileSketch): the third
+    // member of the sketch trio — fixed 512-row-per-group state
+    // however large the stream, deterministic bottom-k-by-hash, so
+    // the oracle replays the sample row-for-row. Built per MONTH and
+    // merged to type grain while the oracle sketches the whole stream
+    // in one pass: the hash match PROVES bottom-k mergeability, the
+    // hll_monthly doctrine applied to quantiles
+    "quantile_sketch" -> ((s, d) => {
+      val ev = Tables(s, d, "events")
+      val monthly = Sketches.quantileSketch(
+        ev.select(col("event_type"), col("value"), col("event_id"),
+          date_trunc("month", col("ts")).as("month")),
+        Seq("event_type", "month"), col("value"), col("event_id"))
+      val merged = Sketches.quantileMerge(Seq("event_type"), Sketches.QsK,
+        monthly.drop("month"))
+      Sketches.quantileEstimate(merged, Seq("event_type"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+        .orderBy("event_type")
+    }),
     // content-defined chunking (Corpus.cdcChunks): rolling-hash
     // boundaries re-sync after edits, so chunk-grain dedup survives
     // insertions that shift every fixed-stride offset; boundaries from
@@ -874,6 +904,44 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Mirrors the quantile_sketch query in ONE pass: bottom-512 rows
+    * per event_type under the (avalanche(event_id), event_id) total
+    * order — the Spark side builds per-MONTH sketches and merges
+    * them, so the hash match proves bottom-k mergeability (the
+    * hll_monthly doctrine). quantile_cont == Spark's percentile
+    * (interpolation parity verified by events_median_by_type).
+    */
+  private def quantileSketchSql: String = {
+    import graft.operators.Sketches.QsK
+    val m = graft.functions.SimHash64.Mod
+    val (c1, c2) = (graft.functions.SimHash64.MixC1, graft.functions.SimHash64.MixC2)
+    val mask = graft.functions.SimHash64.Mask
+    def xsrMul(h: String, s: Int, c: Long) = s"(xor($h, $h >> $s) * $c) & $mask"
+    def xsr(h: String, s: Int) = s"xor($h, $h >> $s)"
+    s"""WITH e0 AS (
+       |  SELECT event_type, value, event_id,
+       |    ((event_id % $m) + $m) % $m AS he
+       |  FROM events),
+       |e1 AS (SELECT event_type, value, event_id,
+       |         ${xsrMul("he", 15, c1)} AS he FROM e0),
+       |e2 AS (SELECT event_type, value, event_id,
+       |         ${xsrMul("he", 14, c2)} AS he FROM e1),
+       |e3 AS (SELECT event_type, value, event_id,
+       |         ${xsr("he", 15)} AS he FROM e2),
+       |r AS (
+       |  SELECT event_type, value,
+       |    row_number() OVER (PARTITION BY event_type
+       |                       ORDER BY he, event_id) AS rn
+       |  FROM e3)
+       |SELECT event_type, COUNT(*) AS n_sample,
+       |  ROUND(quantile_cont(value, 0.25), 4) AS p25,
+       |  ROUND(quantile_cont(value, 0.50), 4) AS p50,
+       |  ROUND(quantile_cont(value, 0.75), 4) AS p75,
+       |  ROUND(quantile_cont(value, 0.95), 4) AS p95
+       |FROM r WHERE rn <= $QsK
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   /** Mirrors Sessionize.approxStats: graft's deterministic HLL (p=9,
     * avalanche hash, integer register sum) + hash-sampled exact
     * quantiles. The only transcendental — the linear-counting table
@@ -1220,6 +1288,44 @@ object SparkEntry {
     */
   private def embeddingNearDupSql: String =
     s"${embeddingNearDupBody()}\nORDER BY vec_a, vec_b"
+
+  /** The sign-bit banded-postings SQL branches over CTE `src` (vec_id,
+    * emb) — the [[graft.operators.Similarity.hyperplane]] literals,
+    * shared by every embedding-LSH oracle so the planes can't drift.
+    */
+  private def bandedBranchesSql(src: String, bands: Int = 8,
+                                rows: Int = 6): String =
+    (0 until bands).map { b =>
+      val bucket = (0 until rows).map { i =>
+        val planeLit = graft.operators.Similarity.hyperplane(b * rows + i)
+          .map(_.toDouble.toString).mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(emb, $planeLit) > 0 THEN 1 ELSE 0 END) * ${1L << i}"
+      }.mkString("\n      + ")
+      s"SELECT vec_id, $b AS band,\n      $bucket AS bucket FROM $src"
+    }.mkString("\n  UNION ALL\n  ")
+
+  /** Mirrors Corpus.decontaminateSemantic over the same 1-in-20
+    * benchmark split: banded sign-bit candidates (plane literals),
+    * exact-cosine verify at 0.35, anti-join to the kept train ids.
+    */
+  private def decontaminateSemanticSql: String =
+    s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings WHERE vec_id % 20 <> 0),
+       |bn AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |  FROM embeddings WHERE vec_id % 20 = 0),
+       |tb AS (
+       |  ${bandedBranchesSql("t")}),
+       |bb AS (
+       |  ${bandedBranchesSql("bn")}),
+       |contaminated AS (
+       |  SELECT DISTINCT a.vec_id
+       |  FROM tb a JOIN bb b ON a.band = b.band AND a.bucket = b.bucket
+       |  JOIN t ON t.vec_id = a.vec_id
+       |  JOIN bn ON bn.vec_id = b.vec_id
+       |  WHERE list_cosine_similarity(t.emb, bn.emb) >= 0.35)
+       |SELECT vec_id FROM t
+       |WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)
+       |ORDER BY vec_id""".stripMargin
 
   private def embeddingNearDupBody(minCosine: Double = 0.35): String = {
     val (bands, rows) = (8, 6)
@@ -2200,6 +2306,7 @@ object SparkEntry {
         |FROM f, UNNEST(generate_series(0, n_frames - 1, 5)) AS t(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "dedup_embedding" -> embeddingNearDupSql,
+    "decontaminate_semantic" -> decontaminateSemanticSql,
     "doc_fingerprint" -> docFingerprintSql,
     // Mirrors TextAnalysis.repetition (word 3-grams, non-distinct
     // counts; short docs report zeros).
@@ -2355,6 +2462,7 @@ object SparkEntry {
         |  LEFT JOIN removed r USING (doc_id)
         |ORDER BY d.doc_id NULLS FIRST""".stripMargin,
     "events_approx_stats" -> approxStatsSql,
+    "quantile_sketch" -> quantileSketchSql,
     "hll_monthly" -> hllMonthlySql,
     // Mirrors Similarity.normalize: index-ordered double MAC + one
     // correctly-rounded sqrt + one division per element — every step
@@ -2609,7 +2717,8 @@ object SparkEntry {
         |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
         |    CASE WHEN o.o_orderkey IS NULL THEN 'I'
         |         WHEN n.o_orderkey IS NULL THEN 'D'
-        |         WHEN o.o_orderstatus <> n.o_orderstatus OR o.p <> n.p
+        |         WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |           OR o.p IS DISTINCT FROM n.p
         |           THEN 'U' END AS op
         |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
         |SELECT o_orderkey, op FROM d WHERE op IS NOT NULL

@@ -94,11 +94,14 @@ object Sessionize {
       .orderBy("cohort_day", "day_k")
   }
 
-  /** The deterministic quantile-sample flag shared by [[approxStats]],
-    * [[winsorize]] and [[medianByType]]: avalanche-hash the event id,
-    * keep 1/`sampleMod` of the stream. Content-derived (stable under
-    * re-partitioning/re-ingestion) and BIGINT-exact, so any engine
-    * draws the same sample.
+  /** The deterministic quantile-sample flag of [[approxStats]]:
+    * avalanche-hash the event id, keep 1/`sampleMod` of the stream.
+    * Content-derived (stable under re-partitioning/re-ingestion) and
+    * BIGINT-exact, so any engine draws the same sample. (Fixed-
+    * FRACTION — its state grows with the data; [[winsorize]] and
+    * [[medianByType]] moved to the fixed-SIZE
+    * [[Sketches.quantileSketch]] basis. approxStats keeps it because
+    * its contract exposes `n_sample` over the full stream.)
     */
   private def sampledValue(sampleMod: Int): Column =
     when(graft.functions.Hll.mix31(col("event_id"), 15, 14, 15)
@@ -114,27 +117,40 @@ object Sessionize {
     * bounded only by DISTINCT VALUES, and over a continuous measure
     * that is per-type state growing with the data — at 100 TB the
     * final per-type merge OOMs one task. The default estimates the
-    * bounds from the deterministic 1/`sampleMod` hash sample already
-    * powering [[approxStats]]: same interpolation, state capped at the
-    * sample's distinct values (size `sampleMod` so a type's sample
-    * fits an executor). Clipping-rate deviation vs exact is bounded in
-    * SessionizeSpec; exact percentiles match DuckDB's quantile_cont
-    * interpolation, so the exact form hash-checks.
+    * bounds from [[Sketches.quantileSketch]] — the deterministic
+    * bottom-`k` row sample whose state is FIXED at k rows per type no
+    * matter how the stream grows (the fixed-fraction 1/`sampleMod`
+    * hash sample this replaced still grew with the data): same
+    * interpolation, shuffle bounded to k×types by WindowGroupLimit.
+    * Clipping-rate deviation vs exact is bounded in SessionizeSpec;
+    * exact percentiles match DuckDB's quantile_cont interpolation, so
+    * the exact form hash-checks, and the sketch itself hash-checks as
+    * the quantile_sketch oracle query.
     *
-    * A type too small for the 1/`sampleMod` sample to land a single
-    * row would make the sampled percentile NULL (and the clipped sum
-    * silently NULL with it) — the bounds coalesce to that type's
-    * min/max, i.e. a tiny type is passed through unclipped rather
-    * than corrupted. min/max are constant-state aggregates, so the
-    * fallback costs nothing at scale.
+    * A type with ≤ k rows keeps ALL its rows in the sketch, so small
+    * types are EXACT by construction — no fallback path exists to get
+    * wrong (the old fixed-fraction basis needed a min/max rescue for
+    * types its sample missed entirely).
     */
   def winsorize(events: DataFrame, lo: Double = 0.01, hi: Double = 0.99,
                 exact: Boolean = false,
-                sampleMod: Int = SampleMod): DataFrame = {
-    val basis = if (exact) col("value") else sampledValue(sampleMod)
-    val bounds = events.groupBy("event_type")
-      .agg(coalesce(percentile(basis, lit(lo)), min(col("value"))).as("p_lo"),
-        coalesce(percentile(basis, lit(hi)), max(col("value"))).as("p_hi"))
+                k: Int = Sketches.QsK): DataFrame = {
+    val bounds =
+      if (exact)
+        events.groupBy("event_type")
+          .agg(coalesce(percentile(col("value"), lit(lo)), min(col("value")))
+            .as("p_lo"),
+            coalesce(percentile(col("value"), lit(hi)), max(col("value")))
+              .as("p_hi"))
+      else
+        Sketches.quantileSketch(
+            events.select("event_type", "value", "event_id"),
+            Seq("event_type"), col("value"), col("event_id"), k)
+          .groupBy("event_type")
+          .agg(coalesce(percentile(col("__qv"), lit(lo)), min(col("__qv")))
+            .as("p_lo"),
+            coalesce(percentile(col("__qv"), lit(hi)), max(col("__qv")))
+              .as("p_hi"))
     events.join(broadcast(bounds), "event_type")
       .select(col("event_type"), col("value"), col("p_lo"), col("p_hi"),
         least(greatest(col("value"), col("p_lo")), col("p_hi")).as("w"))
@@ -149,24 +165,35 @@ object Sessionize {
   /** Grouped median. `exact = true` is the oracle path (sort-based
     * `percentile` with linear interpolation — per-type state bounded
     * only by distinct values, so audit-scale data only); the default
-    * interpolates over the deterministic 1/`sampleMod` hash sample
-    * (fixed-fraction state — the [[approxStats]] scale shape).
+    * interpolates over [[Sketches.quantileSketch]]'s deterministic
+    * bottom-`k` row sample — per-type state FIXED at k rows forever
+    * (the fixed-fraction hash sample this replaced still grew with
+    * the data), shuffle bounded to k×types by WindowGroupLimit.
     * `n_events` always counts the full stream: the sample feeds only
     * the quantile. Sample-vs-exact deviation is bounded in
-    * SessionizeSpec.
-    *
-    * A type too small for the sample to land a row falls back to its
-    * midrange (min+max)/2 — a bounded-state estimate — instead of a
-    * silent NULL.
+    * SessionizeSpec; a type with ≤ k rows keeps all its rows, so
+    * small types are EXACT (no midrange fallback needed — the old
+    * fixed-fraction basis could miss a tiny type entirely).
     */
   def medianByType(events: DataFrame, exact: Boolean = false,
-                   sampleMod: Int = SampleMod): DataFrame = {
-    val basis = if (exact) col("value") else sampledValue(sampleMod)
-    events.groupBy("event_type")
-      .agg(round(coalesce(percentile(basis, lit(0.5)),
-        (min(col("value")) + max(col("value"))) / 2), 4).as("median_value"),
-        count(lit(1)).as("n_events"))
-      .orderBy("event_type")
+                   k: Int = Sketches.QsK): DataFrame = {
+    if (exact)
+      events.groupBy("event_type")
+        .agg(round(coalesce(percentile(col("value"), lit(0.5)),
+          (min(col("value")) + max(col("value"))) / 2), 4).as("median_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    else {
+      val med = Sketches.quantileSketch(
+          events.select("event_type", "value", "event_id"),
+          Seq("event_type"), col("value"), col("event_id"), k)
+        .groupBy("event_type")
+        .agg(round(percentile(col("__qv"), lit(0.5)), 4).as("median_value"))
+      events.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+        .join(broadcast(med), Seq("event_type"), "left")
+        .select(col("event_type"), col("median_value"), col("n_events"))
+        .orderBy("event_type")
+    }
   }
 
   /** Top-N users by total event value (2-decimal-exact cents sum). */

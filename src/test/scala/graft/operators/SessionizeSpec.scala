@@ -138,24 +138,16 @@ class SessionizeSpec extends SparkSpec {
     val exact = byType(Sessionize.winsorize(ev, exact = true))
     val approx = byType(Sessionize.winsorize(ev))
     assert(approx.keySet == exact.keySet && approx.nonEmpty)
-    val sampleSizes = ev
-      .filter(graft.functions.Hll.mix31(col("event_id"), 15, 14, 15)
-        % Sessionize.SampleMod === 0)
-      .groupBy("event_type").count().collect()
-      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
     approx.foreach { case (t, a) =>
       val n = exact(t).getAs[Long]("n_events")
       assert(a.getAs[Long]("n_events") == n, s"row coverage changed for $t")
       // Order-statistic bound: a q-quantile estimated from k samples
       // sits within ~3·sqrt(q(1-q)/k) + 2/k quantile positions of the
       // truth, so each sampled cut clips at most that much more of the
-      // stream than the exact 1% (self-scaling: tight at real k,
-      // honest at sf0.001's k ≈ 25 per type).
-      val k = sampleSizes.getOrElse(t, 0L).toDouble
-      // A type the sample missed entirely falls back to min/max
-      // bounds — it must clip nothing, not emit NULLs.
-      val clipBound =
-        if (k == 0) 0.0 else 0.01 + 3 * math.sqrt(0.01 * 0.99 / k) + 2 / k
+      // stream than the exact 1%. The bottom-k sketch keeps
+      // min(n, QsK) rows per type — never zero for a non-empty type.
+      val k = math.min(n.toDouble, graft.operators.Sketches.QsK.toDouble)
+      val clipBound = 0.01 + 3 * math.sqrt(0.01 * 0.99 / k) + 2 / k
       Seq("n_clipped_lo", "n_clipped_hi").foreach { c =>
         assert(a.getAs[Long](c) <= clipBound * n,
           s"$c over-clips for $t: ${a.getAs[Long](c)} of $n (bound $clipBound)")
@@ -169,28 +161,23 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
-  test("types the hash sample misses fall back to unclipped / midrange, never NULL") {
-    // 3 rows per type: P(no sample hit) = (1 - 1/SampleMod)^3 — find an
-    // id triple the mix31 sample provably misses so the fallback path
-    // is exercised deterministically.
-    val miss = (1L to 10000L).toDF("event_id")
-      .filter(graft.functions.Hll.mix31(col("event_id"), 15, 14, 15)
-        % Sessionize.SampleMod =!= 0L)
-      .orderBy("event_id").limit(3)
-      .collect().map(_.getLong(0)).toSeq
-    assert(miss.size == 3)
-    val ev = miss.zip(Seq(10.0, 20.0, 90.0)).map { case (id, v) =>
-      (id, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "tiny", v)
-    }.toDF("event_id", "user_id", "ts", "event_type", "value")
-    val w = Sessionize.winsorize(ev).collect()
-    assert(w.length == 1)
-    assert(w(0).getAs[Long]("n_clipped_lo") == 0L &&
-      w(0).getAs[Long]("n_clipped_hi") == 0L)
-    assert(w(0).getAs[Double]("winsorized_total") == 120.0) // unclipped sum
-    val m = Sessionize.medianByType(ev).collect()
-    assert(m.length == 1)
-    assert(m(0).getAs[Double]("median_value") == 50.0) // midrange (10+90)/2
-    assert(m(0).getAs[Long]("n_events") == 3L)
+  test("types with ≤ k rows are EXACT under the sketch basis: default == " +
+       "exact (the old fixed-fraction sample could miss a tiny type " +
+       "entirely; the bottom-k sketch keeps every row)") {
+    val ev = Seq(
+      (101L, 1L, "tiny", 10.0), (102L, 1L, "tiny", 20.0),
+      (103L, 1L, "tiny", 90.0),
+      (201L, 2L, "mid", 1.0), (202L, 2L, "mid", 2.0),
+      (203L, 2L, "mid", 3.0), (204L, 2L, "mid", 4.0))
+      .map { case (id, u, t, v) =>
+        (id, u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), t, v) }
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    assert(Sessionize.winsorize(ev).collect().toSeq ==
+      Sessionize.winsorize(ev, exact = true).collect().toSeq,
+      "small-group winsorize diverged from exact")
+    assert(Sessionize.medianByType(ev).collect().toSeq ==
+      Sessionize.medianByType(ev, exact = true).collect().toSeq,
+      "small-group median diverged from exact")
   }
 
   test("sampled medianByType (the 100 TB default) is rank-stable vs exact") {

@@ -74,4 +74,67 @@ class SketchesSpec extends SparkSpec {
     })
     assert(hh.head.getLong(1) === 3L)
   }
+
+  // --- quantile sketch ---
+
+  private def evFrame(n: Int) = {
+    val rows = (1 to n).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b", (i * 37 % 101).toDouble))
+    rows.toDF("event_id", "event_type", "value")
+  }
+
+  test("quantileSketch: merge over ANY slicing == one-pass sketch " +
+       "row-for-row (bottom-k under a total order is exactly mergeable)") {
+    val ev = evFrame(5000)
+    val g = Seq("event_type")
+    val k = 64
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type", "__qh", "__qid").collect().toSeq
+    val onePass = Sketches.quantileSketch(ev, g, col("value"), col("event_id"), k)
+    // slice by id parity — an arbitrary partitioning of the rows
+    val a = Sketches.quantileSketch(ev.filter($"event_id" % 2 === 0),
+      g, col("value"), col("event_id"), k)
+    val b = Sketches.quantileSketch(ev.filter($"event_id" % 2 =!= 0),
+      g, col("value"), col("event_id"), k)
+    assert(rows(Sketches.quantileMerge(g, k, a, b)) == rows(onePass),
+      "merged sketch diverged from one-pass")
+    // merge is idempotent: re-merging the merged sketch is a no-op
+    val m = Sketches.quantileMerge(g, k, a, b)
+    assert(rows(Sketches.quantileMerge(g, k, m)) == rows(m))
+  }
+
+  test("quantileSketch state is FIXED at k rows per group; estimates " +
+       "track exact quantiles within the order-statistic bound") {
+    val ev = evFrame(20000)
+    val k = 256
+    val sk = Sketches.quantileSketch(ev, Seq("event_type"),
+      col("value"), col("event_id"), k)
+    val sizes = sk.groupBy("event_type").count().collect()
+      .map(_.getLong(1))
+    assert(sizes.forall(_ == k), s"per-group state not fixed: ${sizes.toSeq}")
+    val est = Sketches.quantileEstimate(sk, Seq("event_type"),
+      Seq("p50" -> 0.5)).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p50")).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(expr("percentile(value, array(0.35, 0.65))").as("band"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Double](1)).toMap
+    // 3.5·sqrt(.25/256) ≈ 0.11 quantile positions: p50 estimate must
+    // sit inside the exact [p35, p65] band
+    est.foreach { case (t, m) =>
+      assert(m >= exact(t).head && m <= exact(t).last,
+        s"sketch p50 for $t = $m outside exact [p35,p65] ${exact(t)}")
+    }
+  }
+
+  test("quantileSketch plan bounds the shuffle: WindowGroupLimit on the " +
+       "map side, no unpartitioned window") {
+    val ev = evFrame(1000)
+    val plan = Sketches.quantileSketch(ev, Seq("event_type"),
+      col("value"), col("event_id")).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed to WindowGroupLimit:\n$plan")
+    assert(!plan.contains("Window [") || plan.contains("windowspecdefinition"),
+      plan)
+  }
 }
