@@ -52,6 +52,23 @@ object SparkEntry {
     3 -> Seq("vector", "stream", "scan"),
     4 -> Seq("customer", "order"))
 
+  /** Phrase-search fixtures: consecutive-token phrases, incl. one with
+    * a repeated term (the distinct-slot counting edge).
+    */
+  private val PhraseQueries = Seq(
+    1 -> Seq("order", "fast"),
+    2 -> Seq("table", "scan", "merge"),
+    3 -> Seq("batch", "batch", "batch"),
+    4 -> Seq("stream", "column"))
+
+  private def phraseQueryValues: String = PhraseQueries.flatMap {
+    case (qid, ts) => ts.zipWithIndex.map { case (t, i) =>
+      s"($qid, '$t', $i, ${ts.length})" }
+  }.mkString(", ")
+
+  private def phraseQueryTermList: String =
+    PhraseQueries.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+
   private def searchQueryValues: String = SearchQueries
     .flatMap { case (qid, ts) => ts.distinct.map(t => s"($qid, '$t')") }
     .mkString(", ")
@@ -504,6 +521,12 @@ object SparkEntry {
     // terms pushed into the explode, rank window WindowGroupLimit'd
     "keyword_search" -> ((s, d) => graft.operators.Retrieval.keywordSearch(
       Tables(s, d, "documents"), SearchQueries)),
+    // exact phrase search (Retrieval.phraseSearch): positional
+    // anchor-counting — one postings join + one aggregate per query
+    // set, never a per-term self-join chain; ranked by verbatim
+    // occurrence count
+    "phrase_search" -> ((s, d) => graft.operators.Retrieval.phraseSearch(
+      Tables(s, d, "documents"), PhraseQueries)),
     // --- warehouse lifecycle: time-series completion + CDC compaction ---
     "gap_fill" -> ((s, d) => graft.etl.TimeSeries.gapFill(s, d)),
     // sweep-line backlog: ±1 interval events → day-grain aggregate →
@@ -2780,6 +2803,31 @@ object SparkEntry {
          |        ORDER BY score DESC, doc_id) AS rn FROM sc)
          |SELECT CAST(query_id AS BIGINT) AS query_id,
          |  CAST(rn AS BIGINT) AS rank, doc_id, score, n_terms_matched
+         |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Mirrors Retrieval.phraseSearch: positional instance rows, each
+    // matched posting proposes its implied phrase START (pos −
+    // term_idx); a start is a real occurrence iff all phrase_len
+    // DISTINCT slots vouch for the same (doc, anchor).
+    "phrase_search" ->
+      s"""WITH q(query_id, term, term_idx, phrase_len) AS
+         |  (VALUES $phraseQueryValues),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |p AS (SELECT doc_id, tk[i] AS term, i - 1 AS pos
+         |      FROM t, UNNEST(generate_series(1, len(tk))) AS g(i)
+         |      WHERE tk[i] IN ($phraseQueryTermList)),
+         |a AS (SELECT q.query_id, p.doc_id, p.pos - q.term_idx AS anchor,
+         |        q.term_idx, q.phrase_len
+         |      FROM p JOIN q ON p.term = q.term),
+         |o AS (SELECT query_id, doc_id, anchor
+         |      FROM a GROUP BY query_id, doc_id, anchor, phrase_len
+         |      HAVING COUNT(DISTINCT term_idx) = phrase_len),
+         |s AS (SELECT query_id, doc_id,
+         |        CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |      FROM o GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY n_occurrences DESC, doc_id) AS rn FROM s)
+         |SELECT CAST(query_id AS BIGINT) AS query_id,
+         |  CAST(rn AS BIGINT) AS rank, doc_id, n_occurrences
          |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
     // Mirrors Sessionize.activityStreaks: gaps-and-islands, the island
     // key is day − row_number (constant within a consecutive run).

@@ -246,6 +246,70 @@ object Corpus {
     identified.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** SEMANTIC decontamination — the paraphrase-leak gate the exact
+    * 8-gram probe ([[decontaminateProbe]]) cannot be: a train doc
+    * whose EMBEDDING is cosine-≥ `minCosine` to any benchmark
+    * embedding is dropped even when not one 8-gram survives the
+    * paraphrase. Composes the embedding-index machinery already built
+    * for dedup ([[Similarity.embeddingPostings]] sign-bit LSH +
+    * exact-cosine verify) rather than inventing a new index.
+    *
+    * Scale shape: the benchmark side (postings + vectors) is
+    * benchmark-sized — thousands of rows, broadcast by hint — so the
+    * train scan joins against it map-side with NO shuffle of train
+    * rows; only bucket-colliding candidates ever evaluate the exact
+    * cosine. Work ∝ train + collisions, never train × bench.
+    * Precision is exact (native cosine per candidate); recall is the
+    * LSH curve — raise bands for a stricter leak bound. Returns the
+    * KEPT train ids ([[decontaminate]]'s contract).
+    */
+  def decontaminateSemantic(train: DataFrame, bench: DataFrame,
+                            minCosine: Double = 0.35, bands: Int = 8,
+                            rowsPerBand: Int = 6, dims: Int = 64): DataFrame = {
+    val tEmb = train.select(col("vec_id"), col("embedding"))
+    val bEmb = bench.select(col("vec_id"), col("embedding"))
+    val tPost = Similarity.embeddingPostings(tEmb, bands, rowsPerBand, dims)
+    val bPost = Similarity.embeddingPostings(bEmb, bands, rowsPerBand, dims)
+    val contaminated = tPost.as("a")
+      .join(broadcast(bPost.as("b")),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("bench_id"))
+      .distinct()
+      .join(tEmb.select(col("vec_id"), col("embedding").as("emb_a")), "vec_id")
+      .join(broadcast(bEmb.select(col("vec_id").as("bench_id"),
+        col("embedding").as("emb_b"))), "bench_id")
+      .filter(graft.functions.GraftFunctions.vectorCosine(
+        col("emb_a"), col("emb_b")) >= minCosine)
+      .select("vec_id").distinct()
+    tEmb.select("vec_id")
+      .join(contaminated, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
+  /** Row-preserving [[decontaminateSemantic]] for pipeline
+    * composition ([[graft.streaming.CurationPipeline]]'s optional
+    * benchmark stage): drops batch rows whose `embedding` is
+    * cosine-near a benchmark embedding, keeps every other column
+    * intact. Rows WITHOUT an embedding pass through (nothing to
+    * assess — the exact 8-gram probe is the text-side gate); rows
+    * with an embedding but NULL doc_id are DROPPED, the
+    * [[decontaminateProbe]] conservative default for a leak gate.
+    */
+  def decontaminateSemanticKeep(batch: DataFrame, bench: DataFrame,
+                                minCosine: Double = 0.35, bands: Int = 8,
+                                rowsPerBand: Int = 6,
+                                dims: Int = 64): DataFrame = {
+    val assessable = batch.filter(col("embedding").isNotNull)
+    val kept = decontaminateSemantic(
+      assessable.filter(col("doc_id").isNotNull)
+        .select(col("doc_id").as("vec_id"), col("embedding")),
+      bench, minCosine, bands, rowsPerBand, dims)
+      .select(col("vec_id").as("doc_id"))
+    batch.filter(col("embedding").isNull)
+      .unionByName(assessable.filter(col("doc_id").isNotNull)
+        .join(kept, Seq("doc_id"), "left_semi"))
+  }
+
   def decontaminate(docs: DataFrame, n: Int = 8,
                     trainSlots: Int = 13): DataFrame = {
     val h = ascii(substring(md5(col("text")), 32, 1))
@@ -427,7 +491,8 @@ object Corpus {
   def noveltyScore(docs: DataFrame, rareMax: Int = 2): DataFrame = {
     val inst = docs.select(col("doc_id"),
       explode(graft.functions.GraftFunctions.wordShingles(
-        col("text"), 2, keepDuplicates = true)).as("bg"))
+        TextOps.segmentIfUnspaced(col("text")), 2,
+        keepDuplicates = true)).as("bg"))
     val support = inst.groupBy("bg").agg(count(lit(1)).as("sup"))
     inst.join(support, "bg")
       .groupBy("doc_id")

@@ -545,8 +545,13 @@ object Dedup {
                     bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // segmentation BEFORE the signature kernel, matching the
+    // verification-side TextOps.shingles: candidates and Jaccard
+    // verify must see the same features or unsegmented scripts would
+    // never surface candidates at all
     val sig = docs.select(col("doc_id"),
-      graft.functions.GraftFunctions.minhashSig(col("text"), n, numHashes).as("sig"))
+      graft.functions.GraftFunctions.minhashSig(
+        TextOps.segmentIfUnspaced(col("text")), n, numHashes).as("sig"))
       .filter(col("sig").isNotNull)
     def bucket(b: Int) =
       (b * rows until (b + 1) * rows).foldLeft(lit(0L)) { (acc, i) =>
@@ -598,7 +603,8 @@ object Dedup {
     // explode+groupBy(doc) formulation shuffles for nothing — this is
     // a pure projection over the scan.
     val sigs = docs.select(col("doc_id"),
-      graft.functions.GraftFunctions.simhash64(col("text"), n).as("sig"))
+      graft.functions.GraftFunctions.simhash64(
+        TextOps.segmentIfUnspaced(col("text")), n).as("sig"))
     val blocked = sigs.select(
       col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(blocks - 1)), b =>

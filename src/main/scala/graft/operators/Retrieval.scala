@@ -38,7 +38,7 @@ object Retrieval {
                     k: Int = 10, scale: Long = 1000000L): DataFrame = {
     val qTerms = queries.flatMap(_._2).distinct
     val tf = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .select(col("doc_id"), explode(TextOps.tokensScriptAware(col("text"))).as("term"))
       .filter(col("term").isin(qTerms.map(lit(_)): _*))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
@@ -54,7 +54,7 @@ object Retrieval {
     * row vs the documents they summarize.
     */
   def postingsTable(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    docs.select(col("doc_id"), explode(TextOps.tokensScriptAware(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
   /** [[keywordSearch]] against a prebuilt [[postingsTable]]: the term
@@ -73,6 +73,81 @@ object Retrieval {
     searchCore(tf,
       postings.sparkSession.range(1).select(lit(nDocs).as("n_docs")),
       queries, k, scale)
+  }
+
+  /** POSITIONAL postings: (doc_id, term, pos) instance rows — the
+    * phrase-query companion of [[postingsTable]] (which aggregates
+    * positions away and so can only answer bags of words). Instance
+    * grain is the standard positional-index cost: ~24 B a row, one
+    * row per token instance (the [[Dedup.gramTable]] precedent).
+    * Persist both: tf postings for ranked keyword search, positional
+    * postings for phrase verification.
+    */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(TextOps.tokensScriptAware(col("text"))))
+      .toDF("doc_id", "pos", "term")
+      .select(col("doc_id"), col("term"), col("pos").cast("long").as("pos"))
+
+  /** Exact phrase search: rank documents by the number of verbatim
+    * occurrences of each query phrase (consecutive tokens, in order).
+    *
+    * The match is ONE join + one aggregate, never a per-term
+    * self-join chain: each matched posting proposes the phrase START
+    * it would imply (`anchor = pos − term_idx`), and a start is a
+    * real occurrence iff all `phrase_len` distinct term slots vouch
+    * for the same (doc, anchor) — `COUNT(DISTINCT term_idx) =
+    * phrase_len`. Repeated terms inside a phrase ("the big the") are
+    * handled by the same rule: one posting row fans out once per slot
+    * the term fills, and distinct-slot counting demands every slot.
+    *
+    * Scale shape: the phrase table is literal and broadcast; the
+    * postings scan prunes to query terms (`isin`, parquet-pushed on a
+    * persisted index); the anchor aggregate is map-side combinable on
+    * (query, doc, anchor); the final top-k is a WindowGroupLimit
+    * rank. Work ∝ matched postings, never corpus.
+    */
+  def phraseSearch(docs: DataFrame, phrases: Seq[(Int, Seq[String])],
+                   k: Int = 10): DataFrame =
+    phraseCore(positionalPostings(docs), phrases, k)
+
+  /** [[phraseSearch]] against persisted [[positionalPostings]] —
+    * corpus text never read; shares [[phraseCore]] with the inline
+    * form so the two cannot drift (spec-pinned identical).
+    */
+  def phraseSearchIndexed(positional: DataFrame,
+                          phrases: Seq[(Int, Seq[String])],
+                          k: Int = 10): DataFrame =
+    phraseCore(positional, phrases, k)
+
+  private def phraseCore(positional: DataFrame,
+                         phrases: Seq[(Int, Seq[String])],
+                         k: Int): DataFrame = {
+    val spark = positional.sparkSession
+    import spark.implicits._
+    require(phrases.forall(_._2.nonEmpty), "empty phrase")
+    val pdf = phrases.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (qid, t, i.toLong, ts.length.toLong) }
+    }.toDF("query_id", "term", "term_idx", "phrase_len")
+    val qTerms = phrases.flatMap(_._2).distinct
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+    positional
+      .filter(col("term").isin(qTerms.map(lit(_)): _*))
+      .join(broadcast(pdf), "term")
+      .select(col("query_id"), col("doc_id"),
+        (col("pos") - col("term_idx")).as("anchor"),
+        col("term_idx"), col("phrase_len"))
+      .groupBy("query_id", "doc_id", "anchor", "phrase_len")
+      .agg(count_distinct(col("term_idx")).as("n_hit"))
+      .filter(col("n_hit") === col("phrase_len"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id").cast("long").as("query_id"), col("rank"),
+        col("doc_id"), col("n_occurrences"))
+      .orderBy("query_id", "rank")
   }
 
   private def searchCore(tf: DataFrame, n: DataFrame,

@@ -35,10 +35,11 @@ object TextAnalysis {
 
   /** Composite quality score — same formula as [[quality]]. */
   def qualityScoreExpr(text: Column): Column = {
+    val seg = TextOps.segmentIfUnspaced(text)
     val nChars = length(text).cast("long")
-    val nTokens = nTokensExpr(text)
+    val nTokens = nTokensExpr(seg)
     val punctRatio = length(regexp_replace(text, "[a-z ]", "")).cast("double") / nChars
-    val stopRatio = markerCount(TextOps.tokens(text), Markers.head._2)
+    val stopRatio = markerCount(TextOps.tokens(seg), Markers.head._2)
       .cast("double") / nTokens
     least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.4 +
       (lit(1.0) - punctRatio) * 0.3 +
@@ -47,7 +48,7 @@ object TextAnalysis {
 
   /** Argmax language pick with fixed priority — same rule as [[langId]]. */
   def predictedLangExpr(text: Column): Column = {
-    val toks = TextOps.tokens(text)
+    val toks = TextOps.tokensScriptAware(text)
     val Seq(en, es, fr, de) = Markers.map { case (_, ws) => markerCount(toks, ws) }
     when(en >= es && en >= fr && en >= de && en > 0, "en")
       .when(es >= fr && es >= de && es > 0, "es")
@@ -87,13 +88,18 @@ object TextAnalysis {
     */
   def withGateSignals(docs: DataFrame, n: Int = 3): DataFrame = {
     val text = col("text")
+    // script-aware segmentation staged ONCE: every token-derived
+    // signal reads __seg (identity on space-delimited text, char
+    // trigrams on unsegmented scripts); n_chars / punct stay on the
+    // raw text — they measure the document, not its tokenization
     val staged = docs
-      .withColumn("__toks", TextOps.tokens(text))
+      .withColumn("__seg", TextOps.segmentIfUnspaced(text))
+      .withColumn("__toks", TextOps.tokens(col("__seg")))
       .withColumn("__gs_n_chars", length(text).cast("long"))
-      .withColumn("__gs_n_tokens", nTokensExpr(text))
+      .withColumn("__gs_n_tokens", nTokensExpr(col("__seg")))
       .withColumn("__punct",
         length(regexp_replace(text, "[a-z ]", "")).cast("long"))
-      .withColumn("__st", GraftFunctions.repetitionStats(text, n))
+      .withColumn("__st", GraftFunctions.repetitionStats(col("__seg"), n))
     val withMarkers = Markers.foldLeft(staged) { case (d, (l, ws)) =>
       d.withColumn(s"__score_$l", markerCount(col("__toks"), ws))
     }
@@ -101,7 +107,7 @@ object TextAnalysis {
     val stopRatio = col("__score_en").cast("double") / col("__gs_n_tokens")
     withMarkers
       .withColumn("__gs_avg_token_len",
-        (col("__gs_n_chars") - col("__gs_n_tokens") + 1).cast("double") /
+        (length(col("__seg")) - col("__gs_n_tokens") + 1).cast("double") /
           col("__gs_n_tokens"))
       .withColumn("__gs_punct_ratio", punctRatio)
       .withColumn("__gs_stopword_ratio", stopRatio)
@@ -127,7 +133,7 @@ object TextAnalysis {
         when(col("__st.total_ngrams") === 0, 0.0)
           .otherwise(round(col("__st.top_ngram_freq").cast("double") /
             col("__st.total_ngrams"), 4)))
-      .drop("__toks" +: "__punct" +: "__st" +:
+      .drop("__seg" +: "__toks" +: "__punct" +: "__st" +:
         Markers.map { case (l, _) => s"__score_$l" }: _*)
   }
 
@@ -139,7 +145,7 @@ object TextAnalysis {
     // project tokens to an attribute so the text is split once per row,
     // not once per language scorer
     val scored = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.tokensScriptAware(col("text")).as("toks"))
       .select(
         (col("doc_id") +: Markers.map { case (l, ws) =>
           markerCount(col("toks"), ws).as(s"score_$l") }): _*)
@@ -160,16 +166,20 @@ object TextAnalysis {
     */
   def quality(docs: DataFrame): DataFrame = {
     val text = col("text")
+    val seg = TextOps.segmentIfUnspaced(text)
     val nChars = length(text).cast("long")
-    // single-space corpora: tokens = spaces + 1 (oracle-parity arithmetic)
-    val nTokens = (nChars - length(regexp_replace(text, " ", "")) + 1).cast("long")
+    // single-space corpora: tokens = spaces + 1 (oracle-parity
+    // arithmetic, over the script-aware segmentation — identity on
+    // space-delimited text)
+    val nTokens =
+      (length(seg) - length(regexp_replace(seg, " ", "")) + 1).cast("long")
     val alphaSpace = length(regexp_replace(text, "[a-z ]", "")).cast("long")
-    val stopHits = markerCount(TextOps.tokens(text), Markers.head._2)
+    val stopHits = markerCount(TextOps.tokens(seg), Markers.head._2)
     docs.select(col("doc_id"), nChars.as("n_chars"), nTokens.as("n_tokens"),
         (alphaSpace.cast("double") / nChars).as("punct_ratio"),
-        (stopHits.cast("double") / nTokens).as("stopword_ratio"))
-      .withColumn("avg_token_len",
-        (col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+        (stopHits.cast("double") / nTokens).as("stopword_ratio"),
+        ((length(seg) - nTokens + 1).cast("double") / nTokens)
+          .as("avg_token_len"))
       .withColumn("quality_score",
         least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4
           + (lit(1.0) - col("punct_ratio")) * 0.3
@@ -183,11 +193,17 @@ object TextAnalysis {
     */
   def tokenCount(docs: DataFrame): DataFrame = {
     val text = col("text")
-    val nChars = length(text).cast("long")
-    val wsTokens = (nChars - length(regexp_replace(text, " ", "")) + 1).cast("long")
+    val seg = TextOps.segmentIfUnspaced(text)
+    // script-aware: trigram pseudo-tokens on unsegmented scripts;
+    // arithmetic identical to the raw form on space-delimited text
+    val wsTokens =
+      (length(seg) - length(regexp_replace(seg, " ", "")) + 1).cast("long")
     val bpeIsh = size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
       .cast("long")
-    val subwordEst = ceil((nChars - wsTokens + 1).cast("double") / 4.0).cast("long")
+    // chars net of spaces — equals nChars - wsTokens + 1 on
+    // space-delimited text, the true char count on unsegmented
+    val subwordEst =
+      ceil(length(translate(text, " ", "")).cast("double") / 4.0).cast("long")
     docs.select(col("doc_id"), wsTokens.as("ws_tokens"), bpeIsh.as("bpe_tokens"),
       subwordEst.as("subword_est"))
       .orderBy("doc_id")
@@ -206,11 +222,13 @@ object TextAnalysis {
     * bigram-vocabulary-sized count table, never the corpus.
     */
   def bigramLift(docs: DataFrame, minCount: Long = 5, k: Int = 20): DataFrame = {
-    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val toks = docs.select(
+      explode(TextOps.tokensScriptAware(col("text"))).as("tok"))
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val n1 = toks.agg(count(lit(1)).as("n1"))
     val bi = docs.select(explode(
-      GraftFunctions.wordShingles(col("text"), 2, keepDuplicates = true))
+      GraftFunctions.wordShingles(TextOps.segmentIfUnspaced(col("text")), 2,
+        keepDuplicates = true))
       .as("bigram"))
     val biCounts = bi.groupBy("bigram").agg(count(lit(1)).as("n_pair"))
       .withColumn("tok_a", split(col("bigram"), " ").getItem(0))
@@ -284,7 +302,8 @@ object TextAnalysis {
   def ngramCounts(docs: DataFrame, n: Int = 3, minCount: Long = 3): DataFrame =
     docs
       .select(col("doc_id"),
-        explode(GraftFunctions.wordShingles(col("text"), n,
+        explode(GraftFunctions.wordShingles(
+          TextOps.segmentIfUnspaced(col("text")), n,
           keepDuplicates = true)).as("gram"))
       .groupBy("doc_id", "gram")
       .agg(count(lit(1)).as("__in_doc"))
@@ -311,7 +330,8 @@ object TextAnalysis {
       count(lit(1)).as("__v"))
     docs
       .select(col("doc_id"),
-        explode_outer(GraftFunctions.wordShingles(col("text"), n,
+        explode_outer(GraftFunctions.wordShingles(
+          TextOps.segmentIfUnspaced(col("text")), n,
           keepDuplicates = true)).as("gram"))
       .join(lm.select(col("gram"), col("n_instances")), Seq("gram"), "left")
       .crossJoin(broadcast(totals))

@@ -13,12 +13,59 @@ object TextOps {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Space-joined overlapping character `n`-grams: "abcde" → "abc bcd
+    * cde". Texts shorter than `n` come back whole. Pure Column
+    * expression (sequence + transform + substr — no UDF); the HOF
+    * branch is CodegenFallback, but it only ever EVALUATES on rows
+    * [[segmentIfUnspaced]] routes here, so spaced-corpus hot paths
+    * stay fully codegen'd.
+    */
+  def charGramJoin(text: Column, n: Int): Column =
+    array_join(
+      transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+        i => text.substr(i, lit(n))), " ")
+
+  /** Script-aware segmentation — the per-doc space-density switch that
+    * keeps the whole whitespace-token stack (token counts, Gopher
+    * gate, shingle dedup, retrieval terms) working on scripts that
+    * don't delimit words with spaces (CJK, Thai, …). A doc whose
+    * average space-separated chunk exceeds `maxAvgChunk` characters
+    * is rewritten as overlapping character `gram`-grams joined by
+    * single spaces; everything else passes through UNCHANGED, so on a
+    * space-delimited corpus this is the identity and every SQL-oracle
+    * parity downstream is preserved bit-for-bit.
+    *
+    * gram = 3 deliberately: character trigrams are the standard CJK
+    * retrieval/dedup feature, and the resulting pseudo-tokens have
+    * avg_token_len exactly 3 — inside the Gopher gate's [3, 10]
+    * window, so length-shaped quality rules stay meaningful instead
+    * of rejecting every unsegmented doc as "one giant word".
+    * English prose averages ~6 chars/chunk, two orders under the
+    * 16-char trigger; only genuinely unsegmented runs flip it.
+    */
+  def segmentIfUnspaced(text: Column, gram: Int = 3,
+                        maxAvgChunk: Int = 16): Column = {
+    val nSpaces = length(text) - length(translate(text, " ", ""))
+    when(length(text) > maxAvgChunk &&
+        length(text) > (nSpaces + 1) * maxAvgChunk,
+      charGramJoin(text, gram)).otherwise(text)
+  }
+
+  /** [[tokens]] over [[segmentIfUnspaced]] — identical to [[tokens]]
+    * on space-delimited text, character trigrams on unsegmented
+    * scripts.
+    */
+  def tokensScriptAware(text: Column): Column = tokens(segmentIfUnspaced(text))
+
   /** Distinct word n-gram shingles ("a b c" style) straight from the
     * text, empty-safe — native codegen kernel
-    * ([[graft.functions.WordShingles]]).
+    * ([[graft.functions.WordShingles]]) fed the script-aware
+    * segmentation, so unsegmented scripts shingle over character
+    * trigrams instead of going blind on one giant "word" (identity on
+    * space-delimited text — oracle parity preserved).
     */
   def shingles(text: Column, n: Int): Column =
-    graft.functions.GraftFunctions.wordShingles(text, n)
+    graft.functions.GraftFunctions.wordShingles(segmentIfUnspaced(text), n)
 
   /** Declarative (higher-order-function) shingle build, kept as the
     * reference implementation the native kernel is spec-checked

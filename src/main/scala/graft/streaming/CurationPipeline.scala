@@ -12,6 +12,12 @@ import org.apache.spark.sql.types.StructType
   *   → PII scrub            (Redact.scrub — stateless expression chain)
   *   → quality gate         (Corpus.gopherGateKeep — row-preserving,
   *                           signals computed and dropped in the scan)
+  *   → [optional] semantic decontamination
+  *                          (Corpus.decontaminateSemanticKeep — rows
+  *                           whose embedding is cosine-near a
+  *                           benchmark embedding are dropped BEFORE
+  *                           they can grow any index; embedding-less
+  *                           rows pass through)
   *   → exact dedup          (ExactIndex  — persisted content hashes)
   *   → near-dup scrub       (NearDupIndex — persisted LSH postings)
   *   → duplicate-span excision (SpanIndex — persisted gram hashes)
@@ -51,7 +57,9 @@ class CurationPipeline(val spark: SparkSession, dir: String,
                          Corpus.gopherGateKeep(_),
                        n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                        minJaccard: Double = 0.5, spanK: Int = 8,
-                       indexForSearch: Boolean = false) {
+                       indexForSearch: Boolean = false,
+                       benchEmbeddings: Option[DataFrame] = None,
+                       minBenchCosine: Double = 0.35) {
 
   val exact = new ExactIndex(spark, s"$dir/exact")
   val near = new NearDupIndex(spark, s"$dir/near", n, numHashes, bands, minJaccard)
@@ -74,7 +82,15 @@ class CurationPipeline(val spark: SparkSession, dir: String,
   private def stages(batch: DataFrame, batchId: Long, checkpointGate: Boolean)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val gated0 = gate(Redact.scrub(batch))
-    val gated = if (checkpointGate) gated0.localCheckpoint() else gated0
+    // optional benchmark-leak stage: only meaningful when the batch
+    // carries an embedding column; placed before the dedup indexes so
+    // a contaminated doc can never inoculate the corpus
+    val deconed = benchEmbeddings match {
+      case Some(b) if batch.columns.contains("embedding") =>
+        Corpus.decontaminateSemanticKeep(gated0, b, minBenchCosine)
+      case _ => gated0
+    }
+    val gated = if (checkpointGate) deconed.localCheckpoint() else deconed
     val unique = exact.accept(gated, batchId)
     val novel = near.accept(unique, batchId)
     val out = spans.scrub(novel, batchId)

@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * accepted; every later query set runs against the stored (doc_id,
   * term, tf) postings and never rescans a document.
   *
-  * Layout: two parquet frames under `dir`, each partitioned by the
+  * Layout: three parquet frames under `dir`, each partitioned by the
   * writing micro-batch's id — `postings/` (doc_id, term, tf,
-  * src_batch — the [[Retrieval.postingsTable]] grain) and
-  * `indexed_docs/` (doc_id, src_batch — one row per doc per indexing:
-  * the idf denominator must count EVERY indexed doc, including docs
-  * none of a query's terms hit, so it cannot be derived from queried
-  * postings). Replay safety is own-partition OVERWRITE:
+  * src_batch — the [[Retrieval.postingsTable]] grain), `positions/`
+  * (doc_id, term, pos, src_batch — the positional instance grain
+  * phrase queries verify against), and `indexed_docs/` (doc_id,
+  * src_batch — one row per doc per indexing: the idf denominator
+  * must count EVERY indexed doc, including docs none of a query's
+  * terms hit, so it cannot be derived from queried postings). Replay
+  * safety is own-partition OVERWRITE:
   * `foreachBatch` delivers at-least-once, and a replayed batch
   * rewrites exactly its own partitions — no exclusion join is needed
   * because indexing (unlike dedup) makes no accept/reject decision a
@@ -37,12 +39,17 @@ import org.apache.spark.sql.functions._
 class KeywordIndex(protected val spark: SparkSession, dir: String)
     extends IndexMaintenance {
   private val postingsDir = s"$dir/postings"
+  private val positionsDir = s"$dir/positions"
   private val docsDir = s"$dir/indexed_docs"
-  protected def frameDirs: Seq[String] = Seq(postingsDir, docsDir)
+  protected def frameDirs: Seq[String] =
+    Seq(postingsDir, positionsDir, docsDir)
 
   locally {
     StreamDedup.bootstrapFrame(spark, postingsDir,
       Retrieval.postingsTable(StreamDedup.emptyDocs(spark))
+        .withColumn("src_batch", lit(0L)))
+    StreamDedup.bootstrapFrame(spark, positionsDir,
+      Retrieval.positionalPostings(StreamDedup.emptyDocs(spark))
         .withColumn("src_batch", lit(0L)))
     StreamDedup.bootstrapFrame(spark, docsDir,
       StreamDedup.emptyDocs(spark)
@@ -61,8 +68,15 @@ class KeywordIndex(protected val spark: SparkSession, dir: String)
     * wins). The arbitration join is doc-grain against postings-grain
     * — when no doc was ever re-seen it filters nothing out.
     */
-  def postings: DataFrame =
-    spark.read.parquet(postingsDir)
+  def postings: DataFrame = liveFrame(postingsDir)
+
+  /** The index's live POSITIONAL postings (doc_id, term, pos) — the
+    * phrase-query frame, same last-writer-wins arbitration.
+    */
+  def positional: DataFrame = liveFrame(positionsDir)
+
+  private def liveFrame(dirPath: String): DataFrame =
+    spark.read.parquet(dirPath)
       .join(latestPerDoc, Seq("doc_id"), "inner")
       .filter(col("src_batch") === col("__winner"))
       .drop("src_batch", "__winner")
@@ -86,6 +100,9 @@ class KeywordIndex(protected val spark: SparkSession, dir: String)
     Retrieval.postingsTable(real)
       .withColumn("src_batch", lit(batchId))
       .write.mode("overwrite").parquet(s"$postingsDir/batch=$batchId")
+    Retrieval.positionalPostings(real)
+      .withColumn("src_batch", lit(batchId))
+      .write.mode("overwrite").parquet(s"$positionsDir/batch=$batchId")
     real.select(col("doc_id")).distinct()
       .withColumn("src_batch", lit(batchId))
       .write.mode("overwrite").parquet(s"$docsDir/batch=$batchId")
@@ -99,4 +116,12 @@ class KeywordIndex(protected val spark: SparkSession, dir: String)
   def search(queries: Seq[(Int, Seq[String])], k: Int = 10,
              scale: Long = 1000000L): DataFrame =
     Retrieval.keywordSearchIndexed(postings, nDocs, queries, k, scale)
+
+  /** Exact phrase search over the whole indexed corpus — positional
+    * frame only, text never read
+    * ([[Retrieval.phraseSearchIndexed]], sharing the inline form's
+    * anchor-counting core).
+    */
+  def phraseSearch(phrases: Seq[(Int, Seq[String])], k: Int = 10): DataFrame =
+    Retrieval.phraseSearchIndexed(positional, phrases, k)
 }

@@ -77,4 +77,40 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("documents.parquet") && !plan.contains("text#"),
       s"indexed search touched corpus text:\n$plan")
   }
+
+  test("phraseSearch: counts only consecutive in-order occurrences; a " +
+       "repeated-term phrase needs every distinct slot filled") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "alpha beta gamma alpha beta gamma"), // "alpha beta" ×2
+      (2L, "beta alpha gamma beta"),             // reversed — 0
+      (3L, "alpha alpha alpha"),                 // "alpha alpha" ×2 overlapping
+      (4L, "alpha gamma beta"))                  // non-adjacent — 0
+      .toDF("doc_id", "text")
+    def hits(phrase: Seq[String]): Map[Long, Long] =
+      Retrieval.phraseSearch(fixture, Seq(1 -> phrase))
+        .select("doc_id", "n_occurrences").as[(Long, Long)].collect().toMap
+    assert(hits(Seq("alpha", "beta")) == Map(1L -> 2L),
+      "adjacent in-order bigram count wrong")
+    assert(hits(Seq("alpha", "alpha")) == Map(3L -> 2L),
+      "repeated-term phrase must demand BOTH slots at the same anchor")
+    assert(hits(Seq("alpha", "beta", "gamma")) == Map(1L -> 2L))
+    assert(hits(Seq("gamma", "alpha", "beta")) == Map(1L -> 1L))
+  }
+
+  test("phraseSearchIndexed over persisted positional postings matches " +
+       "the inline form exactly and never touches corpus text") {
+    val phrases = Seq(1 -> Seq("hash", "join"), 2 -> Seq("join", "of", "tables"))
+    val inline = Retrieval.phraseSearch(docs, phrases).collect().toSeq
+    assert(inline.nonEmpty, "fixture phrases hit nothing — weak test")
+    val dir = java.nio.file.Files.createTempDirectory("graft_phidx").toString
+    Retrieval.positionalPostings(docs).write.mode("overwrite").parquet(dir)
+    val indexed = Retrieval.phraseSearchIndexed(
+      spark.read.parquet(dir), phrases)
+    assert(indexed.collect().toSeq == inline,
+      "indexed phrase search diverged from the inline form")
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet") && !plan.contains("text#"),
+      s"indexed phrase search touched corpus text:\n$plan")
+  }
 }

@@ -128,6 +128,35 @@ class CurationPipelineSpec extends SparkSpec {
       "a gated-out doc left traces in an index")
   }
 
+  test("the optional benchmark stage drops embedding-near-benchmark docs " +
+       "BEFORE any index sees them; embedding-less rows pass through") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cur_dec").toString
+    // benchmark vector + a train doc embedded almost on top of it
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextFloat() - 0.5f)
+    }
+    val benchVec = vec(1)
+    val nearBench = benchVec.map(v => v + 0.001f) // cosine ≈ 1
+    val farVec = vec(2)
+    val bench = Seq((100L, benchVec)).toDF("vec_id", "embedding")
+    val pipe = new CurationPipeline(spark, s"$root/indexes",
+      gate = Corpus.gopherGateKeep(_, minTokens = 5),
+      benchEmbeddings = Some(bench), minBenchCosine = 0.9)
+    val batch = Seq(
+      (1L, docA, Some(nearBench.toSeq)),  // paraphrased leak → drop
+      (2L, docB, Some(farVec.toSeq)),     // semantically far → keep
+      (3L, docG, None))                   // no embedding → pass through
+      .toDF("doc_id", "text", "embedding")
+    val kept = pipe.accept(batch, 0L).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), s"benchmark stage kept $kept, want {2,3}")
+    // the contaminated doc never grew an index (it can't inoculate
+    // the corpus against an honest later duplicate)
+    assert(pipe.exact.hashes.count() == 2 &&
+      pipe.near.postings.count() > 0,
+      "index state inconsistent with the 2 accepted docs")
+  }
+
   test("NULL-id rows ride the uniform pass-through to the sink") {
     val root = java.nio.file.Files.createTempDirectory("graft_cur_null").toString
     val pipe = mkPipeline(root)

@@ -32,10 +32,20 @@ class KeywordIndexSpec extends SparkSpec {
     assert(idx.postings.count() == nPostings, "replay grew the index")
     assert(idx.search(queries).collect().toSeq == inline)
 
+    // phrase search over the index == inline over the union, before
+    // and after compaction
+    val phrases = Seq(1 -> Seq("order", "fast"), 2 -> Seq("table", "scan"))
+    val phraseInline = Retrieval.phraseSearch(docs, phrases).collect().toSeq
+    assert(phraseInline.nonEmpty)
+    assert(idx.phraseSearch(phrases).collect().toSeq == phraseInline,
+      "indexed phrase search diverged from inline")
+
     // compact folds batch partitions into the seed; results identical
     idx.compact(lastCommittedBatchId = 1L)
     assert(idx.search(queries).collect().toSeq == inline,
       "compaction changed search results")
+    assert(idx.phraseSearch(phrases).collect().toSeq == phraseInline,
+      "compaction changed phrase results")
     assert(idx.nDocs == docs.count())
   }
 
@@ -86,6 +96,12 @@ class KeywordIndexSpec extends SparkSpec {
     // (doc, term) row for "words"
     assert(idx.postings.filter($"term" === "words").count() == 1,
       "re-seen doc contributes postings from both versions")
+    // phrase queries see only the new version too
+    def phits(ph: Seq[String]): Set[Long] = idx.phraseSearch(Seq(1 -> ph))
+      .select("doc_id").as[Long].collect().toSet
+    assert(phits(Seq("stale", "obsolete")).isEmpty,
+      "old version's phrase still findable")
+    assert(phits(Seq("fresh", "rewritten")) == Set(1L))
 
     // the arbitration rides a data column — folding every batch
     // partition into the seed must not resurrect the stale version
