@@ -74,6 +74,45 @@ object Mart {
       .partitionBy("year")
       .parquet(s"$outDir/$FactTable")
 
+  /** KEY-level copy-on-write merge — the Delta-MERGE shape on plain
+    * parquet, for feeds that touch individual rows rather than whole
+    * partitions ([[refreshFact]]'s unit of work). An update row
+    * REPLACES the stored row with its key; a new key INSERTS.
+    *
+    * Only the year partitions present in the feed are ever read or
+    * written: the stored side is scanned WITH a partition filter on
+    * the feed's years (directory-level pruning — the decade-sized
+    * table contributes only its touched years), merged content =
+    * stored∖feed-keys ∪ feed, and dynamic partition overwrite
+    * rewrites exactly those year directories. Untouched years' files
+    * are byte-identical after the merge (spec-pinned, the
+    * expirePartitions precedent).
+    *
+    * The merged frame is materialized (localCheckpoint) before the
+    * write because it reads the directories the write replaces.
+    * Re-running the same merge converges: replayed feed keys
+    * anti-join their own previous application away.
+    */
+  def mergeFact(spark: SparkSession, outDir: String, updates: DataFrame,
+                keys: Seq[String] = Seq("date_key", "l_orderkey",
+                  "l_linenumber")): Unit = {
+    val up = updates.withColumn("year", year(col("date_key")))
+      .localCheckpoint()
+    val touched = up.select("year").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val stored = table(spark, outDir, FactTable)
+      .filter(col("year").isin(touched: _*))
+    val merged = stored
+      .join(up.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(up.select(stored.columns.map(col): _*))
+      .localCheckpoint()
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year")
+      .parquet(s"$outDir/$FactTable")
+  }
+
   /** Fact for a date range — the filter on the partition column prunes
     * non-matching year directories before any file is opened.
     */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -154,6 +154,71 @@ object Similarity {
     */
   def ivfAssignments(corpus: DataFrame, centroids: DataFrame): DataFrame =
     nearestCells(corpus, broadcast(centroids), "vec_id", "embedding", 1)
+
+  /** IVF index maintenance under centroid DRIFT: bring a PERSISTED
+    * cell_id-partitioned [[ivfAssignments]] directory current against
+    * refreshed centroids (a [[kmeansRefine]] round, a periodic
+    * retrain) while rewriting ONLY the affected cell partitions.
+    *
+    * One scan of the stored index computes every vector's new nearest
+    * cell (the assignment function changed globally, so the COMPUTE
+    * is irreducible — but it is a single broadcast-join projection,
+    * no shuffle); vectors whose cell CHANGED define the affected set
+    * (their old cells ∪ new cells — bounded by the centroid count,
+    * collected driver-side), and dynamic partition overwrite rewrites
+    * exactly those partitions with their re-assigned content. At
+    * index scale the WRITE is the expensive half, and incremental
+    * drift touches few cells — untouched partitions' files are never
+    * rewritten (spec asserts byte-identical listings). A cell fully
+    * drained by the drift is deleted explicitly (dynamic overwrite
+    * only replaces partitions it writes rows into).
+    *
+    * Idempotent / crash-convergent: re-running against the same
+    * centroids re-reads whatever state is on disk and moves any
+    * still-misassigned vector; a refreshed index is row-identical to
+    * a fresh [[ivfAssignments]] build (spec-pinned).
+    */
+  def refreshAssignments(spark: SparkSession, indexDir: String,
+                         newCentroids: DataFrame): Unit = {
+    val stored = spark.read.parquet(indexDir)
+    val cents = broadcast(
+      newCentroids.select(col("cell_id").as("__new_cell"), col("centroid")))
+    val ranked = stored
+      .select(col("vec_id"), col("embedding"), col("cell_id").as("__old_cell"))
+      .crossJoin(cents)
+      .select(col("vec_id"), col("embedding"), col("__old_cell"),
+        col("__new_cell"),
+        cosine(col("embedding"), col("centroid")).as("__sim"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("__sim").desc, col("__new_cell"))))
+      .filter(col("__r") === 1)
+      .drop("__sim", "__r")
+    val affected = ranked.filter(col("__old_cell") =!= col("__new_cell"))
+      .select(explode(array(col("__old_cell"), col("__new_cell")))
+        .as("cell_id"))
+      .distinct().collect().map(_.get(0)).toSeq
+    if (affected.isEmpty) return
+    val newContent = ranked
+      .filter(col("__new_cell").isin(affected: _*))
+      .select(col("vec_id"), col("embedding"),
+        col("__new_cell").as("cell_id"))
+      .localCheckpoint() // the write overwrites the dirs it reads
+    val present = newContent.select("cell_id").distinct()
+      .collect().map(_.get(0)).toSet
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try newContent.write.mode("overwrite").partitionBy("cell_id")
+      .parquet(indexDir)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+    // a drained cell receives no rows, so dynamic overwrite leaves its
+    // stale partition behind — drop it explicitly
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(present).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"cell_id=$c"), true)
+    }
+  }
 
   /** [[ivfTopK]] against PERSISTED index frames ([[ivfAssignments]] +
     * its centroid table): probes are assigned to their `nProbeCells`

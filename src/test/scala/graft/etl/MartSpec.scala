@@ -68,4 +68,70 @@ class MartSpec extends SparkSpec {
     assert(after.filter(col("year") === untouched).count() == before,
       "untouched partition changed under dynamic overwrite")
   }
+
+  test("mergeFact: key-level copy-on-write — updates replace, new keys " +
+       "insert, merged mart ≡ recompute, untouched year files " +
+       "byte-identical") {
+    val out = Files.createTempDirectory("graft_mart_merge").toString
+    Mart.materialize(spark, sf(), out)
+    val factDir = s"$out/${Mart.FactTable}"
+    val years = Mart.table(spark, out, Mart.FactTable)
+      .select("year").distinct().collect().map(_.getInt(0)).sorted
+    assert(years.length >= 2)
+    val touched = years.head
+
+    def listing(): Map[String, (Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(factDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).flatMap(st =>
+          if (st.isDirectory) walk(st.getPath) else Seq(st)).toSeq
+      walk(new org.apache.hadoop.fs.Path(factDir))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.toString ->
+          (st.getLen, st.getModificationTime)).toMap
+    }
+    val storedBefore = Mart.table(spark, out, Mart.FactTable)
+      .drop("year").localCheckpoint()
+    val filesBefore = listing()
+
+    // the feed: every 5th row of the oldest year gets its measure
+    // corrected (UPDATE), plus one brand-new key (INSERT)
+    val updatesPart = storedBefore
+      .filter(year(col("date_key")) === touched &&
+        pmod(col("l_orderkey"), lit(5)) === 0)
+      .withColumn("avg_temp_f", col("avg_temp_f") + 100.0)
+    val insertRow = storedBefore
+      .filter(year(col("date_key")) === touched).limit(1)
+      .withColumn("l_orderkey", lit(999999990L))
+    val feed = updatesPart.unionByName(insertRow).localCheckpoint()
+    Mart.mergeFact(spark, out, feed)
+
+    // merged ≡ recompute: stored∖feed-keys ∪ feed, row for row
+    val keys = Seq("date_key", "l_orderkey", "l_linenumber")
+    val expect = storedBefore
+      .join(feed.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(feed)
+    val got = Mart.table(spark, out, Mart.FactTable).drop("year")
+    assert(got.count() == expect.count() &&
+      got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "merged mart diverged from recompute")
+
+    // untouched years' files are the ORIGINAL bytes
+    val filesAfter = listing()
+    val untouchedFiles = filesBefore.keys
+      .filterNot(_.contains(s"year=$touched"))
+    assert(untouchedFiles.nonEmpty)
+    untouchedFiles.foreach { f =>
+      assert(filesAfter.get(f).contains(filesBefore(f)),
+        s"untouched year file rewritten: $f")
+    }
+
+    // replaying the SAME feed converges (anti-join removes its own
+    // previous application)
+    Mart.mergeFact(spark, out, feed)
+    val replay = Mart.table(spark, out, Mart.FactTable).drop("year")
+    assert(replay.count() == expect.count() &&
+      replay.exceptAll(expect).isEmpty, "merge replay diverged")
+  }
 }

@@ -160,4 +160,90 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L)._1 == 7L && out(0L)._2 == 0.5)  // neighbors 1 (7), 2 (9)
     assert(out(2L)._1 == 9L && out(2L)._2 == 0.0)  // both neighbors are 7
   }
+
+  test("refreshAssignments under centroid drift: refreshed index ≡ fresh " +
+       "build, untouched cells' files never rewritten, drained cells " +
+       "deleted") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+      .select("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfref").toString
+    val dir = s"$root/assigned"
+    val c1 = Similarity.strideCentroids(emb).localCheckpoint()
+    Similarity.ivfAssignments(emb, c1)
+      .write.partitionBy("cell_id").parquet(dir)
+
+    // drift: nudge ONE centroid gently toward vector 1 — only
+    // boundary vectors flip cells, so most cells stay untouched (the
+    // incremental-drift regime the operator exists for)
+    val driftedId = c1.select(max("cell_id")).head().getLong(0)
+    val donor = emb.filter($"vec_id" === 1L)
+      .select($"embedding").head().getSeq[Float](0)
+    val c2 = c1.collect().map { r =>
+      val id = r.getLong(0)
+      val cent = r.getSeq[Float](1)
+      if (id == driftedId)
+        (id, cent.zip(donor).map { case (a, b) => 0.85f * a + 0.15f * b })
+      else (id, cent)
+    }.toSeq.toDF("cell_id", "centroid")
+    def listing(): Map[String, (Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).flatMap(st =>
+          if (st.isDirectory) walk(st.getPath) else Seq(st)).toSeq
+      walk(new org.apache.hadoop.fs.Path(dir))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.toString ->
+          (st.getLen, st.getModificationTime)).toMap
+    }
+    val before = listing()
+    Similarity.refreshAssignments(spark, dir, c2)
+    val after = listing()
+
+    // refreshed ≡ fresh build (cell per vector)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"cell_id".cast("long")).as[(Long, Long)]
+        .collect().toMap
+    val refreshed = cells(spark.read.parquet(dir))
+    val fresh = cells(Similarity.ivfAssignments(emb, c2))
+    assert(refreshed == fresh, "refreshed index diverged from fresh build")
+
+    // some vectors must actually have moved for the test to bite
+    val freshC1 = cells(Similarity.ivfAssignments(emb, c1))
+    val movedCells = freshC1.toSeq.collect {
+      case (v, c) if fresh(v) != c => Seq(c, fresh(v)) }.flatten.toSet
+    assert(movedCells.nonEmpty, "drift fixture moved nothing — weak test")
+
+    // untouched cells' files are byte-for-byte the ORIGINAL files
+    val untouchedFiles = before.keys.filterNot(f =>
+      movedCells.exists(c => f.contains(s"cell_id=$c")))
+    assert(untouchedFiles.nonEmpty)
+    untouchedFiles.foreach { f =>
+      assert(after.get(f).contains(before(f)),
+        s"untouched cell file rewritten: $f")
+    }
+
+    // drained-cell path: two clustered centroids, then drift the only
+    // populated cell's centroid away so everything lands in the other
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, Array.fill(64)(1.0f).toSeq), (2L, Array.fill(64)(0.9f).toSeq))
+      .toDF("vec_id", "embedding")
+    val tc1 = Seq((10L, Array.fill(64)(1.0f).toSeq),
+      (20L, Array.fill(64)(-1.0f).toSeq)).toDF("cell_id", "centroid")
+    val tdir = s"$root/tiny"
+    Similarity.ivfAssignments(tiny, tc1)
+      .write.partitionBy("cell_id").parquet(tdir)
+    // drift: cell 10 flees, cell 20 lands on the data
+    val tc2 = Seq((10L, Array.fill(64)(-1.0f).toSeq),
+      (20L, Array.fill(64)(1.0f).toSeq)).toDF("cell_id", "centroid")
+    Similarity.refreshAssignments(spark, tdir, tc2)
+    val tGot = cells(spark.read.parquet(tdir))
+    assert(tGot == cells(Similarity.ivfAssignments(tiny, tc2)))
+    val fs = new org.apache.hadoop.fs.Path(tdir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tdir, "cell_id=10")),
+      "drained cell's stale partition survived the refresh")
+  }
 }
