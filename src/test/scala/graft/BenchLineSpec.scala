@@ -103,6 +103,45 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.overBudgetFrom(budget, Seq.empty).isEmpty)
   }
 
+  test("budget sections parse independently: the shuffle section can " +
+       "never shadow a time budget (same query names in both)") {
+    val json = """{
+      |  "sentinel": 0.10,
+      |  "budgets": { "q_a": 1.0, "q_b": 2.0 },
+      |  "shuffle": { "q_a": 1048576, "q_b": 99 }
+      |}""".stripMargin
+    val (budgets, shuffle) = Bench.budgetSections(json)
+    assert(budgets == Map("q_a" -> 1.0, "q_b" -> 2.0),
+      s"time budgets polluted by shuffle numbers: $budgets")
+    assert(shuffle == Map("q_a" -> 1048576.0, "q_b" -> 99.0))
+    // a pre-shuffle-era file (no section) still parses
+    val (b2, s2) = Bench.budgetSections("""{"budgets":{"q_a": 1.0}}""")
+    assert(b2 == Map("q_a" -> 1.0) && s2.isEmpty)
+  }
+
+  test("over-shuffle check: raw >2x bytes with a 1 MiB absolute floor; " +
+       "new and tiny queries never false-alarm") {
+    val mib = 1L << 20
+    val json = s"""{
+      |  "sentinel": 0.10,
+      |  "budgets": { "q_a": 1.0 },
+      |  "shuffle": { "q_big": ${10 * mib}, "q_small": 1000, "q_zero": 0 }
+      |}""".stripMargin
+    // q_big tripled its shuffle — flagged at 3.0x
+    val over = Bench.overShuffleFrom(json, Seq(
+      "q_big" -> 30 * mib,   // 3x and +20 MiB → flag
+      "q_small" -> 500000,   // 500x but under the 1 MiB floor → skip
+      "q_zero" -> 5 * mib,   // degenerate committed 0 → skip
+      "q_new" -> 100 * mib)) // no committed entry → skip
+    assert(over.map(_._1) == Seq("q_big"), s"got $over")
+    assert(math.abs(over.head._2 - 3.0) < 1e-9)
+    // within 2x → silent; exactly-at-floor delta → silent
+    assert(Bench.overShuffleFrom(json, Seq("q_big" -> 19 * mib)).isEmpty)
+    assert(Bench.overShuffleFrom(json,
+      Seq("q_small" -> (1000 + mib))).isEmpty)
+    assert(Bench.overShuffleFrom(json, Seq.empty).isEmpty)
+  }
+
   test("compressed line holds 160 queries at 1 decimal (growth headroom)") {
     // +~60 queries over today's surface still fits with every distinct
     // timing present once the precision ladder reaches 1 decimal
