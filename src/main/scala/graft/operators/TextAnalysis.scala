@@ -348,7 +348,7 @@ object TextAnalysis {
     * persists the scored frame once — `lmScore(...).persist()` —
     * before calling this; re-deriving it would re-run the gram
     * explode + LM join twice. Tercile cuts come from a deterministic
-    * 1/`sampleMod` avalanche-hash sample of doc scores
+    * fixed-size bottom-k avalanche-hash sample of doc scores
     * (fixed-fraction aggregate state — the [[Sessionize.winsorize]]
     * shape, NOT an exact percentile over every doc), broadcast back
     * as a 1-row bound pair; a sample too small to land a row degrades
@@ -356,12 +356,19 @@ object TextAnalysis {
     * Docs with no grams bucket as `unscored`.
     */
   def bucketsFromScores(scored: DataFrame,
-                        sampleMod: Int = Sessionize.SampleMod): DataFrame = {
-    val sampled = when(graft.functions.Hll.mix31(col("doc_id"), 15, 14, 15)
-      % sampleMod === 0, col("lm_score"))
+                        k: Int = Sketches.QsK): DataFrame = {
+    // tercile cuts from the FIXED-SIZE bottom-k sample (the
+    // Sketches.quantileSketch order, global grain → TakeOrdered, no
+    // window): state k rows however large the corpus — replaced the
+    // fixed-fraction 1/`sampleMod` hash sample whose state still grew
+    // with the data; ≤ k scored docs degrade to exact terciles, so no
+    // min/max rescue path exists to get wrong
     val cuts = scored.filter(col("lm_score").isNotNull)
-      .agg(coalesce(percentile(sampled, lit(1.0 / 3)), min("lm_score")).as("__c1"),
-        coalesce(percentile(sampled, lit(2.0 / 3)), max("lm_score")).as("__c2"))
+      .select(col("lm_score"), Sketches.qsRank(col("doc_id")).as("__qh"),
+        col("doc_id").as("__qid"))
+      .orderBy(col("__qh"), col("__qid")).limit(k)
+      .agg(percentile(col("lm_score"), lit(1.0 / 3)).as("__c1"),
+        percentile(col("lm_score"), lit(2.0 / 3)).as("__c2"))
     scored.crossJoin(broadcast(cuts))
       .select(col("doc_id"), col("n_grams"), col("lm_score"),
         when(col("lm_score").isNull, "unscored")
@@ -377,8 +384,8 @@ object TextAnalysis {
     * persist the scores and use [[bucketsFromScores]] directly.
     */
   def perplexityBuckets(docs: DataFrame, lm: DataFrame, n: Int = 3,
-                        sampleMod: Int = Sessionize.SampleMod): DataFrame =
-    bucketsFromScores(lmScore(docs, lm, n), sampleMod)
+                        k: Int = Sketches.QsK): DataFrame =
+    bucketsFromScores(lmScore(docs, lm, n), k)
 
   /** Vocabulary coverage curve: what fraction of all corpus token
     * instances the top-k most frequent words cover, for each requested
