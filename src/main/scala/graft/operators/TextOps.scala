@@ -14,16 +14,31 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Space-joined overlapping character `n`-grams: "abcde" → "abc bcd
-    * cde". Texts shorter than `n` come back whole. Pure Column
-    * expression (sequence + transform + substr — no UDF); the HOF
-    * branch is CodegenFallback, but it only ever EVALUATES on rows
-    * [[segmentIfUnspaced]] routes here, so spaced-corpus hot paths
-    * stay fully codegen'd.
+    * cde". Texts shorter than `n` come back whole. DECLARATIVE
+    * REFERENCE form (sequence + transform + substr) — higher-order
+    * functions are CodegenFallback, and any CodegenFallback
+    * subexpression knocks the whole projection out of whole-stage
+    * codegen even on rows where the branch never fires, so the hot
+    * path ([[segmentIfUnspaced]]) uses the native
+    * [[graft.functions.SegmentUnspaced]] kernel instead; this form
+    * exists to spec-check the kernel against (the shinglesHof
+    * precedent).
     */
   def charGramJoin(text: Column, n: Int): Column =
     array_join(
       transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
         i => text.substr(i, lit(n))), " ")
+
+  /** [[segmentIfUnspaced]]'s declarative reference form — used only by
+    * the kernel-parity spec.
+    */
+  def segmentIfUnspacedHof(text: Column, gram: Int = 3,
+                           maxAvgChunk: Int = 16): Column = {
+    val nSpaces = length(text) - length(translate(text, " ", ""))
+    when(length(text) > maxAvgChunk &&
+        length(text) > (nSpaces + 1) * maxAvgChunk,
+      charGramJoin(text, gram)).otherwise(text)
+  }
 
   /** Script-aware segmentation — the per-doc space-density switch that
     * keeps the whole whitespace-token stack (token counts, Gopher
@@ -44,12 +59,10 @@ object TextOps {
     * 16-char trigger; only genuinely unsegmented runs flip it.
     */
   def segmentIfUnspaced(text: Column, gram: Int = 3,
-                        maxAvgChunk: Int = 16): Column = {
-    val nSpaces = length(text) - length(translate(text, " ", ""))
-    when(length(text) > maxAvgChunk &&
-        length(text) > (nSpaces + 1) * maxAvgChunk,
-      charGramJoin(text, gram)).otherwise(text)
-  }
+                        maxAvgChunk: Int = 16): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.SegmentUnspaced(
+        org.apache.spark.sql.graft.Bridge.expression(text), gram, maxAvgChunk))
 
   /** [[tokens]] over [[segmentIfUnspaced]] — identical to [[tokens]]
     * on space-delimited text, character trigrams on unsegmented

@@ -37,6 +37,45 @@ class ScriptAwareSpec extends SparkSpec {
     assert(got(2) == "短文", "short text stays whole")
   }
 
+  test("the native SegmentUnspaced kernel matches the declarative HOF " +
+       "reference on every edge, and keeps the scan inside " +
+       "whole-stage codegen") {
+    val fixtures = Seq(
+      english, hanA, hanB, hanC, "短文", "",
+      "x" * 16,            // at the length gate — passes through
+      "x" * 17,            // one past: single 17-char chunk → segments
+      "a  b   c",          // multi-space runs (empty chunks)
+      "wordsixteenchars " * 10, // avg exactly 16 incl boundary math
+      "ab", "a b", " ",
+      "𝒜𝒷𝒞𝒹𝒠" * 8)      // supplementary-plane chars (code-point grams)
+    val df = fixtures.toDF("text")
+    val both = df.select(
+      TextOps.segmentIfUnspaced(col("text")).as("kernel"),
+      TextOps.segmentIfUnspacedHof(col("text")).as("ref"))
+      .collect()
+    both.zip(fixtures).foreach { case (r, fx) =>
+      assert(r.getString(0) == r.getString(1),
+        s"kernel diverged from HOF reference on ${fx.take(30)}…: " +
+          s"'${r.getString(0).take(60)}' vs '${r.getString(1).take(60)}'")
+    }
+    // the kernel must NOT knock the projection out of WSCG (the HOF
+    // form does — that cost the text family 1.5-2x in the r8 sweep);
+    // assert over a parquet scan (a local relation constant-folds)
+    val scan = graft.core.Tables(spark, sf(), "documents")
+    def wscgProject(plan: String): Boolean =
+      plan.linesIterator.exists(l =>
+        l.contains("Project") && l.trim.startsWith("*("))
+    val kPlan = scan.select(TextOps.segmentIfUnspaced(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(wscgProject(kPlan),
+      s"segmentation fell out of whole-stage codegen:\n$kPlan")
+    val hofPlan = scan.select(TextOps.segmentIfUnspacedHof(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!wscgProject(hofPlan),
+      "the HOF reference unexpectedly codegens — if Spark gained HOF " +
+        "codegen, the kernel split may be removable")
+  }
+
   test("gate signals are sane on unsegmented docs: token count tracks " +
        "chars, avg_token_len = 3 (inside the Gopher window), and an " +
        "en-gate keeps English while excluding the CJK doc as 'und' — " +
