@@ -204,4 +204,49 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.etl.Incremental.joinDelta(o, o.limit(0), o2,
       o2.limit(0), Seq("o_orderkey")).count() == 0)
   }
+
+  test("round-8 additions: empty in, empty (or identity) out, no crash") {
+    // quantile sketch family: empty input -> empty sketch -> empty
+    // estimates; merge of empties is empty
+    val sk0 = Sketches.quantileSketch(events0.select("event_type", "value",
+      "event_id"), Seq("event_type"), col("value"), col("event_id"))
+    assert(sk0.count() == 0)
+    assert(Sketches.quantileMerge(Seq("event_type"), Sketches.QsK, sk0)
+      .count() == 0)
+    assert(Sketches.quantileEstimate(sk0, Seq("event_type"),
+      Seq("p50" -> 0.5)).count() == 0)
+    // sketch defaults on empty events
+    assert(graft.operators.Sessionize.winsorize(events0).count() == 0)
+    assert(graft.operators.Sessionize.medianByType(events0).count() == 0)
+
+    // phrase search: empty corpus and no-hit phrases are silent
+    assert(Retrieval.phraseSearch(docs0, Seq(1 -> Seq("a", "b"))).count() == 0)
+    assert(Retrieval.positionalPostings(docs0).count() == 0)
+    val corpus = Tables(spark, sf(), "documents").limit(10)
+    assert(Retrieval.phraseSearch(corpus,
+      Seq(1 -> Seq("zzz_absent", "qqq_absent"))).count() == 0)
+
+    // semantic decontamination: empty train -> empty; empty benchmark
+    // -> whole train kept
+    val embSmall = Tables(spark, sf(), "embeddings").limit(10)
+    assert(Corpus.decontaminateSemantic(emb0, embSmall).count() == 0)
+    assert(Corpus.decontaminateSemantic(embSmall, emb0).count()
+      == embSmall.count())
+
+    // script-aware segmentation: NULL and empty text pass through
+    import spark.implicits._
+    val seg = Seq[Option[String]](None, Some(""), Some("ab"))
+      .toDF("text")
+      .select(TextOps.segmentIfUnspaced(col("text")).as("s"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(seg.toSeq == Seq(None, Some(""), Some("ab")))
+
+    // IVF refresh against unchanged centroids: no-op, no crash
+    val root = java.nio.file.Files.createTempDirectory("graft_e8").toString
+    val cents = Similarity.strideCentroids(embSmall, stride = 5)
+    Similarity.ivfAssignments(embSmall, cents)
+      .write.partitionBy("cell_id").parquet(s"$root/assigned")
+    Similarity.refreshAssignments(spark, s"$root/assigned", cents)
+    assert(spark.read.parquet(s"$root/assigned").count() == embSmall.count())
+  }
 }
