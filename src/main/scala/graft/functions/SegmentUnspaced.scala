@@ -7,30 +7,33 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Script-aware segmentation kernel
-  * ([[graft.operators.TextOps.segmentIfUnspaced]]'s hot form): when a
-  * document's average space-separated chunk exceeds `maxAvgChunk`
-  * characters (an unsegmented script — CJK, Thai, one giant token),
-  * rewrite it as overlapping character `gram`-grams joined by single
-  * spaces; otherwise return the input UNCHANGED (zero-copy — the very
-  * same UTF8String).
+  * ([[graft.operators.TextOps.segmentIfUnspaced]]'s hot form): every
+  * space-free RUN longer than `maxRun` characters — an unsegmented
+  * script passage (CJK, Thai), a URL, machine garbage — is rewritten
+  * IN PLACE as its overlapping character `gram`-grams joined by
+  * single spaces; every other run (all natural-language words in
+  * space-delimited scripts) passes through untouched. A document with
+  * no such run returns UNCHANGED (zero-copy — the very same
+  * UTF8String). The per-run rule subsumes the pure-CJK whole-doc
+  * case (one giant run) and, unlike a whole-document density switch,
+  * also catches MIXED-script documents — an English page quoting a
+  * CJK paragraph segments exactly that paragraph.
   *
   * Native Catalyst expression with `doGenCode`. The declarative form
-  * — `when(density, array_join(transform(sequence(...), substr)))` —
-  * contains higher-order functions, and ANY CodegenFallback
-  * subexpression disables WHOLE-STAGE CODEGEN for the entire
-  * projection even on rows where the branch never evaluates: wiring
-  * the HOF form into the gate/quality/token scans measurably cost the
-  * whole text-analysis family 1.5–2× (r8 budget sweep). This kernel
-  * keeps the scan inside WSCG; the condition is two counters over one
-  * byte pass, and spaced documents (the overwhelming bulk) pay
-  * exactly that and nothing else.
+  * (transform over split — higher-order functions) is CodegenFallback,
+  * and ANY CodegenFallback subexpression disables WHOLE-STAGE CODEGEN
+  * for the entire projection even on rows where nothing triggers:
+  * wiring the HOF form into the gate/quality/token scans measurably
+  * cost the whole text-analysis family 1.5–2× (r8 budget sweep). This
+  * kernel keeps the scan inside WSCG; the trigger check is ONE raw
+  * byte pass with zero allocation, and documents with no long run
+  * (the overwhelming bulk) pay exactly that and nothing else.
   *
-  * Density/char semantics match the declarative reference form
-  * (`length`/`translate`/`substr` — all CODE-POINT counts in Spark):
-  * spec-pinned identical (ScriptAwareSpec), the shinglesHof
-  * precedent.
+  * Char semantics match the declarative reference form (`length` /
+  * `substr` — CODE-POINT counts in Spark): spec-pinned identical
+  * (ScriptAwareSpec), the shinglesHof precedent.
   */
-case class SegmentUnspaced(child: Expression, gram: Int, maxAvgChunk: Int)
+case class SegmentUnspaced(child: Expression, gram: Int, maxRun: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = StringType
@@ -41,11 +44,11 @@ case class SegmentUnspaced(child: Expression, gram: Int, maxAvgChunk: Int)
       s"segment_unspaced needs a string input, got ${child.dataType.simpleString}")
 
   override protected def nullSafeEval(input: Any): Any =
-    SegmentUnspaced.compute(input.asInstanceOf[UTF8String], gram, maxAvgChunk)
+    SegmentUnspaced.compute(input.asInstanceOf[UTF8String], gram, maxRun)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.SegmentUnspaced.compute($c, $gram, $maxAvgChunk)")
+      c => s"graft.functions.SegmentUnspaced.compute($c, $gram, $maxRun)")
 
   override protected def withNewChildInternal(newChild: Expression): SegmentUnspaced =
     copy(child = newChild)
@@ -54,56 +57,68 @@ case class SegmentUnspaced(child: Expression, gram: Int, maxAvgChunk: Int)
 }
 
 object SegmentUnspaced {
-  def compute(text: UTF8String, gram: Int, maxAvgChunk: Int): UTF8String = {
-    // the condition is ONE raw byte pass, zero allocation: chars =
-    // non-continuation bytes (UTF8String.numChars semantics) and
-    // spaces = 0x20 bytes (0x20 can never occur inside a multi-byte
-    // UTF-8 sequence — continuation bytes are >= 0x80). This matters
-    // because the stateless expression builders (qualityScoreExpr,
-    // predictedLangExpr) duplicate this subtree several times per row
-    // inside interpreted projections the markerCount HOF forces — a
-    // toString here allocated the full document per duplicate.
+  def compute(text: UTF8String, gram: Int, maxRun: Int): UTF8String = {
+    // trigger check: ONE raw byte pass, zero allocation — run length
+    // in CODE POINTS (chars = non-continuation bytes; 0x20 can never
+    // occur inside a multi-byte UTF-8 sequence, so the space test is
+    // a plain byte compare). This matters because the stateless
+    // expression builders (qualityScoreExpr, predictedLangExpr)
+    // duplicate this subtree several times per row inside interpreted
+    // projections the markerCount HOF forces — any per-row allocation
+    // here multiplies.
     val nBytes = text.numBytes()
-    var chars = 0
-    var spaces = 0
+    var run = 0
+    var hit = false
     var bi = 0
-    while (bi < nBytes) {
+    while (bi < nBytes && !hit) {
       val b = text.getByte(bi)
       if ((b & 0xC0) != 0x80) {
-        chars += 1
-        if (b == 0x20) spaces += 1
+        if (b == 0x20) run = 0
+        else { run += 1; if (run > maxRun) hit = true }
       }
       bi += 1
     }
-    // trigger: length(text) > maxAvgChunk AND
-    //          length(text) > (spaces + 1) * maxAvgChunk
-    if (chars <= maxAvgChunk ||
-        chars <= (spaces + 1).toLong * maxAvgChunk) return text
-    val len = chars
+    if (!hit) return text
+    // rebuild (rare branch): long runs become their code-point
+    // gram-grams joined by spaces, in place; everything else verbatim
     val s = text.toString
-    // segmented branch: overlapping char grams joined by spaces —
-    // code-POINT grams (surrogate-pair safe), matching substr()
-    val cps = new Array[Int](len)
-    var n = 0
-    var si = 0
-    while (si < s.length) {
-      val cp = s.codePointAt(si)
-      cps(n) = cp
-      n += 1
-      si += Character.charCount(cp)
-    }
-    val nGrams = math.max(n - (gram - 1), 1)
-    val sb = new java.lang.StringBuilder(s.length * (gram + 1))
-    var g = 0
-    while (g < nGrams) {
-      if (g > 0) sb.append(' ')
-      var j = 0
-      while (j < gram && g + j < n) {
-        sb.appendCodePoint(cps(g + j))
-        j += 1
+    val out = new java.lang.StringBuilder(s.length * 2)
+    var start = 0
+    var first = true
+    def emitRun(tok: String): Unit = {
+      if (!first) out.append(' ')
+      first = false
+      // code-point length (surrogate-pair safe)
+      val cpLen = tok.codePointCount(0, tok.length)
+      if (cpLen <= maxRun) { out.append(tok); return }
+      val cps = new Array[Int](cpLen)
+      var n = 0
+      var si = 0
+      while (si < tok.length) {
+        val cp = tok.codePointAt(si)
+        cps(n) = cp; n += 1
+        si += Character.charCount(cp)
       }
-      g += 1
+      val nGrams = math.max(n - (gram - 1), 1)
+      var g = 0
+      while (g < nGrams) {
+        if (g > 0) out.append(' ')
+        var j = 0
+        while (j < gram && g + j < n) {
+          out.appendCodePoint(cps(g + j)); j += 1
+        }
+        g += 1
+      }
     }
-    UTF8String.fromString(sb.toString)
+    var ci = 0
+    while (ci < s.length) {
+      if (s.charAt(ci) == ' ') {
+        emitRun(s.substring(start, ci))
+        start = ci + 1
+      }
+      ci += 1
+    }
+    emitRun(s.substring(start))
+    UTF8String.fromString(out.toString)
   }
 }

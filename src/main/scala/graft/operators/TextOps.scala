@@ -30,39 +30,52 @@ object TextOps {
         i => text.substr(i, lit(n))), " ")
 
   /** [[segmentIfUnspaced]]'s declarative reference form — used only by
-    * the kernel-parity spec.
+    * the kernel-parity spec: each space-separated run longer than
+    * `maxRun` is replaced by its char `gram`-grams, in place.
     */
   def segmentIfUnspacedHof(text: Column, gram: Int = 3,
-                           maxAvgChunk: Int = 16): Column = {
-    val nSpaces = length(text) - length(translate(text, " ", ""))
-    when(length(text) > maxAvgChunk &&
-        length(text) > (nSpaces + 1) * maxAvgChunk,
-      charGramJoin(text, gram)).otherwise(text)
-  }
+                           maxRun: Int = MaxRun): Column =
+    array_join(transform(split(text, " "), t =>
+      when(length(t) > maxRun, charGramJoin(t, gram)).otherwise(t)), " ")
 
-  /** Script-aware segmentation — the per-doc space-density switch that
-    * keeps the whole whitespace-token stack (token counts, Gopher
-    * gate, shingle dedup, retrieval terms) working on scripts that
-    * don't delimit words with spaces (CJK, Thai, …). A doc whose
-    * average space-separated chunk exceeds `maxAvgChunk` characters
-    * is rewritten as overlapping character `gram`-grams joined by
-    * single spaces; everything else passes through UNCHANGED, so on a
-    * space-delimited corpus this is the identity and every SQL-oracle
-    * parity downstream is preserved bit-for-bit.
+  /** The run-length threshold above which a space-free run is treated
+    * as unsegmented script (or a URL / machine garbage) and rewritten
+    * as character trigrams: 24 chars sits safely past natural-language
+    * word lengths in space-delimited scripts (even German compounds
+    * rarely reach it) while any CJK/Thai passage — which runs
+    * unbroken for sentences — triggers at once.
+    */
+  final val MaxRun = 24
+
+  /** Script-aware segmentation — the per-run switch that keeps the
+    * whole whitespace-token stack (token counts, Gopher gate, shingle
+    * dedup, retrieval terms) working on scripts that don't delimit
+    * words with spaces (CJK, Thai, …). Every space-free run longer
+    * than `maxRun` characters is rewritten IN PLACE as overlapping
+    * character `gram`-grams joined by single spaces; all other runs —
+    * and therefore every document of a space-delimited corpus — pass
+    * through UNCHANGED, so SQL-oracle parity downstream is preserved
+    * bit-for-bit (verified: the driver corpus's longest token is 8
+    * chars at every SF). The per-run rule subsumes the pure-CJK
+    * whole-document case and also catches MIXED-script documents — an
+    * English page quoting a CJK paragraph segments exactly that
+    * paragraph, which a whole-document density switch misses.
     *
     * gram = 3 deliberately: character trigrams are the standard CJK
-    * retrieval/dedup feature, and the resulting pseudo-tokens have
-    * avg_token_len exactly 3 — inside the Gopher gate's [3, 10]
-    * window, so length-shaped quality rules stay meaningful instead
-    * of rejecting every unsegmented doc as "one giant word".
-    * English prose averages ~6 chars/chunk, two orders under the
-    * 16-char trigger; only genuinely unsegmented runs flip it.
+    * retrieval/dedup feature, and a fully-unsegmented doc's
+    * pseudo-tokens land avg_token_len exactly 3 — inside the Gopher
+    * gate's [3, 10] window, so length-shaped quality rules stay
+    * meaningful instead of rejecting every unsegmented doc as "one
+    * giant word". Native codegen kernel
+    * ([[graft.functions.SegmentUnspaced]]): the trigger check is one
+    * zero-allocation byte pass, and untriggered rows return the very
+    * same UTF8String.
     */
   def segmentIfUnspaced(text: Column, gram: Int = 3,
-                        maxAvgChunk: Int = 16): Column =
+                        maxRun: Int = MaxRun): Column =
     org.apache.spark.sql.graft.Bridge.column(
       graft.functions.SegmentUnspaced(
-        org.apache.spark.sql.graft.Bridge.expression(text), gram, maxAvgChunk))
+        org.apache.spark.sql.graft.Bridge.expression(text), gram, maxRun))
 
   /** [[tokens]] over [[segmentIfUnspaced]] — identical to [[tokens]]
     * on space-delimited text, character trigrams on unsegmented

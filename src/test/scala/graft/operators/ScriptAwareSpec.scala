@@ -24,8 +24,10 @@ class ScriptAwareSpec extends SparkSpec {
     "the quick brown fox jumps over the lazy dog and then runs far away home"
 
   test("segmentIfUnspaced: identity on spaced text, overlapping char " +
-       "trigrams on unsegmented text, pass-through under the length gate") {
-    val got = Seq(english, hanA, "短文")
+       "trigrams on unsegmented runs, pass-through under the run gate, " +
+       "and MIXED-script docs segment exactly their unsegmented runs") {
+    val mixed = s"the report quotes $hanA in the appendix"
+    val got = Seq(english, hanA, "短文", mixed)
       .toDF("text")
       .select(TextOps.segmentIfUnspaced(col("text")).as("seg"))
       .collect().map(_.getString(0))
@@ -35,6 +37,10 @@ class ScriptAwareSpec extends SparkSpec {
     assert(grams.forall(_.length == 3))
     assert(grams(0) == hanA.substring(0, 3) && grams(1) == hanA.substring(1, 4))
     assert(got(2) == "短文", "short text stays whole")
+    // the mixed doc segments ONLY the CJK run — a whole-doc density
+    // switch would have passed this doc through blind
+    assert(got(3) == s"the report quotes ${got(1)} in the appendix",
+      s"mixed doc mis-segmented: ${got(3)}")
   }
 
   test("the native SegmentUnspaced kernel matches the declarative HOF " +
@@ -42,10 +48,11 @@ class ScriptAwareSpec extends SparkSpec {
        "whole-stage codegen") {
     val fixtures = Seq(
       english, hanA, hanB, hanC, "短文", "",
-      "x" * 16,            // at the length gate — passes through
-      "x" * 17,            // one past: single 17-char chunk → segments
+      "x" * 24,            // at the run gate — passes through
+      "x" * 25,            // one past: the 25-char run segments
+      s"ok $hanA ok",      // mixed: only the long run segments
       "a  b   c",          // multi-space runs (empty chunks)
-      "wordsixteenchars " * 10, // avg exactly 16 incl boundary math
+      "antidisestablishmentarianism", // 28-char latin run — segments
       "ab", "a b", " ",
       "𝒜𝒷𝒞𝒹𝒠" * 8)      // supplementary-plane chars (code-point grams)
     val df = fixtures.toDF("text")
