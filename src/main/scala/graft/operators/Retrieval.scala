@@ -138,8 +138,14 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"),
         (col("pos") - col("term_idx")).as("anchor"),
         col("term_idx"), col("phrase_len"))
+      // (query, doc, anchor, term_idx) is UNIQUE by construction —
+      // positional postings carry one row per (doc, term, pos) and a
+      // fixed (doc, anchor, term_idx) pins pos = anchor + term_idx —
+      // so the slot count is a plain COUNT(*): same value as the
+      // definitional COUNT(DISTINCT term_idx) the oracle writes, one
+      // partial-aggregating exchange cheaper (no distinct expand)
       .groupBy("query_id", "doc_id", "anchor", "phrase_len")
-      .agg(count_distinct(col("term_idx")).as("n_hit"))
+      .agg(count(lit(1)).as("n_hit"))
       .filter(col("n_hit") === col("phrase_len"))
       .groupBy("query_id", "doc_id")
       .agg(count(lit(1)).as("n_occurrences"))

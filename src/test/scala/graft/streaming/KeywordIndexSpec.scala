@@ -73,6 +73,14 @@ class KeywordIndexSpec extends SparkSpec {
     assert(hits("beta") == Set(2L))
     // the raw email was scrubbed before indexing — unfindable
     assert(hits("bob@example.com").isEmpty, "PII leaked into the index")
+    // phrase search rides the same curated positional frame: the
+    // curated phrase hits, the scrubbed raw email never does
+    def phits(ph: Seq[String]): Set[Long] = idx.phraseSearch(Seq(1 -> ph))
+      .select("doc_id").as[Long].collect().toSet
+    assert(phits(Seq("alpha", "retrieval", "corpus")) == Set(1L),
+      "curated phrase not findable")
+    assert(phits(Seq("contact", "bob@example.com")).isEmpty,
+      "raw-PII phrase findable in the curated index")
   }
 
   test("a doc re-seen in a later batch is LAST-WRITER-WINS: old terms " +
