@@ -60,6 +60,11 @@ object GraftFunctions {
     org.apache.spark.sql.graft.Bridge.column(
       StringHash31(org.apache.spark.sql.graft.Bridge.expression(c)))
 
+  /** Column wrapper for [[MarkerCounts]]. */
+  def markerCounts(text: Column, markers: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      MarkerCounts(org.apache.spark.sql.graft.Bridge.expression(text), markers))
+
   /** Column wrapper for [[MinHashSig]]. */
   def minhashSig(text: Column, n: Int, k: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(

@@ -76,7 +76,7 @@ object Corpus {
         TextAnalysis.predictedLangExpr(col("text")).as("predicted_lang"))
       .filter(col("predicted_lang") === lang && col("quality_score") >= minScore)
       .join(keepers, Seq("doc_id"), "left_semi")
-      .orderBy("doc_id")
+      .transform(graft.core.SmallSort.byNames(_, "doc_id"))
   }
 
   /** Gopher-style composed quality gate: one corpus scan computes
@@ -102,10 +102,11 @@ object Corpus {
                  maxPunctRatio: Double = 0.2, minScore: Double = 0.5,
                  maxRepetitionRatio: Double = 0.05,
                  maxTopNgramRatio: Double = 0.10): DataFrame =
-    gopherGateRows(docs, lang, minTokens, maxTokens, minAvgTokenLen,
-      maxAvgTokenLen, maxPunctRatio, minScore, maxRepetitionRatio,
-      maxTopNgramRatio)
-      .orderBy("doc_id")
+    graft.core.SmallSort.byNames(
+      gopherGateRows(docs, lang, minTokens, maxTokens, minAvgTokenLen,
+        maxAvgTokenLen, maxPunctRatio, minScore, maxRepetitionRatio,
+        maxTopNgramRatio),
+      "doc_id")
 
   /** [[gopherGate]] without the oracle's output sort — everything left
     * is a stateless per-row projection + filter, so this form drops
@@ -283,7 +284,7 @@ object Corpus {
       .select("vec_id").distinct()
     tEmb.select("vec_id")
       .join(contaminated, Seq("vec_id"), "left_anti")
-      .orderBy("vec_id")
+      .transform(graft.core.SmallSort.byNames(_, "vec_id"))
   }
 
   /** Row-preserving [[decontaminateSemantic]] for pipeline
@@ -327,7 +328,7 @@ object Corpus {
     tagged.filter(col("is_train"))
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id")
-      .orderBy("doc_id")
+      .transform(graft.core.SmallSort.byNames(_, "doc_id"))
   }
 
   /** Fixed-size chunking with overlap — the pretraining/RAG step that

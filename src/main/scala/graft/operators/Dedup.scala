@@ -465,7 +465,7 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .orderBy("doc_a", "doc_b")
+      .transform(graft.core.SmallSort.byNames(_, "doc_a", "doc_b"))
 
   /** Asymmetric near-dup: containment |A∩B|/|A| (and /|B|) over the
     * same rare-shingle machinery. Jaccard misses SUBSET duplication —
@@ -485,7 +485,7 @@ object Dedup {
         (col("inter").cast("double") / col("sz_b")).as("containment_b"))
       .filter(greatest(col("containment_a"), col("containment_b"))
         >= minContainment)
-      .orderBy("doc_a", "doc_b")
+      .transform(graft.core.SmallSort.byNames(_, "doc_a", "doc_b"))
 
   /** Shared core of [[ngramJaccard]] / [[ngramContainment]]: rare-
     * shingle co-occurrence pairs with intersection and doc sizes —
@@ -582,7 +582,7 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .orderBy("doc_a", "doc_b")
+      .transform(graft.core.SmallSort.byNames(_, "doc_a", "doc_b"))
   }
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ `maxHamming`.
@@ -621,6 +621,6 @@ object Dedup {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
+      .transform(graft.core.SmallSort.byNames(_, "doc_a", "doc_b"))
   }
 }

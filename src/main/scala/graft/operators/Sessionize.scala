@@ -495,7 +495,7 @@ object Sessionize {
       .filter(dev * dev > varN2 * 9)
       .select(col("event_id"), col("event_type"), col("value"),
         when(dev > 0, lit("high")).otherwise(lit("low")).as("side"))
-      .orderBy("event_id")
+      .transform(graft.core.SmallSort.byNames(_, "event_id"))
   }
 
   /** Robust (median/MAD) outliers per event type — the heavy-tail-safe

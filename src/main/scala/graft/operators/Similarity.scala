@@ -307,7 +307,7 @@ object Similarity {
       nearDupPairs(corpus, minCosine), "vec_a", "vec_b")
       .filter(col("doc_id") =!= col("component_id"))
       .select(col("doc_id").as("vec_id"), col("component_id").as("keeper_id"))
-      .orderBy("vec_id")
+      .transform(graft.core.SmallSort.byNames(_, "vec_id"))
 
   /** kNN graph: each vector's top-`k` most-similar neighbors among its
     * LSH candidates (same banded hyperplane buckets as
@@ -324,7 +324,8 @@ object Similarity {
     */
   def knnGraph(corpus: DataFrame, k: Int = 5,
                minCosine: Double = 0.2): DataFrame =
-    knnPairs(corpus, k, minCosine).orderBy("vec_id", "rank")
+    graft.core.SmallSort.byNames(knnPairs(corpus, k, minCosine),
+      "vec_id", "rank")
 
   /** [[knnGraph]] without the output sort, for composers that
     * re-shuffle anyway ([[labelAgreement]]).
@@ -367,14 +368,14 @@ object Similarity {
         col("n_agree"),
         round(col("n_agree").cast("double") / col("n_neighbors"), 4)
           .as("agreement"))
-      .orderBy("vec_id")
+      .transform(graft.core.SmallSort.byNames(_, "vec_id"))
   }
 
   def embeddingNearDup(corpus: DataFrame, minCosine: Double = 0.35,
                        bands: Int = 8, rowsPerBand: Int = 6,
                        dims: Int = 64): DataFrame =
     nearDupPairs(corpus, minCosine, bands, rowsPerBand, dims)
-      .orderBy("vec_a", "vec_b")
+      .transform(graft.core.SmallSort.byNames(_, "vec_a", "vec_b"))
 
   /** [[embeddingNearDup]] without the hash-stability output sort —
     * the form graph consumers (connected components, kNN ranking)

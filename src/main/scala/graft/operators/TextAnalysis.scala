@@ -25,6 +25,16 @@ object TextAnalysis {
   private def markerCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit(_)): _*))).cast("long")
 
+  /** All four languages' marker-instance counts in ONE text pass —
+    * the native [[graft.functions.MarkerCounts]] kernel (the HOF
+    * [[markerCount]] above is the spec-checked reference form; each
+    * HOF call is CodegenFallback and re-walks the token array, which
+    * held the whole gate/quality/lang projection out of whole-stage
+    * codegen). Index with element_at (1-based, [[Markers]] order).
+    */
+  private def markerCountsAll(text: Column): Column =
+    GraftFunctions.markerCounts(text, Markers.map(_._2))
+
   // -- reusable per-row expression builders (shared by the standalone
   //    queries and by pipeline compositions like Corpus.qualityFilter,
   //    so composed pipelines stay ONE scan instead of joining three) --
@@ -39,7 +49,7 @@ object TextAnalysis {
     val nChars = length(text).cast("long")
     val nTokens = nTokensExpr(seg)
     val punctRatio = length(regexp_replace(text, "[a-z ]", "")).cast("double") / nChars
-    val stopRatio = markerCount(TextOps.tokens(seg), Markers.head._2)
+    val stopRatio = element_at(markerCountsAll(seg), 1)
       .cast("double") / nTokens
     least(nTokens.cast("double") / 100.0, lit(1.0)) * 0.4 +
       (lit(1.0) - punctRatio) * 0.3 +
@@ -48,8 +58,8 @@ object TextAnalysis {
 
   /** Argmax language pick with fixed priority — same rule as [[langId]]. */
   def predictedLangExpr(text: Column): Column = {
-    val toks = TextOps.tokensScriptAware(text)
-    val Seq(en, es, fr, de) = Markers.map { case (_, ws) => markerCount(toks, ws) }
+    val mc = markerCountsAll(TextOps.segmentIfUnspaced(text))
+    val Seq(en, es, fr, de) = Markers.indices.map(i => element_at(mc, i + 1))
     when(en >= es && en >= fr && en >= de && en > 0, "en")
       .when(es >= fr && es >= de && es > 0, "es")
       .when(fr >= de && fr > 0, "fr")
@@ -94,14 +104,15 @@ object TextAnalysis {
     // raw text — they measure the document, not its tokenization
     val staged = docs
       .withColumn("__seg", TextOps.segmentIfUnspaced(text))
-      .withColumn("__toks", TextOps.tokens(col("__seg")))
+      .withColumn("__mc", markerCountsAll(col("__seg")))
       .withColumn("__gs_n_chars", length(text).cast("long"))
       .withColumn("__gs_n_tokens", nTokensExpr(col("__seg")))
       .withColumn("__punct",
         length(regexp_replace(text, "[a-z ]", "")).cast("long"))
       .withColumn("__st", GraftFunctions.repetitionStats(col("__seg"), n))
-    val withMarkers = Markers.foldLeft(staged) { case (d, (l, ws)) =>
-      d.withColumn(s"__score_$l", markerCount(col("__toks"), ws))
+    val withMarkers = Markers.zipWithIndex.foldLeft(staged) {
+      case (d, ((l, _), i)) =>
+        d.withColumn(s"__score_$l", element_at(col("__mc"), i + 1))
     }
     val punctRatio = col("__punct").cast("double") / col("__gs_n_chars")
     val stopRatio = col("__score_en").cast("double") / col("__gs_n_tokens")
@@ -133,7 +144,7 @@ object TextAnalysis {
         when(col("__st.total_ngrams") === 0, 0.0)
           .otherwise(round(col("__st.top_ngram_freq").cast("double") /
             col("__st.total_ngrams"), 4)))
-      .drop("__seg" +: "__toks" +: "__punct" +: "__st" +:
+      .drop("__seg" +: "__mc" +: "__punct" +: "__st" +:
         Markers.map { case (l, _) => s"__score_$l" }: _*)
   }
 
@@ -145,10 +156,11 @@ object TextAnalysis {
     // project tokens to an attribute so the text is split once per row,
     // not once per language scorer
     val scored = docs
-      .select(col("doc_id"), TextOps.tokensScriptAware(col("text")).as("toks"))
+      .select(col("doc_id"),
+        markerCountsAll(TextOps.segmentIfUnspaced(col("text"))).as("mc"))
       .select(
-        (col("doc_id") +: Markers.map { case (l, ws) =>
-          markerCount(col("toks"), ws).as(s"score_$l") }): _*)
+        (col("doc_id") +: Markers.zipWithIndex.map { case ((l, _), i) =>
+          element_at(col("mc"), i + 1).as(s"score_$l") }): _*)
     val Seq(en, es, fr, de) = Markers.map { case (l, _) => col(s"score_$l") }
     scored.withColumn("predicted_lang",
       when(en >= es && en >= fr && en >= de && en > 0, "en")
@@ -174,7 +186,7 @@ object TextAnalysis {
     val nTokens =
       (length(seg) - length(regexp_replace(seg, " ", "")) + 1).cast("long")
     val alphaSpace = length(regexp_replace(text, "[a-z ]", "")).cast("long")
-    val stopHits = markerCount(TextOps.tokens(seg), Markers.head._2)
+    val stopHits = element_at(markerCountsAll(seg), 1)
     docs.select(col("doc_id"), nChars.as("n_chars"), nTokens.as("n_tokens"),
         (alphaSpace.cast("double") / nChars).as("punct_ratio"),
         (stopHits.cast("double") / nTokens).as("stopword_ratio"),

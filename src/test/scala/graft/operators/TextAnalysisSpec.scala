@@ -89,4 +89,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r == RollingFingerprint.compute(
       "hello world hello world".getBytes("UTF-8"), 8))
   }
+
+  test("MarkerCounts kernel matches the per-language HOF reference " +
+       "token-for-token (instances, split-on-single-space semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    def hofCount(toks: Column, words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words.map(lit(_)): _*))).cast("long")
+    val fixtures = Seq(
+      "the cat and the dog", "", " ", "the  the", "el la unodoswords",
+      "der und die das der", "le la et unknown", "no markers here at all",
+      "今天天气很好我们一起去公园散步看花然后回家吃饭休息一下再去买东西")
+    val df = fixtures.toDF("text")
+    val seg = TextOps.segmentIfUnspaced(col("text"))
+    val kernel = graft.functions.GraftFunctions
+      .markerCounts(seg, TextAnalysis.Markers.map(_._2))
+    val cols = TextAnalysis.Markers.indices.flatMap { i =>
+      Seq(element_at(kernel, i + 1).as(s"k$i"),
+        hofCount(split(seg, " "), TextAnalysis.Markers(i)._2).as(s"h$i"))
+    }
+    df.select(cols: _*).collect().foreach { r =>
+      TextAnalysis.Markers.indices.foreach { i =>
+        assert(r.getAs[Long](s"k$i") == r.getAs[Long](s"h$i").toLong,
+          s"kernel diverged from HOF on lang $i: $r")
+      }
+    }
+  }
 }
