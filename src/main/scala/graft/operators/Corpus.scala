@@ -446,7 +446,7 @@ object Corpus {
     chunks.join(sharing, "ck").drop("ck")
       .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text",
         "n_docs_sharing")
-      .orderBy("doc_id", "chunk_id")
+      .transform(graft.core.SmallSort.byNames(_, "doc_id", "chunk_id"))
   }
 
   /** Chunk-level (paragraph) deduplication profile, the CCNet/RefinedWeb
