@@ -98,8 +98,15 @@ object Mart {
                   "l_linenumber")): Unit = {
     val up = updates.withColumn("year", year(col("date_key")))
       .localCheckpoint()
-    val touched = up.select("year").distinct().collect()
-      .map(_.getInt(0)).toSeq
+    val touchedRows = up.select("year").distinct().collect()
+    // year(NULL) is NULL: without this check a NULL date_key in the
+    // feed surfaced as an opaque NPE on getInt below — name the
+    // violated contract instead (date_key is the partition column;
+    // a row without one has no home partition).
+    require(!touchedRows.exists(_.isNullAt(0)),
+      "mergeFact: updates contain NULL date_key — every feed row " +
+        "must carry a non-null date_key (the year partition column)")
+    val touched = touchedRows.map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
     val stored = table(spark, outDir, FactTable)
       .filter(col("year").isin(touched: _*))

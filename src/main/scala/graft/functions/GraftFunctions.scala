@@ -39,6 +39,16 @@ object GraftFunctions {
       PqCodes(org.apache.spark.sql.graft.Bridge.expression(emb),
         codebook, present, m, k))
 
+  /** Column wrapper for [[NearestCells]] — the centroid matrix travels
+    * as a reference object; `cellIds` must be sorted ascending (the
+    * tie-break contract).
+    */
+  def nearestCells(emb: Column, cellIds: Array[Long],
+                   centroids: Array[Float], dim: Int, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      NearestCells(org.apache.spark.sql.graft.Bridge.expression(emb),
+        cellIds, centroids, dim, n))
+
   /** Column wrapper for [[WordShingles]]. */
   def wordShingles(text: Column, n: Int, keepDuplicates: Boolean = false): Column =
     org.apache.spark.sql.graft.Bridge.column(

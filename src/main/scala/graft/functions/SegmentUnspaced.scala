@@ -39,9 +39,17 @@ case class SegmentUnspaced(child: Expression, gram: Int, maxRun: Int)
   override def dataType: DataType = StringType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (child.dataType != StringType) TypeCheckResult.TypeCheckFailure(
       s"segment_unspaced needs a string input, got ${child.dataType.simpleString}")
+    // degenerate parameters fail at PLAN time, not silently at eval:
+    // gram < 1 would emit space-joined empty grams (corrupting every
+    // long run) and maxRun < gram would emit grams LONGER than the
+    // run threshold is meant to allow through
+    else if (gram < 1) TypeCheckResult.TypeCheckFailure(
+      s"segment_unspaced needs gram >= 1, got $gram")
+    else if (maxRun < gram) TypeCheckResult.TypeCheckFailure(
+      s"segment_unspaced needs maxRun >= gram, got maxRun=$maxRun gram=$gram")
+    else TypeCheckResult.TypeCheckSuccess
 
   override protected def nullSafeEval(input: Any): Any =
     SegmentUnspaced.compute(input.asInstanceOf[UTF8String], gram, maxRun)

@@ -244,9 +244,14 @@ object Dedup {
     // participate") and the aggregate's min/max non-null by
     // construction. [[exciseWith]] routes NULL-id docs around excision
     // untouched.
+    // Script-aware: the gram feed segments unspaced runs (CJK, Thai,
+    // URLs) into char trigrams first — identity on space-delimited
+    // text, so the SQL oracle replays verbatim — matching what the
+    // MinHash/SimHash signature scans already do. Without it a CJK
+    // passage is ONE token and duplicated-passage mining goes blind.
     docs
       .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), TextOps.tokensScriptAware(col("text")).as("tk"))
       .select(col("doc_id"), tk,
         explode(sequence(lit(1), greatest(size(tk) - (k - 1), lit(1))))
           .as("i"))
@@ -404,10 +409,16 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("text"), lit("")).as("clean_text"),
         lit(0L).as("n_removed"))
+    // Same script-aware token grain as [[spanInstances]] — positions
+    // must refer to the SAME token stream the spans were mined over,
+    // or excision on a segmented doc would cut the wrong ranges. On a
+    // segmented doc clean_text is therefore the segmented (trigram)
+    // form: excision is a token-space rewrite by contract.
     val toks = docs
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
-        posexplode(TextOps.tokens(coalesce(col("text"), lit("")))))
+        posexplode(TextOps.tokens(TextOps.segmentIfUnspaced(
+          coalesce(col("text"), lit(""))))))
       .toDF("doc_id", "pos", "tok")
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
     // the vacuously-true `length(tok) + span_start >= 0` term (both

@@ -143,15 +143,26 @@ object Sessionize {
             coalesce(percentile(col("value"), lit(hi)), max(col("value")))
               .as("p_hi"))
       else
+        // NULL values are filtered BEFORE the sketch: the bottom-k
+        // sample keeps rows regardless of value nullness, so a type
+        // whose k lowest-hash rows all carried NULL would estimate
+        // its bounds from nothing even when non-null values exist
+        // elsewhere in the stream (the exact path's `percentile`
+        // ignores NULLs by definition). Filtering also spends the
+        // whole k-row budget on usable values. An all-NULL type then
+        // has no bounds row — the clip join below is LEFT so such a
+        // type still passes through with NULL bounds, exactly as the
+        // exact path emits (NULL p_lo/p_hi).
         Sketches.quantileSketch(
-            events.select("event_type", "value", "event_id"),
+            events.select("event_type", "value", "event_id")
+              .filter(col("value").isNotNull),
             Seq("event_type"), col("value"), col("event_id"), k)
           .groupBy("event_type")
           .agg(coalesce(percentile(col("__qv"), lit(lo)), min(col("__qv")))
             .as("p_lo"),
             coalesce(percentile(col("__qv"), lit(hi)), max(col("__qv")))
               .as("p_hi"))
-    events.join(broadcast(bounds), "event_type")
+    events.join(broadcast(bounds), Seq("event_type"), "left")
       .select(col("event_type"), col("value"), col("p_lo"), col("p_hi"),
         least(greatest(col("value"), col("p_lo")), col("p_hi")).as("w"))
       .groupBy("event_type")
@@ -184,8 +195,15 @@ object Sessionize {
           count(lit(1)).as("n_events"))
         .orderBy("event_type")
     else {
+      // NULL values filtered BEFORE sampling (see [[winsorize]]): the
+      // sample must spend its k rows on values that can carry a
+      // median — without the filter a type whose k lowest-hash rows
+      // all held NULL reported median NULL even when non-null values
+      // existed elsewhere. An all-NULL type keeps its row via the
+      // LEFT join below (median NULL), matching the exact path.
       val med = Sketches.quantileSketch(
-          events.select("event_type", "value", "event_id"),
+          events.select("event_type", "value", "event_id")
+            .filter(col("value").isNotNull),
           Seq("event_type"), col("value"), col("event_id"), k)
         .groupBy("event_type")
         .agg(round(percentile(col("__qv"), lit(0.5)), 4).as("median_value"))

@@ -60,12 +60,11 @@ object Similarity {
                    iters: Int = 2): DataFrame = {
     var cur = centroids
     for (_ <- 1 to iters) {
-      val assigned = corpus.crossJoin(broadcast(cur))
-        .select(col("vec_id"), col("embedding"), col("cell_id"),
-          cosine(col("embedding"), col("centroid")).as("sim"))
-        .withColumn("r", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cell_id"))))
-        .filter(col("r") === 1)
+      // the same argmax kernel as the IVF assignment scan — one
+      // codegen'd projection per iteration, no corpus×cells fan-out
+      // (bit-identical cosine + tie-break to the window form, so the
+      // refinement trajectory is unchanged)
+      val assigned = nearestCells(corpus, cur, "vec_id", "embedding", n = 1)
       cur = assigned
         .select(col("cell_id"), posexplode(col("embedding")))
         .groupBy("cell_id", "pos").agg(avg(col("col")).as("m"))
@@ -126,22 +125,53 @@ object Similarity {
     * centroid) shape, and SimilaritySpec asserts the refined cells
     * don't degrade recall vs the seed. Corpus assigned to its nearest
     * cell once, probes search only their `nProbeCells` closest cells.
-    * Centroid table is broadcast in both phases; the corpus is scanned
-    * once and shuffled once on cell_id.
+    * The centroid table is a driver-collected task-constant in both
+    * phases (the [[nearestCells]] kernel); the corpus is scanned once
+    * and shuffled once on cell_id.
     */
   /** Top-`n` nearest cells (by centroid cosine) per row of `df` —
-    * the broadcast-centroid assignment scan shared by [[ivfTopK]] and
-    * [[ivfPqTopK]]. Keeps (idCol, embCol, cell_id).
+    * the assignment scan shared by [[ivfTopK]], [[ivfPqTopK]] and
+    * [[refreshAssignments]]. Keeps (idCol, embCol, cell_id).
+    *
+    * One codegen'd projection over the `df` scan: the centroid table
+    * is collected driver-side (model-sized — the PQ-codebook
+    * precedent; an IVF quantizer is 2^14–2^16 cells × dim floats,
+    * megabytes) and rides into [[graft.functions.NearestCells]] as a
+    * task-constant, so the scan emits exactly `n` rows per vector.
+    * The crossJoin + rank-window form this replaced materialized a
+    * corpus×cells fan-out into the window's exchange — 10⁴–10⁵× row
+    * inflation at a realistic quantizer, the one shape that could
+    * not survive a 100× scale-up. Ordering/tie/NaN parity with that
+    * window form is spec-pinned at 1k+ cells (NearestCellsSpec).
     */
   private def nearestCells(df: DataFrame, cents: DataFrame,
-                           idCol: String, embCol: String, n: Int): DataFrame =
-    df.crossJoin(cents)
-      .select(col(idCol), col(embCol),
-        col("cell_id"), cosine(col(embCol), col("centroid")).as("cell_sim"))
-      .withColumn("cell_rank", row_number().over(
-        Window.partitionBy(idCol).orderBy(col("cell_sim").desc, col("cell_id"))))
-      .filter(col("cell_rank") <= n)
-      .drop("cell_sim", "cell_rank")
+                           idCol: String, embCol: String, n: Int): DataFrame = {
+    val rows = cents
+      .select(col("cell_id").cast("long"), col("centroid")).collect()
+      .sortBy(_.getLong(0))
+    // empty centroid table (empty corpus seed) -> empty assignment,
+    // matching the crossJoin-form's natural behavior
+    if (rows.isEmpty)
+      return df.select(col(idCol), col(embCol), lit(0L).as("cell_id"))
+        .where(lit(false))
+    val ids = rows.map(_.getLong(0))
+    require(ids.distinct.length == ids.length,
+      "nearestCells: duplicate cell_id in centroid table")
+    val dim = rows.head.getSeq[Float](1).length
+    val flat = new Array[Float](rows.length * dim)
+    var r = 0
+    while (r < rows.length) {
+      val cent = rows(r).getSeq[Float](1)
+      require(cent.length == dim,
+        s"nearestCells: centroid dim ${cent.length} != $dim for cell ${ids(r)}")
+      var i = 0
+      while (i < dim) { flat(r * dim + i) = cent(i); i += 1 }
+      r += 1
+    }
+    df.select(col(idCol), col(embCol),
+      explode(graft.functions.GraftFunctions.nearestCells(
+        col(embCol), ids, flat, dim, n)).as("cell_id"))
+  }
 
   /** The corpus half of the IVF index, made explicit for persistence:
     * (vec_id, embedding, cell_id) — every vector tagged with its
@@ -153,7 +183,7 @@ object Similarity {
     * backfill/test convenience, not the deployment shape.
     */
   def ivfAssignments(corpus: DataFrame, centroids: DataFrame): DataFrame =
-    nearestCells(corpus, broadcast(centroids), "vec_id", "embedding", 1)
+    nearestCells(corpus, centroids, "vec_id", "embedding", 1)
 
   /** IVF index maintenance under centroid DRIFT: bring a PERSISTED
     * cell_id-partitioned [[ivfAssignments]] directory current against
@@ -181,29 +211,34 @@ object Similarity {
   def refreshAssignments(spark: SparkSession, indexDir: String,
                          newCentroids: DataFrame): Unit = {
     val stored = spark.read.parquet(indexDir)
-    val cents = broadcast(
-      newCentroids.select(col("cell_id").as("__new_cell"), col("centroid")))
-    val ranked = stored
-      .select(col("vec_id"), col("embedding"), col("cell_id").as("__old_cell"))
-      .crossJoin(cents)
-      .select(col("vec_id"), col("embedding"), col("__old_cell"),
-        col("__new_cell"),
-        cosine(col("embedding"), col("centroid")).as("__sim"))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy("vec_id")
-          .orderBy(col("__sim").desc, col("__new_cell"))))
-      .filter(col("__r") === 1)
-      .drop("__sim", "__r")
-    val affected = ranked.filter(col("__old_cell") =!= col("__new_cell"))
-      .select(explode(array(col("__old_cell"), col("__new_cell")))
-        .as("cell_id"))
-      .distinct().collect().map(_.get(0)).toSeq
+    // dedup by vec_id BEFORE ranking: a crash between the partition
+    // write and the drained-cell delete below can leave a moved
+    // vector present in BOTH its old and new partitions; ranking the
+    // duplicates would pick one nondeterministically
+    val winner = nearestCells(
+        stored.select("vec_id", "embedding").dropDuplicates("vec_id"),
+        newCentroids, "vec_id", "embedding", n = 1)
+      .withColumnRenamed("cell_id", "__new_cell")
+      .localCheckpoint() // read twice (affected set + content) and the
+                         // write below overwrites the dirs it reads
+    // the affected set derives from ALL stored rows, not a per-vec
+    // survivor: ANY stored copy sitting in a cell other than its
+    // winner cell marks both that cell and the winner cell — so a
+    // stale duplicate a previous crash left behind is itself swept
+    // into the rewrite (its partition is re-emitted without it), and
+    // re-running against the same centroids converges to exactly the
+    // fresh-build state no matter where the last run stopped
+    val affected = stored.select(col("vec_id"), col("cell_id").as("__old_cell"))
+      .join(winner.select("vec_id", "__new_cell"), Seq("vec_id"))
+      .filter(col("__old_cell") =!= col("__new_cell"))
+      .select(explode(array(col("__old_cell").cast("long"),
+        col("__new_cell"))).as("cell_id"))
+      .distinct().collect().map(_.getLong(0)).toSeq
     if (affected.isEmpty) return
-    val newContent = ranked
+    val newContent = winner
       .filter(col("__new_cell").isin(affected: _*))
       .select(col("vec_id"), col("embedding"),
         col("__new_cell").as("cell_id"))
-      .localCheckpoint() // the write overwrites the dirs it reads
     val present = newContent.select("cell_id").distinct()
       .collect().map(_.get(0)).toSet
     val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
@@ -232,7 +267,7 @@ object Similarity {
                      nProbeCells: Int = 2): DataFrame = {
     val probeCells = nearestCells(
       probes.select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb")),
-      broadcast(centroids), "probe_id", "probe_emb", nProbeCells)
+      centroids, "probe_id", "probe_emb", nProbeCells)
     probeCells.join(assigned, "cell_id")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),

@@ -94,8 +94,16 @@ class KeywordIndex(protected val spark: SparkSession, dir: String)
     * through un-indexed (no retrieval identity).
     */
   def accept(batch: DataFrame, batchId: Long): DataFrame = {
+    // one version per doc WITHIN the batch too: duplicate doc_id rows
+    // would double tf in postings and duplicate (doc_id, term, pos)
+    // rows in positions — the latter breaks phraseCore's
+    // n_hit === phrase_len equality and silently drops genuine phrase
+    // hits for that doc. Cross-batch duplicates are arbitrated by
+    // src_batch (last writer wins); within a batch there is no order,
+    // so any one version wins.
     val real = batch
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .dropDuplicates("doc_id")
       .localCheckpoint()
     Retrieval.postingsTable(real)
       .withColumn("src_batch", lit(batchId))

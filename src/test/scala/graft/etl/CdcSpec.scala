@@ -82,5 +82,23 @@ class CdcSpec extends SparkSpec {
       .select("id", "op"))
     assert(recovered == Set((1L, "U"), (2L, "I")),
       s"durable feed lost or wrong: $recovered")
+
+    // …and END-TO-END through the caller crash: the consumer replays
+    // the recovered feed — twice, because the contract is
+    // at-least-once — and the NEXT drop continues from the advanced
+    // state with no loss and no double-emit
+    def applyFeed(live: Set[Long], feed: Set[(Long, String)]): Set[Long] =
+      live -- feed.collect { case (k, "D") => k } ++
+        feed.collect { case (k, op) if op != "D" => k }
+    var live = Set(1L) // consumer state after drop 1
+    live = applyFeed(live, recovered)
+    live = applyFeed(live, recovered) // replay converges (idempotent)
+    assert(live == Set(1L, 2L), s"recovered-feed replay diverged: $live")
+    val feed3 = feedOf(Cdc.diffAgainstStored(
+      dir, Seq((2L, "b")).toDF("id", "v"), Seq("id"), Seq("v")))
+    assert(feed3 == Set((1L, "D")),
+      s"post-crash drop re-emitted or lost rows: $feed3")
+    live = applyFeed(live, feed3)
+    assert(live == Set(2L), s"consumer diverged from source: $live")
   }
 }

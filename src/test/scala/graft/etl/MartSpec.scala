@@ -133,5 +133,19 @@ class MartSpec extends SparkSpec {
     val replay = Mart.table(spark, out, Mart.FactTable).drop("year")
     assert(replay.count() == expect.count() &&
       replay.exceptAll(expect).isEmpty, "merge replay diverged")
+
+    // a NULL date_key in the feed is a CONTRACT error named up front
+    // (year(NULL) is NULL — before the guard this surfaced as an
+    // opaque NPE mid-merge), and the mart is left untouched
+    val before = Mart.table(spark, out, Mart.FactTable).count()
+    val bad = feed.limit(1)
+      .withColumn("date_key", lit(null).cast("date"))
+    val ex = intercept[IllegalArgumentException] {
+      Mart.mergeFact(spark, out, bad)
+    }
+    assert(ex.getMessage.contains("date_key"),
+      s"error must name the violated contract: ${ex.getMessage}")
+    assert(Mart.table(spark, out, Mart.FactTable).count() == before,
+      "failed merge mutated the mart")
   }
 }

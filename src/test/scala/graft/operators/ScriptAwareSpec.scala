@@ -120,6 +120,34 @@ class ScriptAwareSpec extends SparkSpec {
     assert(nSh > 10, s"expected many trigram shingles, got $nSh")
   }
 
+  test("span dedup sees unsegmented duplicated passages: the shared CJK " +
+       "prefix is mined as a span in BOTH docs and excised from both " +
+       "(without segmentation each doc is ONE token and passage mining " +
+       "is blind)") {
+    // hanA and hanB share a 28-char prefix -> 26 shared trigram tokens
+    // -> 19 shared 8-gram positions: well past the span threshold
+    val docs = Seq((1L, hanA), (2L, hanB), (3L, english))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs).collect()
+    val byDoc = spans.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == Set(1L, 2L),
+      s"expected spans in exactly the CJK pair, got ${byDoc.keySet}")
+    assert(spans.forall(_.getAs[Long]("span_start") == 0L),
+      "the shared passage is the common PREFIX")
+    assert(spans.forall(_.getAs[Long]("span_tokens") >= 20L),
+      s"span must cover the shared prefix's trigrams: ${spans.mkString})")
+    val cleaned = Dedup.exciseSpans(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    assert(cleaned(1L)._2 >= 20L && cleaned(2L)._2 >= 20L,
+      s"shared passage must be excised from both docs: $cleaned")
+    // the English doc shares nothing and passes through verbatim
+    assert(cleaned(3L) == (english, 0L))
+    // survivors are the DIVERGENT tails (in segmented trigram space)
+    assert(cleaned(1L)._1 != cleaned(2L)._1 &&
+      cleaned(1L)._1.nonEmpty && cleaned(2L)._1.nonEmpty)
+  }
+
   test("retrieval terms on unsegmented docs are trigrams: a 3-char query " +
        "term finds the doc containing it") {
     val docs = Seq((1L, hanA), (2L, hanC), (3L, english))

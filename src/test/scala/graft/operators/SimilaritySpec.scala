@@ -100,7 +100,10 @@ class SimilaritySpec extends SparkSpec {
     // exclusively from the persisted index frames
     assert(locs.count(_.contains("embeddings.parquet")) <= 2,
       s"corpus re-read/re-assigned at query time:\n$plan")
-    assert(locs.count(_.contains(root)) >= 2,
+    // exactly the ASSIGNED frame scans at query time; the centroid
+    // frame is a driver-collected task-constant inside the
+    // NearestCells kernel (it no longer appears as a plan-side scan)
+    assert(locs.count(_.contains(s"$root/assigned")) >= 1,
       s"index frames not the corpus source:\n$plan")
     // cell-partitioned layout pays off at query time: the assigned
     // scan carries a dynamic partition-pruning filter on cell_id, so
@@ -245,5 +248,41 @@ class SimilaritySpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(tdir, "cell_id=10")),
       "drained cell's stale partition survived the refresh")
+  }
+
+  test("refreshAssignments converges after a crash that left a moved " +
+       "vector duplicated across its old and new partitions — even when " +
+       "the duplicate's cell EQUALS the winner cell") {
+    import spark.implicits._
+    // two well-separated cells; vec 1 belongs to cell 20 under the
+    // (unchanged) centroids, but a crashed previous refresh left a
+    // STALE copy of it in cell 10 alongside the correct copy in 20.
+    // The winner cell (20) equals one stored copy's cell — the exact
+    // case where deriving the affected set from the per-vec window
+    // winner alone could leave the stale copy in 10 forever.
+    val cents = Seq((10L, Array.fill(64)(-1.0f).toSeq),
+      (20L, Array.fill(64)(1.0f).toSeq)).toDF("cell_id", "centroid")
+    val v1 = Array.fill(64)(1.0f).toSeq
+    val v2 = Array.fill(64)(-0.9f).toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfcrash")
+    val dir = s"$root/assigned"
+    // crash state on disk: vec 1 in BOTH partitions, vec 2 only in 10
+    Seq((1L, v1, 20L), (1L, v1, 10L), (2L, v2, 10L))
+      .toDF("vec_id", "embedding", "cell_id")
+      .write.partitionBy("cell_id").parquet(dir)
+    // re-run against the SAME centroids (nothing "moved" — the only
+    // work is scrubbing the crash residue)
+    Similarity.refreshAssignments(spark, dir, cents)
+    val got = spark.read.parquet(dir)
+      .select($"vec_id", $"cell_id".cast("long")).as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(got == Seq((1L, 20L), (2L, 10L)),
+      s"crash residue not scrubbed, index holds $got")
+    // and a second run is a no-op (idempotent once converged)
+    Similarity.refreshAssignments(spark, dir, cents)
+    val again = spark.read.parquet(dir)
+      .select($"vec_id", $"cell_id".cast("long")).as[(Long, Long)]
+      .collect().sorted.toSeq
+    assert(again == got)
   }
 }

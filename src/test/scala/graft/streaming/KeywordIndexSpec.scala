@@ -49,6 +49,34 @@ class KeywordIndexSpec extends SparkSpec {
     assert(idx.nDocs == docs.count())
   }
 
+  test("duplicate doc_id rows WITHIN a batch index as one version: tf " +
+       "not doubled, positions unique, phrase hits preserved") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kwdup").toString
+    val idx = new KeywordIndex(spark, dir)
+    // same doc delivered twice in one batch (an upstream retry inside
+    // the micro-batch) — before the in-batch dedup this doubled tf AND
+    // duplicated (doc_id, term, pos) rows, which broke phraseCore's
+    // n_hit === phrase_len equality and silently dropped the hit
+    val batch = Seq(
+      (1L, "alpha beta gamma"),
+      (1L, "alpha beta gamma"),
+      (2L, "delta alpha")).toDF("doc_id", "text")
+    idx.accept(batch, 0L)
+    val tf = idx.postings.filter($"term" === "alpha")
+      .select($"doc_id", $"tf".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    assert(tf == Map(1L -> 1L, 2L -> 1L), s"tf doubled by in-batch dup: $tf")
+    val pos = idx.positional.filter($"doc_id" === 1L)
+      .select($"term", $"pos".cast("long")).as[(String, Long)].collect().toSeq
+    assert(pos.distinct.size == pos.size && pos.size == 3,
+      s"duplicate positional rows: $pos")
+    val hits = idx.phraseSearch(Seq(1 -> Seq("alpha", "beta", "gamma")))
+      .select($"doc_id".cast("long")).as[Long].collect().toSet
+    assert(hits == Set(1L), s"phrase hit lost to in-batch duplication: $hits")
+    assert(idx.nDocs == 2L)
+  }
+
   test("the pipeline's optional search stage indexes CURATED text: " +
        "scrubbed PII and dropped duplicates are unfindable") {
     import spark.implicits._
