@@ -85,6 +85,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"probe join must broadcast:\n$plan")
   }
 
+  test("IVF assignment is a pure scan projection: no window, no join, " +
+       "no corpus-cells fan-out materialized") {
+    val emb = graft.core.Tables(spark, sf(), "embeddings")
+    val plan = finalPlan(
+      Similarity.ivfAssignments(emb, Similarity.strideCentroids(emb)))
+    // the NearestCells kernel emits exactly one cell per vector inside
+    // the scan projection — the crossJoin + rank-window form it
+    // replaced showed BroadcastNestedLoopJoin + Window here
+    assert(!plan.contains("Window"),
+      s"assignment re-grew a per-vector window:\n$plan")
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"assignment re-grew the corpus×cells fan-out:\n$plan")
+    assert(plan.contains("nearest_cells"),
+      s"assignment not running through the native kernel:\n$plan")
+  }
+
   test("funnel rides a single user exchange: windows AND the user aggregate reuse it") {
     val plan = finalPlan(Sessionize.funnel(graft.core.Tables(spark, sf(), "events")))
     val n = "hashpartitioning\\(user_id".r.findAllMatchIn(plan).length

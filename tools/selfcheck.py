@@ -2,21 +2,48 @@
 """Self-check: replicate the driver's DuckDB-oracle compare locally.
 
 Usage: python3 tools/selfcheck.py <sfdir> <verify_out_dir>
+         [--resume <prior_log>] [--skip name,name,...]
 Reads each <out>/<name> parquet (Spark result) and runs the matching
 oracle from <out>/oracle_sql.json in DuckDB over the raw tables.
+--resume skips queries already OK in a prior run's log (crash
+recovery for long sweeps); --skip marks named queries SKIP (an oracle
+that cannot run at the current scale — e.g. doc_fingerprint's
+per-character recursive CTE is quadratic in DuckDB at sf1 — must be
+cross-checked some other way, never silently dropped).
+SELFCHECK_MEM caps DuckDB memory (default 48GB) so an oracle that
+outgrows the host FAILS in-process instead of OOM-killing the sweep.
 Compares schema (sorted column names) and values (rows sorted, columns
 sorted by name, exact equality; floats compared exactly after both
 sides' ROUND(4)).
 """
-import sys, json, glob, math
+import sys, json, glob, math, os, time
 import duckdb
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+done, skip = set(), set()
+argv = sys.argv[3:]
+while argv:
+    if argv[0] == "--resume":
+        for line in open(argv[1]):
+            if line.startswith("OK   "):
+                done.add(line.split()[1])
+        argv = argv[2:]
+    elif argv[0] == "--skip":
+        skip |= set(argv[1].split(","))
+        argv = argv[2:]
+    else:
+        sys.exit(f"unknown arg {argv[0]}")
 con = duckdb.connect()
+con.execute(f"SET memory_limit='{os.environ.get('SELFCHECK_MEM', '48GB')}'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    # driver testdata ships single files; Spark-written tables (the
+    # ScaleUp sweep) are part-file directories — accept both
+    pat = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(pat):
+        pat = f"{pat}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 
@@ -33,24 +60,29 @@ def canon(df):
 
 fails = 0
 for name, sql in sorted(oracles.items()):
+    if name in done:
+        print(f"OK   {name} (resumed from prior log)", flush=True); continue
+    if name in skip:
+        print(f"SKIP {name}: oracle excluded at this scale", flush=True); continue
     try:
+        t0 = time.time()
         spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not spark_files:
-            print(f"FAIL {name}: no spark output"); fails += 1; continue
+            print(f"FAIL {name}: no spark output", flush=True); fails += 1; continue
         sdf = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
         odf = con.execute(sql).fetchdf()
         a, b = canon(sdf), canon(odf)
         if sorted(sdf.columns) != sorted(odf.columns):
-            print(f"FAIL {name}: cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"); fails += 1
+            print(f"FAIL {name}: cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}", flush=True); fails += 1
         elif len(a) != len(b):
-            print(f"FAIL {name}: rows spark={len(a)} oracle={len(b)}"); fails += 1
+            print(f"FAIL {name}: rows spark={len(a)} oracle={len(b)}", flush=True); fails += 1
         elif a != b:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-            print(f"FAIL {name}: values differ, first diffs: {diff}"); fails += 1
+            print(f"FAIL {name}: values differ, first diffs: {diff}", flush=True); fails += 1
         else:
-            print(f"OK   {name} ({len(a)} rows)")
+            print(f"OK   {name} ({len(a)} rows, {time.time()-t0:.0f}s)", flush=True)
     except Exception as e:
-        print(f"FAIL {name}: {type(e).__name__}: {e}"); fails += 1
+        print(f"FAIL {name}: {type(e).__name__}: {e}", flush=True); fails += 1
 
 # queries with no oracle: rows-only
 import os
