@@ -1795,13 +1795,44 @@ object SparkEntry {
          |    AS n_purchase_after_click
          |FROM u""".stripMargin
     },
-    // Mirrors Sessionize.winsorize: quantile_cont == Spark's exact
-    // percentile (verified interpolation parity).
+    // Mirrors Sessionize.winsorize. The bounds interpolate EXPLICITLY
+    // with Spark's percentile algebra — v_lo + (v_hi - v_lo) * frac
+    // over floor/ceil of p*(n-1) — rather than quantile_cont: the two
+    // are the same definition, but quantile_cont's internal
+    // (1-f)*v_lo + f*v_hi arithmetic lands an ulp BELOW the data value
+    // when the rank falls inside a tie run and f is binary-inexact
+    // (p=0.99 at n=200840 put DuckDB's p_hi at 227.40999999999997
+    // against the tied value 227.41), and the strict value > p_hi clip
+    // count then differs by the whole tie group. Spelling out the same
+    // IEEE ops Spark executes makes the bound bit-identical at every
+    // n — ties collapse to exactly v_lo on both sides.
     "events_winsorize" ->
-      """WITH b AS (
-        |  SELECT event_type, quantile_cont(value, 0.01) AS p_lo,
-        |    quantile_cont(value, 0.99) AS p_hi
-        |  FROM events GROUP BY 1)
+      """WITH nn AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) - 1
+        |      AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |rk AS (
+        |  SELECT event_type, value, rk,
+        |    CAST(floor(0.01*(n-1)) AS BIGINT) AS lo_f,
+        |    CAST(ceil(0.01*(n-1)) AS BIGINT) AS lo_c,
+        |    0.01*(n-1) - floor(0.01*(n-1)) AS lo_frac,
+        |    CAST(floor(0.99*(n-1)) AS BIGINT) AS hi_f,
+        |    CAST(ceil(0.99*(n-1)) AS BIGINT) AS hi_c,
+        |    0.99*(n-1) - floor(0.99*(n-1)) AS hi_frac
+        |  FROM nn),
+        |b AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rk = lo_f THEN value END)
+        |      + (MAX(CASE WHEN rk = lo_c THEN value END)
+        |         - MAX(CASE WHEN rk = lo_f THEN value END))
+        |        * ANY_VALUE(lo_frac) AS p_lo,
+        |    MAX(CASE WHEN rk = hi_f THEN value END)
+        |      + (MAX(CASE WHEN rk = hi_c THEN value END)
+        |         - MAX(CASE WHEN rk = hi_f THEN value END))
+        |        * ANY_VALUE(hi_frac) AS p_hi
+        |  FROM rk GROUP BY event_type)
         |SELECT e.event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_clipped_lo,

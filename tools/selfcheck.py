@@ -2,7 +2,7 @@
 """Self-check: replicate the driver's DuckDB-oracle compare locally.
 
 Usage: python3 tools/selfcheck.py <sfdir> <verify_out_dir>
-         [--resume <prior_log>] [--skip name,name,...]
+         [--resume <prior_log>] [--skip name,...] [--only name,...]
 Reads each <out>/<name> parquet (Spark result) and runs the matching
 oracle from <out>/oracle_sql.json in DuckDB over the raw tables.
 --resume skips queries already OK in a prior run's log (crash
@@ -21,7 +21,7 @@ import duckdb
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
-done, skip = set(), set()
+done, skip, only = set(), set(), None
 argv = sys.argv[3:]
 while argv:
     if argv[0] == "--resume":
@@ -31,6 +31,9 @@ while argv:
         argv = argv[2:]
     elif argv[0] == "--skip":
         skip |= set(argv[1].split(","))
+        argv = argv[2:]
+    elif argv[0] == "--only":
+        only = set(argv[1].split(","))
         argv = argv[2:]
     else:
         sys.exit(f"unknown arg {argv[0]}")
@@ -60,6 +63,8 @@ def canon(df):
 
 fails = 0
 for name, sql in sorted(oracles.items()):
+    if only is not None and name not in only:
+        continue
     if name in done:
         print(f"OK   {name} (resumed from prior log)", flush=True); continue
     if name in skip:
@@ -86,7 +91,8 @@ for name, sql in sorted(oracles.items()):
 
 # queries with no oracle: rows-only
 import os
-declared = set(os.listdir(outdir)) - {"oracle_sql.json"}
+declared = (set() if only is not None
+            else set(os.listdir(outdir)) - {"oracle_sql.json"})
 for name in sorted(declared - set(oracles)):
     n = len(glob.glob(f"{outdir}/{name}/*.parquet"))
     print(f"ROWS {name}: output present ({n} files)")
