@@ -121,9 +121,14 @@ object SparkEntry {
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum("l_quantity"), 4).as("sum_qty"),
-        (round(sum("l_extendedprice") * 100, 0) / 100.0).as("sum_price"),
+        // money sums accumulate in exact cent BIGINTs: a double sum over
+        // 10^8+ rows drifts past the half-cent and the rounded output
+        // flips between engines; a long sum of exact per-row cents cannot
+        (sum(round(col("l_extendedprice") * 100, 0).cast("long")).cast("double")
+          / 100.0).as("sum_price"),
         (round(sum("l_quantity") * 100, 0) / count(lit(1)) / 100.0).as("avg_qty"),
-        (round(sum("l_extendedprice") * 100, 0) / count(lit(1)) / 100.0).as("avg_price"),
+        (sum(round(col("l_extendedprice") * 100, 0).cast("long")).cast("double")
+          / count(lit(1)) / 100.0).as("avg_price"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "l_linestatus")),
     // generic data-profiling (etl.Profile): the oracle checks the EXACT
@@ -1410,9 +1415,11 @@ object SparkEntry {
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 4) AS sum_qty,
-        |  ROUND(SUM(l_extendedprice) * 100, 0) / 100.0 AS sum_price,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_price,
         |  ROUND(SUM(l_quantity) * 100, 0) / COUNT(*) / 100.0 AS avg_qty,
-        |  ROUND(SUM(l_extendedprice) * 100, 0) / COUNT(*) / 100.0 AS avg_price,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / COUNT(*) / 100.0 AS avg_price,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "table_profile" ->
@@ -2185,7 +2192,8 @@ object SparkEntry {
         |  CAST(GROUPING(region_name) AS BIGINT) AS g_region,
         |  CAST(GROUPING(nation_name) AS BIGINT) AS g_nation,
         |  COUNT(*) AS n_items,
-        |  ROUND(SUM(l_extendedprice) * 100, 0) / 100.0 AS revenue
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS revenue
         |FROM (SELECT r_name AS region_name, n_name AS nation_name, l_extendedprice
         |      FROM lineitem
         |      JOIN supplier ON l_suppkey = s_suppkey
@@ -2228,7 +2236,8 @@ object SparkEntry {
         |  CAST(GROUPING(region_name) AS BIGINT) AS g_region,
         |  CAST(GROUPING(nation_name) AS BIGINT) AS g_nation,
         |  COUNT(*) AS n_items,
-        |  ROUND(SUM(l_extendedprice) * 100, 0) / 100.0 AS revenue
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS revenue
         |FROM (SELECT r_name AS region_name, n_name AS nation_name, l_extendedprice
         |      FROM lineitem
         |      JOIN supplier ON l_suppkey = s_suppkey

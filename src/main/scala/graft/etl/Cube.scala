@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional aggregation surface: pivot and rollup.
@@ -38,7 +38,11 @@ object Cube {
     * row into the exchange — 3× the shuffle volume at 100 TB. (It also
     * false-positives Spark 4.1's ambiguous-self-join detector when the
     * grouping keys come from a join.) count/sum re-aggregate losslessly;
-    * rounding happens per output level, identical to a direct group.
+    * revenue accumulates in exact cent BIGINTs (per-row cents are exact
+    * on cents-grain money), so the subtotal/grand sums are
+    * order-independent at ANY scale — a double sum over 10⁸+ rows
+    * drifts past the half-cent and flips the rounded output between
+    * engines/runs; a long sum of cents cannot.
     */
   def salesRollup(lineitem: DataFrame, supplier: DataFrame,
                   nation: DataFrame, region: DataFrame): DataFrame = {
@@ -63,7 +67,7 @@ object Cube {
       .agg(sum("__n").as("n_items"), sum("__s").as("__s"))
       .select(lit(null).cast("string").as("region_name"), col("nation_name"),
         lit(1L).as("g_region"), lit(0L).as("g_nation"),
-        col("n_items"), (round(col("__s") * 100, 0) / 100.0).as("revenue"))
+        col("n_items"), centsToDollars(col("__s")).as("revenue"))
     nationLevel(fine)
       .unionByName(regionLevel(fine))
       .unionByName(nationOnly)
@@ -85,7 +89,13 @@ object Cube {
         col("r_name").as("region_name"))),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("region_name", "nation_name")
-      .agg(count(lit(1)).as("__n"), sum("l_extendedprice").as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("__s"))
+
+  /** Exact cents → dollars: bit-identical in any engine (long→double
+    * cast and one IEEE division, both exactly rounded).
+    */
+  private def centsToDollars(c: Column): Column = c.cast("double") / 100.0
 
   // null-safe ordering everywhere: Spark sorts nulls first, DuckDB
   // last — the levels coalesce names to '' in their ORDER BY instead
@@ -93,19 +103,19 @@ object Cube {
   private def nationLevel(fine: DataFrame): DataFrame = fine.select(
     col("region_name"), col("nation_name"),
     lit(0L).as("g_region"), lit(0L).as("g_nation"),
-    col("__n").as("n_items"), (round(col("__s") * 100, 0) / 100.0).as("revenue"))
+    col("__n").as("n_items"), centsToDollars(col("__s")).as("revenue"))
 
   private def regionLevel(fine: DataFrame): DataFrame = fine
     .groupBy("region_name")
     .agg(sum("__n").as("n_items"), sum("__s").as("__s"))
     .select(col("region_name"), lit(null).cast("string").as("nation_name"),
       lit(0L).as("g_region"), lit(1L).as("g_nation"),
-      col("n_items"), (round(col("__s") * 100, 0) / 100.0).as("revenue"))
+      col("n_items"), centsToDollars(col("__s")).as("revenue"))
 
   private def grandTotal(fine: DataFrame): DataFrame = fine
     .agg(sum("__n").as("n_items"), sum("__s").as("__s"))
     .select(lit(null).cast("string").as("region_name"),
       lit(null).cast("string").as("nation_name"),
       lit(1L).as("g_region"), lit(1L).as("g_nation"),
-      col("n_items"), (round(col("__s") * 100, 0) / 100.0).as("revenue"))
+      col("n_items"), centsToDollars(col("__s")).as("revenue"))
 }
