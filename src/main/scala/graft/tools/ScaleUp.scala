@@ -63,7 +63,6 @@ object ScaleUp {
     val rep = col("__rep")
     /** Key offset preserving the column's original integer type. */
     def off(c: Column) = (c.cast("long") + rep * K).cast("long")
-    def off32(c: Column) = (c.cast("long") + rep * K).cast("int")
     /** Name/text perturbation: replica 0 verbatim (the original data
       * survives byte-identical), others tagged.
       */
