@@ -385,7 +385,11 @@ object SparkEntry {
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
         col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        (round(sum("o_totalprice") * 100, 0) / 100.0).as("total_price"))
+        // exact cent BIGINT accumulation (order-independent at any
+        // scale — the sales_rollup doctrine): a month-status group at
+        // sf100 sums 1e11+ in doubles and drifts past the half-cent
+        (sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("double")
+          / 100.0).as("total_price"))
       .orderBy("month", "o_orderstatus")),
     // Unlike the star joins, BOTH sides here scale with the data — the
     // aggregate's custkey partitioning is reused by the join, so only
@@ -393,7 +397,8 @@ object SparkEntry {
     "customer_top_spenders" -> ((s, d) => {
       val totals = Tables(s, d, "orders").groupBy("o_custkey")
         .agg(count(lit(1)).as("n_orders"),
-          (round(sum("o_totalprice") * 100, 0) / 100.0).as("total_spend"))
+          (sum(round(col("o_totalprice") * 100, 0).cast("long")).cast("double")
+            / 100.0).as("total_spend"))
       totals
         .join(Tables(s, d, "customer").select(col("c_custkey"), col("c_name")),
           col("o_custkey") === col("c_custkey"))
@@ -2283,12 +2288,14 @@ object SparkEntry {
     "orders_monthly_status" ->
       """SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month,
         |  o_orderstatus, COUNT(*) AS n_orders,
-        |  ROUND(SUM(o_totalprice) * 100, 0) / 100.0 AS total_price
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS total_price
         |FROM orders GROUP BY 1, 2 ORDER BY month, o_orderstatus""".stripMargin,
     "customer_top_spenders" ->
       """SELECT c_custkey, c_name, n_orders, total_spend FROM (
         |  SELECT o_custkey, COUNT(*) AS n_orders,
-        |    ROUND(SUM(o_totalprice) * 100, 0) / 100.0 AS total_spend
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+        |      / 100.0 AS total_spend
         |  FROM orders GROUP BY 1)
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_spend DESC, c_custkey LIMIT 20""".stripMargin,
