@@ -77,13 +77,19 @@ object Similarity {
   }
 
   /** Mean nearest-centroid cosine over the corpus — the (negated)
-    * k-means objective, for convergence checks.
+    * k-means objective, for convergence checks. Routed through the
+    * same [[nearestCells]] argmax kernel as the IVF assignment scan
+    * (n=1 per vector, bit-identical cosine + tie-break), then one
+    * broadcast join back to the centroid table for the chosen cell's
+    * cosine — a corpus retrain's convergence check must not be the
+    * one remaining corpus×cells crossJoin fan-out.
     */
   def assignmentQuality(corpus: DataFrame, centroids: DataFrame): Double =
-    corpus.crossJoin(broadcast(centroids))
-      .groupBy("vec_id")
-      .agg(max(cosine(col("embedding"), col("centroid"))).as("best"))
-      .agg(avg("best")).head().getDouble(0)
+    nearestCells(corpus, centroids, "vec_id", "embedding", n = 1)
+      .join(broadcast(centroids.select(
+        col("cell_id").cast("long").as("cell_id"), col("centroid"))), "cell_id")
+      .agg(avg(cosine(col("embedding"), col("centroid"))))
+      .head().getDouble(0)
 
   /** Brute-force cosine top-k: the exact baseline.
     *

@@ -57,6 +57,46 @@ class BenchLineSpec extends AnyFunSuite {
       s"collision after steering: ${dups.map { case (k, m) => s"$k<-${m.keys.mkString("/")}" }.mkString(", ")}")
   }
 
+  test("every coverage tier that carries dashboards carries BOTH families") {
+    // r6-r9 showed the old per-round family alternation stuck on mart
+    // under re-run edges, starving q1i..q5i of (fallback-tier) artifact
+    // history. The ladder now stands BOTH families in: tier 1/2 under
+    // real/compressed names + verbatim q1m..q5m, tiers 3/4 under the
+    // ten 3-char stand-ins. Only the emergency tiers (5/6) shed them.
+    val timed = Seq(
+      "dedup_exact" -> 1.0, "q1_avg_by_date" -> 0.5, "q2_topn_by_location" -> 0.4,
+      "q3_avg_by_class" -> 0.3, "q4_band_counts" -> 0.2, "q5_pct_positive" -> 0.1,
+      "q1m" -> 0.5, "q2m" -> 0.4, "q3m" -> 0.3, "q4m" -> 0.2, "q5m" -> 0.1)
+    val keys = Bench.shortKeys(timed.map(_._1))
+    val tiers = Bench.tiers(timed, keys)
+    assert(tiers.size == 6)
+    val inlineKeys = (1 to 5).map(i => s"q${i}i").toSet
+    val martKeys = (1 to 5).map(i => s"q${i}m").toSet
+    // tiers 3 and 4 (index 2, 3): both stand-in families present
+    for (i <- Seq(2, 3)) {
+      val ks = tiers(i)._1.map(_._1).toSet
+      assert(inlineKeys.subsetOf(ks), s"tier ${i + 1} missing inline family: $ks")
+      assert(martKeys.subsetOf(ks), s"tier ${i + 1} missing mart family: $ks")
+    }
+    // tier 1 carries inline under real names + mart verbatim
+    val t1 = tiers(0)._1.map(_._1).toSet
+    assert(t1.contains("q1_avg_by_date") && martKeys.subsetOf(t1))
+    // no tier emits duplicate keys (stand-ins never shadow a real name)
+    tiers.foreach { case (es, _) =>
+      assert(es.map(_._1).distinct.size == es.size, s"duplicate keys in $es")
+    }
+    // the ten stand-ins cost ~60 chars over a single family — verify a
+    // full-surface tier-3 line still fits the tail budget at 1 decimal
+    val base = names.filterNot(n => "^q[1-5]_".r.findFirstIn(n).isDefined)
+    val qs = (base.map(keysFull) ++ inlineKeys ++ martKeys).toSeq.sorted
+      .map(k => "\"" + k + "\":9.9").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":999,"queries":$qs}"""
+    assert(line.length <= 1996,
+      s"both-family fallback line is ${line.length} chars (> 1996)")
+  }
+
+  private lazy val keysFull = Bench.shortKeys(names)
+
   test("BENCH_KEYS.md is in sync with the bench surface") {
     // the committed legend is what makes a compressed bench artifact
     // decodable without stderr; regenerate with
