@@ -551,6 +551,17 @@ object Dedup {
     * JVM). This IS the persistable near-dup index: at scale a corpus
     * stores these postings once and [[minhashIncremental]] probes
     * them per batch.
+    *
+    * Scale note (MEASURED, LSH_SCALE.md): because the bucket space is
+    * unbounded (2^31−1, not 2^rows), bucket density tracks TRUE
+    * duplication, never corpus size — at sf1 (50k docs, 225k planted
+    * near-dup pairs) the default 8×4 candidates equal the verified
+    * pairs EXACTLY (250,427 = 250,427; same at sf0.1). Do NOT widen
+    * rows/band here expecting the sign-LSH dense-regime fix: rows/band
+    * moves the Jaccard S-curve threshold (t ≈ (1/b)^(1/r)), and 4×16
+    * measurably loses 7.4% of planted ≥0.9-jaccard pairs. The r=16+
+    * rule belongs to [[graft.operators.Similarity.embeddingPostings]],
+    * whose bucket space is 2^r.
     */
   def bandedBuckets(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
                     bands: Int = 8): DataFrame = {

@@ -97,6 +97,17 @@ class BenchLineSpec extends AnyFunSuite {
 
   private lazy val keysFull = Bench.shortKeys(names)
 
+  test("re-baseline two-run rule: 14% quiet-run disagreement is refused, 10% passes") {
+    // the round-9 pair (130.1 vs 112.3 = 15.9% spread) must NOT commit
+    // a budget; two runs within 10% must (BENCH_PROTOCOL.md)
+    assert(Bench.quietSpread(130.1, 112.3) > 0.10)
+    assert(Bench.quietSpread(120.0, 125.0) <= 0.10)
+    assert(Bench.quietSpread(100.0, 110.0) <= 0.10)
+    assert(Bench.quietSpread(100.0, 111.0) > 0.10)
+    // symmetric
+    assert(Bench.quietSpread(112.3, 130.1) == Bench.quietSpread(130.1, 112.3))
+  }
+
   test("BENCH_KEYS.md is in sync with the bench surface") {
     // the committed legend is what makes a compressed bench artifact
     // decodable without stderr; regenerate with

@@ -59,6 +59,41 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getAs[Double]("jaccard") > 0.8)
   }
 
+  test("dense-regime minhash (rows/band = 16, LSH_SCALE.md): planted 10-clique " +
+       "fully recovered at the dedup threshold, unrelated docs never collide") {
+    // the cluster-scale parameterization: 16 bands x 16 rows centers the
+    // S-curve near j = (1/16)^(1/16) ~ 0.84 — high-jaccard near-dup
+    // cliques (re-crawls, replicas) stay above it while weak pairs'
+    // band-collision odds die as j^16
+    val body = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val clique = (0 until 10).map(k => (100L + k) -> s"r$k $body")
+    val noise = (0 until 50).map(k =>
+      (500L + k) -> (1 to 40).map(i => s"n${k}x$i").mkString(" "))
+    val corpus = docs(clique ++ noise: _*)
+    val out = Dedup.minhashLsh(corpus, n = 3, numHashes = 256, bands = 16,
+      minJaccard = 0.9).collect()
+    val pairs = out.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val expected = (for { a <- 0 until 10; b <- a + 1 until 10 }
+      yield (100L + a, 100L + b)).toSet
+    assert(pairs == expected,
+      s"planted-clique recall must be 1.0 at the wide setting: $pairs")
+    // candidate density is clique-bound: every multi-occupancy LSH
+    // bucket holds clique members only (the true-pair floor — no
+    // corpus-driven candidate in the probe's verify join)
+    val multi = Dedup.bandedBuckets(corpus, 3, 256, 16)
+      .groupBy("band", "bucket")
+      .agg(org.apache.spark.sql.functions.collect_set("doc_id").as("ids"))
+      .filter(org.apache.spark.sql.functions.size($"ids") > 1)
+      .collect()
+    assert(multi.nonEmpty, "the clique must collide somewhere")
+    multi.foreach { r =>
+      val ids = r.getSeq[Long](r.fieldIndex("ids"))
+      assert(ids.forall(id => id >= 100L && id < 110L),
+        s"non-clique bucket collision: $ids")
+    }
+  }
+
   test("minhashIncremental probes the corpus, never re-dedups it") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearBase = base.replace("tok40", "other")

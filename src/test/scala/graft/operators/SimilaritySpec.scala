@@ -24,6 +24,43 @@ class SimilaritySpec extends SparkSpec {
     assert(out.last.getAs[Double]("cos_sim") == -1.0)
   }
 
+  test("dense-regime sign-LSH (r = 16, LSH_SCALE.md): planted 10-clique fully " +
+       "recovered at cos >= 0.9, bucket collisions stay clique-bound") {
+    // the cluster-scale parameterization the Scaladoc prescribes for
+    // high-threshold near-dup mining: 2^16 buckets/band keeps unrelated
+    // vectors apart (collision odds (1-θ/π)^16 ~ 1.5e-5 at 90°) while a
+    // near-parallel clique (θ ~ 0) collides in every band — candidates
+    // stay ∝ true pairs, not corpus². Deterministic end to end (fixed
+    // seed, fixed hyperplanes), so this either always passes or never.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val clique = (0 until 10).map { k =>
+      (100L + k) -> base.zipWithIndex.map { case (x, i) =>
+        if (i == 0) x + 0.001f * k else x }.toSeq }
+    val noise = (0 until 40).map { k =>
+      (500L + k) -> Array.fill(64)(rnd.nextFloat() - 0.5f).toSeq }
+    val wide = vecs(clique ++ noise: _*)
+    val pairs = Similarity.nearDupPairs(wide, minCosine = 0.9,
+      bands = 8, rowsPerBand = 16).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val expected = (for { a <- 0 until 10; b <- a + 1 until 10 }
+      yield (100L + a, 100L + b)).toSet
+    assert(expected.subsetOf(pairs),
+      s"planted-clique recall must be 1.0 at r=16: missing ${expected -- pairs}")
+    assert(pairs == expected, s"non-clique pair above 0.9: ${pairs -- expected}")
+    val multi = Similarity.embeddingPostings(wide, bands = 8, rowsPerBand = 16)
+      .groupBy("band", "bucket")
+      .agg(org.apache.spark.sql.functions.collect_set("vec_id").as("ids"))
+      .filter(org.apache.spark.sql.functions.size($"ids") > 1)
+      .collect()
+    assert(multi.nonEmpty, "the clique must collide somewhere")
+    multi.foreach { r =>
+      val ids = r.getSeq[Long](r.fieldIndex("ids"))
+      assert(ids.forall(id => id >= 100L && id < 110L),
+        s"non-clique bucket collision at r=16: $ids")
+    }
+  }
+
   test("embeddingNearDup finds the near-parallel pair only") {
     val out = Similarity.embeddingNearDup(corpus, minCosine = 0.9).collect()
     val pairs = out.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet

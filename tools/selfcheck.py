@@ -3,6 +3,7 @@
 
 Usage: python3 tools/selfcheck.py <sfdir> <verify_out_dir>
          [--resume <prior_log>] [--skip name,...] [--only name,...]
+         [--timeout SECS] [--big-rows N]
 Reads each <out>/<name> parquet (Spark result) and runs the matching
 oracle from <out>/oracle_sql.json in DuckDB over the raw tables.
 --resume skips queries already OK in a prior run's log (crash
@@ -10,18 +11,31 @@ recovery for long sweeps); --skip marks named queries SKIP (an oracle
 that cannot run at the current scale — e.g. doc_fingerprint's
 per-character recursive CTE is quadratic in DuckDB at sf1 — must be
 cross-checked some other way, never silently dropped).
+--timeout interrupts an oracle that runs past SECS (watchdog thread →
+con.interrupt()) and reports TIMEOUT — the long-sweep alternative to
+hanging the whole run on one quadratic oracle; a TIMEOUT query needs a
+substitute check exactly like a SKIP.
 SELFCHECK_MEM caps DuckDB memory (default 48GB) so an oracle that
 outgrows the host FAILS in-process instead of OOM-killing the sweep.
 Compares schema (sorted column names) and values (rows sorted, columns
 sorted by name, exact equality; floats compared exactly after both
 sides' ROUND(4)).
+--big-rows N (default 3,000,000): outputs larger than N rows compare
+inside DuckDB (EXCEPT ALL both directions + row counts — multiset
+equality, out-of-core) instead of pandas canon(), whose per-row string
+tuples need ~1 GB per million rows and would OOM the 60M-row sf10
+outputs. Native-value equality differs from canon() only on -0.0 vs
+0.0 (native: equal) and NaN (native: equal; canon: both map to None —
+also equal), so it is the same gate for every value class the queries
+emit (ints, cents-exact money, ROUND(4) floats, ISO date strings).
 """
-import sys, json, glob, math, os, time
+import sys, json, glob, math, os, time, threading
 import duckdb
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 done, skip, only = set(), set(), None
+timeout_s, big_rows = None, 3_000_000
 argv = sys.argv[3:]
 while argv:
     if argv[0] == "--resume":
@@ -34,6 +48,12 @@ while argv:
         argv = argv[2:]
     elif argv[0] == "--only":
         only = set(argv[1].split(","))
+        argv = argv[2:]
+    elif argv[0] == "--timeout":
+        timeout_s = float(argv[1])
+        argv = argv[2:]
+    elif argv[0] == "--big-rows":
+        big_rows = int(argv[1])
         argv = argv[2:]
     else:
         sys.exit(f"unknown arg {argv[0]}")
@@ -61,6 +81,56 @@ def canon(df):
     rows = [tuple(norm(v) for v in r) for r in df.itertuples(index=False, name=None)]
     return sorted(rows)
 
+class _Watchdog:
+    """Interrupts the in-flight DuckDB query after timeout_s; the
+    raised InterruptException is classified as TIMEOUT, not FAIL."""
+    def __init__(self):
+        self.fired = False
+        self.timer = None
+    def __enter__(self):
+        if timeout_s is not None:
+            def _fire():
+                self.fired = True
+                con.interrupt()
+            self.timer = threading.Timer(timeout_s, _fire)
+            self.timer.daemon = True
+            self.timer.start()
+        return self
+    def __exit__(self, *exc):
+        if self.timer is not None:
+            self.timer.cancel()
+        return False
+
+def compare_big(name, sql, spark_glob, t0):
+    """Multiset compare inside DuckDB (out-of-core) for outputs too
+    large for pandas canon(). EXCEPT ALL both directions + counts ≡
+    multiset equality; schema compared first via DESCRIBE (bind-only).
+    """
+    scols = sorted(r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{spark_glob}')").fetchall())
+    ocols = sorted(r[0] for r in con.execute(
+        f"DESCRIBE ({sql})").fetchall())
+    if scols != ocols:
+        print(f"FAIL {name}: cols spark={scols} oracle={ocols}", flush=True)
+        return False
+    collist = ", ".join('"%s"' % c for c in scols)
+    s_minus_o, o_minus_s, ns, no = con.execute(f"""
+        WITH s AS (SELECT {collist} FROM read_parquet('{spark_glob}')),
+             o AS (SELECT {collist} FROM ({sql}) oq)
+        SELECT (SELECT count(*) FROM (SELECT * FROM s EXCEPT ALL SELECT * FROM o) a),
+               (SELECT count(*) FROM (SELECT * FROM o EXCEPT ALL SELECT * FROM s) b),
+               (SELECT count(*) FROM s), (SELECT count(*) FROM o)""").fetchone()
+    if ns != no:
+        print(f"FAIL {name}: rows spark={ns} oracle={no}", flush=True)
+        return False
+    if s_minus_o or o_minus_s:
+        print(f"FAIL {name}: values differ (spark-only={s_minus_o}, "
+              f"oracle-only={o_minus_s} rows)", flush=True)
+        return False
+    print(f"OK   {name} ({ns} rows, {time.time()-t0:.0f}s, duckdb-multiset)",
+          flush=True)
+    return True
+
 fails = 0
 for name, sql in sorted(oracles.items()):
     if only is not None and name not in only:
@@ -69,13 +139,22 @@ for name, sql in sorted(oracles.items()):
         print(f"OK   {name} (resumed from prior log)", flush=True); continue
     if name in skip:
         print(f"SKIP {name}: oracle excluded at this scale", flush=True); continue
+    wd = _Watchdog()
     try:
         t0 = time.time()
         spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not spark_files:
             print(f"FAIL {name}: no spark output", flush=True); fails += 1; continue
-        sdf = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
-        odf = con.execute(sql).fetchdf()
+        spark_glob = f"{outdir}/{name}/*.parquet"
+        n_spark = con.execute(
+            f"SELECT count(*) FROM read_parquet('{spark_glob}')").fetchone()[0]
+        with wd:
+            if n_spark > big_rows:
+                if not compare_big(name, sql, spark_glob, t0):
+                    fails += 1
+                continue
+            sdf = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
+            odf = con.execute(sql).fetchdf()
         a, b = canon(sdf), canon(odf)
         if sorted(sdf.columns) != sorted(odf.columns):
             print(f"FAIL {name}: cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}", flush=True); fails += 1
@@ -87,7 +166,11 @@ for name, sql in sorted(oracles.items()):
         else:
             print(f"OK   {name} ({len(a)} rows, {time.time()-t0:.0f}s)", flush=True)
     except Exception as e:
-        print(f"FAIL {name}: {type(e).__name__}: {e}", flush=True); fails += 1
+        if wd.fired:
+            print(f"TIMEOUT {name}: oracle exceeded {timeout_s:.0f}s — needs a substitute check", flush=True)
+            fails += 1
+        else:
+            print(f"FAIL {name}: {type(e).__name__}: {e}", flush=True); fails += 1
 
 # queries with no oracle: rows-only
 import os
