@@ -19,12 +19,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Single-file output (coalesce(1)) is the driver default — one
+    // part per query keeps the sf0.01 compare trivial. At synthetic
+    // scale sweeps (sf10: 60M-row outputs) coalesce(1) collapses the
+    // final stage to ONE thread and the dump crawls at 1/32 of the
+    // host; SPARK_GRAFT_VERIFY_PARTS=many keeps natural partitioning
+    // (the selfcheck compare globs part files and sorts rows anyway).
+    val onePart = !sys.env.get("SPARK_GRAFT_VERIFY_PARTS").contains("many")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark, sfDir)
+        (if (onePart) df.coalesce(1) else df)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
