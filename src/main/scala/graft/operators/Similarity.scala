@@ -350,9 +350,10 @@ object Similarity {
     * all-pairs) and the pointer-jumping label propagation (O(log
     * diameter) rounds even when LSH chains run long).
     */
-  def semanticDedup(corpus: DataFrame, minCosine: Double = 0.35): DataFrame =
+  def semanticDedup(corpus: DataFrame, minCosine: Double = 0.35,
+                    bands: Int = 8, rowsPerBand: Int = 6): DataFrame =
     Corpus.connectedComponents(
-      nearDupPairs(corpus, minCosine), "vec_a", "vec_b")
+      nearDupPairs(corpus, minCosine, bands, rowsPerBand), "vec_a", "vec_b")
       .filter(col("doc_id") =!= col("component_id"))
       .select(col("doc_id").as("vec_id"), col("component_id").as("keeper_id"))
       .transform(graft.core.SmallSort.byNames(_, "vec_id"))
@@ -371,16 +372,20 @@ object Similarity {
     * cosine break by neighbor id — total order, hash-stable.
     */
   def knnGraph(corpus: DataFrame, k: Int = 5,
-               minCosine: Double = 0.2): DataFrame =
-    graft.core.SmallSort.byNames(knnPairs(corpus, k, minCosine),
+               minCosine: Double = 0.2,
+               bands: Int = 8, rowsPerBand: Int = 6): DataFrame =
+    graft.core.SmallSort.byNames(
+      knnPairs(corpus, k, minCosine, bands, rowsPerBand),
       "vec_id", "rank")
 
   /** [[knnGraph]] without the output sort, for composers that
     * re-shuffle anyway ([[labelAgreement]]).
     */
   private[operators] def knnPairs(corpus: DataFrame, k: Int = 5,
-                                  minCosine: Double = 0.2): DataFrame = {
-    val pairs = nearDupPairs(corpus, minCosine)
+                                  minCosine: Double = 0.2,
+                                  bands: Int = 8,
+                                  rowsPerBand: Int = 6): DataFrame = {
+    val pairs = nearDupPairs(corpus, minCosine, bands, rowsPerBand)
     val sym = pairs
       .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"), col("cos_sim"))
       .union(pairs
@@ -403,9 +408,10 @@ object Similarity {
     * absent (no evidence either way) — documented, matches the oracle.
     */
   def labelAgreement(embeddings: DataFrame, k: Int = 5,
-                     minCosine: Double = 0.2): DataFrame = {
+                     minCosine: Double = 0.2,
+                     bands: Int = 8, rowsPerBand: Int = 6): DataFrame = {
     val lab = embeddings.select(col("vec_id"), col("label").cast("long"))
-    knnPairs(embeddings, k, minCosine)
+    knnPairs(embeddings, k, minCosine, bands, rowsPerBand)
       .join(lab.select(col("vec_id"), col("label").as("own_label")), "vec_id")
       .join(lab.select(col("vec_id").as("neighbor_id"),
         col("label").as("nbr_label")), "neighbor_id")
