@@ -61,6 +61,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("dense-regime params thread through the composed wrappers: " +
+       "semanticDedup keeps one clique representative, knnGraph ranks " +
+       "clique neighbors, at r = 16") {
+    // same planted 10-clique + noise as the nearDupPairs case — the
+    // wrappers (semanticDedup / knnGraph) must honor non-default
+    // bands/rowsPerBand all the way down (the sf10 sweep runs them at
+    // this width via tools.EmbeddingScale)
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val clique = (0 until 10).map { k =>
+      (100L + k) -> base.zipWithIndex.map { case (x, i) =>
+        if (i == 0) x + 0.001f * k else x }.toSeq }
+    val noise = (0 until 40).map { k =>
+      (500L + k) -> Array.fill(64)(rnd.nextFloat() - 0.5f).toSeq }
+    val wide = vecs(clique ++ noise: _*)
+    val drops = Similarity.semanticDedup(wide, minCosine = 0.9,
+      bands = 8, rowsPerBand = 16).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("keeper_id"))
+    assert(drops.toSet == (1 until 10).map(k => (100L + k) -> 100L).toSet,
+      s"dense semanticDedup must drop 9 clique members to keeper 100: " +
+        s"${drops.toSeq.sorted}")
+    val knn = Similarity.knnGraph(wide, k = 5, minCosine = 0.9,
+      bands = 8, rowsPerBand = 16).collect()
+    val byVec = knn.groupBy(_.getAs[Long]("vec_id"))
+    assert(byVec.keySet == (0 until 10).map(100L + _).toSet)
+    byVec.foreach { case (v, rows) =>
+      assert(rows.length == 5, s"vec $v must have exactly 5 neighbors")
+      assert(rows.forall { r =>
+        val nb = r.getAs[Long]("neighbor_id"); nb >= 100L && nb < 110L
+      }, s"vec $v has a non-clique neighbor above 0.9")
+    }
+  }
+
   test("embeddingNearDup finds the near-parallel pair only") {
     val out = Similarity.embeddingNearDup(corpus, minCosine = 0.9).collect()
     val pairs = out.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
