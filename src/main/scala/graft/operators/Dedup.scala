@@ -89,17 +89,29 @@ object Dedup {
     * column; extra columns like a batch partition id are ignored) —
     * the probe kernel of [[graft.streaming.ExactIndex]]: the corpus
     * side is 16 bytes per distinct document ever accepted, no text is
-    * read or stored, and the anti-join shuffles only the BATCH's
-    * keeper hashes (the corpus frame is scanned pruned to one
-    * column). Returns the kept (doc_id, content_hash) pairs, unsorted
-    * (a per-batch kernel, not an oracle query).
+    * read or stored, and the index frame is NEVER shuffled: the batch's
+    * keeper hashes broadcast into a semi-join that streams the index
+    * scan (a direct anti-join can only build its hash table on the
+    * index side — under ~10 MB Spark broadcasts it, but past the
+    * threshold it degrades to shuffling the index keys every batch,
+    * the measured 81 KB → 34 MB cliff in INDEX_SCALE.md), and the
+    * resulting matched set (≤ the batch) broadcasts into the anti.
+    * Probe shuffle is batch-bound at ANY corpus size; the spec pins it
+    * (no exchange above an index scan, auto-broadcast disabled).
+    * Returns the kept (doc_id, content_hash) pairs, unsorted (a
+    * per-batch kernel, not an oracle query).
     */
-  def exactProbe(newDocs: DataFrame, corpusHashes: DataFrame): DataFrame =
-    newDocs
+  def exactProbe(newDocs: DataFrame, corpusHashes: DataFrame): DataFrame = {
+    val keepers = newDocs
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min("doc_id").as("doc_id"))
-      .join(corpusHashes.select("content_hash"), Seq("content_hash"), "left_anti")
+    val seen = corpusHashes.select("content_hash")
+      .join(broadcast(keepers.select("content_hash")),
+        Seq("content_hash"), "left_semi")
+    keepers
+      .join(broadcast(seen), Seq("content_hash"), "left_anti")
       .select(col("doc_id"), col("content_hash"))
+  }
 
   /** (doc_id, sh) shingle arrays — the verification-side companion of
     * the [[bandedBuckets]] posting index. A warehouse persists BOTH
@@ -146,18 +158,24 @@ object Dedup {
                    numHashes: Int = 32, bands: Int = 8,
                    minJaccard: Double = 0.5): DataFrame = {
     val newBanded = bandedBuckets(newDocs, n, numHashes, bands)
-    val candidates = newBanded.as("a")
-      .join(corpusPostings.as("b"),
+    // batch postings broadcast; the corpus posting frame STREAMS (an
+    // un-hinted join builds on whichever side fits — past the 10 MB
+    // threshold that means shuffling index keys ∝ corpus every batch)
+    val candidates = corpusPostings.as("b")
+      .join(broadcast(newBanded.as("a")),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("corpus_id"))
       .distinct()
     val newSh = newDocs
       .select(col("doc_id"), TextOps.shingles(col("text"), n).as("sh"))
-    val matched = candidates
-      .join(newSh.select(col("doc_id").as("new_id"), col("sh").as("sh_a")),
-        "new_id")
-      .join(corpusShingles.select(col("doc_id").as("corpus_id"),
-        col("sh").as("sh_b")), "corpus_id")
+    // candidates (batch × collisions, micro-batch-bounded) carry the
+    // batch shingle arrays and broadcast into a streaming scan of the
+    // corpus shingle frame — the other index frame that must not shuffle
+    val matched = corpusShingles
+      .select(col("doc_id").as("corpus_id"), col("sh").as("sh_b"))
+      .join(broadcast(candidates
+        .join(newSh.select(col("doc_id").as("new_id"), col("sh").as("sh_a")),
+          "new_id")), "corpus_id")
       .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))) >= minJaccard)
       .select(col("new_id").as("doc_id")).distinct()
@@ -352,11 +370,17 @@ object Dedup {
     val batchDup = inst.groupBy("h")
       .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
       .filter(col("d0") =!= col("d1")).select("h")
-    // no distinct over the union: duplicate h rows on a semi-join's
-    // build side are harmless (existence is existence), and the
-    // distinct would cost the only extra shuffle in the probe
-    val dup = corpusGrams.select("h").unionByName(batchDup)
-    islandSpans(inst.join(dup.hint("shuffle_hash"), Seq("h"), "left_semi"), k)
+    // the corpus gram frame must STREAM, never shuffle (∝ corpus): the
+    // batch's distinct gram set broadcasts into a semi-join that
+    // filters the corpus scan down to the matched grams (≤ batch), and
+    // THAT small set broadcasts into the island semi-join. The batch-
+    // side distinct is one batch-bound shuffle — the price of never
+    // moving index rows.
+    val instH = inst.select("h").distinct()
+    val corpusMatched = corpusGrams.select("h")
+      .join(broadcast(instH), Seq("h"), "left_semi")
+    val dup = corpusMatched.unionByName(batchDup)
+    islandSpans(inst.join(broadcast(dup), Seq("h"), "left_semi"), k)
       .orderBy("doc_id", "span_start")
   }
 

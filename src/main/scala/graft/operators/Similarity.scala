@@ -505,8 +505,11 @@ object Similarity {
     */
   private def bandedCandidates(newBanded: DataFrame,
                                corpusPostings: DataFrame): DataFrame =
-    newBanded.as("a")
-      .join(corpusPostings.as("b"),
+    // batch postings broadcast; the stored posting frame STREAMS —
+    // an un-hinted join would shuffle index keys ∝ corpus once the
+    // frame outgrows the auto-broadcast threshold (INDEX_SCALE.md)
+    corpusPostings.as("b")
+      .join(broadcast(newBanded.as("a")),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.vec_id").as("new_id"), col("b.vec_id").as("corpus_id"))
       .distinct()
@@ -536,11 +539,13 @@ object Similarity {
                      dims: Int = 64): DataFrame = {
     val newEmb = newVecs.select(col("vec_id"), col("embedding"))
     val newBanded = embeddingPostings(newEmb, bands, rowsPerBand, dims)
-    val matched = bandedCandidates(newBanded, corpusPostings)
-      .join(newEmb.select(col("vec_id").as("new_id"),
-        col("embedding").as("emb_a")), "new_id")
-      .join(corpusVectors.select(col("vec_id").as("corpus_id"),
-        col("embedding").as("emb_b")), "corpus_id")
+    // candidates + batch vectors broadcast into a streaming scan of
+    // the stored vector frame — the verify-side index never shuffles
+    val matched = corpusVectors
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("emb_b"))
+      .join(broadcast(bandedCandidates(newBanded, corpusPostings)
+        .join(newEmb.select(col("vec_id").as("new_id"),
+          col("embedding").as("emb_a")), "new_id")), "corpus_id")
       .filter(cosine(col("emb_a"), col("emb_b")) >= minCosine)
       .select(col("new_id").as("vec_id")).distinct()
     val inBatchDropped = inBatchPairs(newBanded, newEmb)
@@ -604,9 +609,11 @@ object Similarity {
       .join(codebook, "sub_id")
       .select(col("vec_id").as("new_id"), col("sub_id"), col("code"),
         sqDist(col("sub_vec"), col("centroid")).as("d2"))
-    val matched = candidates
-      .join(corpusCodes.select(col("vec_id").as("corpus_id"), col("codes")),
-        "corpus_id")
+    // candidates broadcast into a streaming scan of the stored code
+    // frame — the 8 B/vector code index never shuffles at probe time
+    val matched = corpusCodes
+      .select(col("vec_id").as("corpus_id"), col("codes"))
+      .join(broadcast(candidates), "corpus_id")
       .select(col("new_id"), col("corpus_id"), posexplode(col("codes")))
       .select(col("new_id"), col("corpus_id"),
         col("pos").cast("int").as("sub_id"), col("col").cast("int").as("code"))

@@ -402,11 +402,19 @@ class PlanAuditSpec extends SparkSpec {
       val plan = finalPlan(
         Dedup.duplicateSpansProbe(batch, Dedup.gramTable(corpus)))
       // in-batch duplication decided by the min≠max aggregate (partial
-      // combined), unioned with the corpus gram set below ONE semi-join
+      // combined), unioned with the batch-matched corpus grams below
+      // ONE island semi-join
       assert(plan.contains("partial_min(doc_id"),
         s"batch dup-gram set not from a partial-combined aggregate:\n$plan")
-      assert(plan.contains("ShuffledHashJoin"),
-        s"probe not a shuffled hash join:\n$plan")
+      // the corpus gram frame STREAMS through broadcast semi-joins
+      // (batch gram set broadcast in, matched set broadcast out) —
+      // never a shuffled join that would move index rows ∝ corpus
+      // (ProbePlanSpec pins the same property structurally)
+      assert("BroadcastHashJoin.*LeftSemi".r
+        .findAllMatchIn(plan).length >= 2,
+        s"probe must be two broadcast semi-joins:\n$plan")
+      assert(!plan.contains("ShuffledHashJoin"),
+        s"probe shuffles index-side gram rows:\n$plan")
       assert(plan.contains("Union"),
         s"corpus and batch gram sets must union below one probe:\n$plan")
       assert(!plan.contains("SortMergeJoin"), plan)
