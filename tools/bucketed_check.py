@@ -17,6 +17,17 @@ the scans. A query where the filter cannot push down simply runs the
 full pipeline N times — slower, never wrong.
 
 Usage: bucketed_check.py <sfdir> <outdir> <name> <key_col> <n_buckets>
+         [--filter-source <table>]
+
+--filter-source pushes the bucket predicate INTO the named source view
+(e.g. documents) instead of around the oracle — for oracles whose
+pipeline the optimizer cannot push an outer filter through (recursive
+CTEs, string_agg reassembly). This variant is sound ONLY for queries
+that are per-key independent over that source (each output row derives
+from exactly the source rows sharing its key, e.g. per-document
+chunking): then oracle(filtered source) == oracle(full source)
+restricted to the bucket. The default (outer-filter) form is
+unconditionally sound.
 """
 import glob
 import json
@@ -28,15 +39,27 @@ import duckdb
 
 sfdir, outdir, name, key, nb = (sys.argv[1], sys.argv[2], sys.argv[3],
                                 sys.argv[4], int(sys.argv[5]))
+filter_source = None
+if len(sys.argv) > 7 and sys.argv[6] == "--filter-source":
+    filter_source = sys.argv[7]
 
 con = duckdb.connect()
 con.execute(f"SET memory_limit='{os.environ.get('SELFCHECK_MEM', '48GB')}'")
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    pat = f"{sfdir}/{t}.parquet"
-    if os.path.isdir(pat):
-        pat = f"{pat}/*.parquet"
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+
+
+def bind_views(bucket=None):
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        pat = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(pat):
+            pat = f"{pat}/*.parquet"
+        where = (f" WHERE COALESCE(\"{key}\" % {nb}, {nb}) = {bucket}"
+                 if bucket is not None and t == filter_source else "")
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS "
+                    f"SELECT * FROM read_parquet('{pat}'){where}")
+
+
+bind_views()
 
 sql = json.load(open(f"{outdir}/oracle_sql.json"))[name]
 spark_glob = f"{outdir}/{name}/*.parquet"
@@ -57,6 +80,8 @@ total_s = total_o = 0
 # bucket), so the nb+1 buckets partition BOTH outputs exhaustively
 for k in range(nb + 1):
     tb = time.time()
+    if filter_source is not None:
+        bind_views(bucket=k)
     s_minus_o, o_minus_s, ns, no = con.execute(f"""
         WITH s AS (SELECT {collist} FROM read_parquet('{spark_glob}')
                    WHERE COALESCE("{key}" % {nb}, {nb}) = {k}),
