@@ -39,9 +39,17 @@ import duckdb
 
 sfdir, outdir, name, key, nb = (sys.argv[1], sys.argv[2], sys.argv[3],
                                 sys.argv[4], int(sys.argv[5]))
-filter_source = None
-if len(sys.argv) > 7 and sys.argv[6] == "--filter-source":
-    filter_source = sys.argv[7]
+filter_source, source_key = None, None
+argv = sys.argv[6:]
+while argv:
+    if argv[0] == "--filter-source":
+        filter_source = argv[1]; argv = argv[2:]
+    elif argv[0] == "--source-key":
+        # the source table's column carrying the key (defaults to the
+        # output key name), e.g. lineitem.l_suppkey -> output loc_ref
+        source_key = argv[1]; argv = argv[2:]
+    else:
+        sys.exit(f"unknown arg {argv[0]}")
 
 con = duckdb.connect()
 con.execute(f"SET memory_limit='{os.environ.get('SELFCHECK_MEM', '48GB')}'")
@@ -53,7 +61,8 @@ def bind_views(bucket=None):
         pat = f"{sfdir}/{t}.parquet"
         if os.path.isdir(pat):
             pat = f"{pat}/*.parquet"
-        where = (f" WHERE COALESCE(\"{key}\" % {nb}, {nb}) = {bucket}"
+        skey = source_key or key
+        where = (f" WHERE COALESCE(\"{skey}\" % {nb}, {nb}) = {bucket}"
                  if bucket is not None and t == filter_source else "")
         con.execute(f"CREATE OR REPLACE VIEW {t} AS "
                     f"SELECT * FROM read_parquet('{pat}'){where}")
