@@ -31,7 +31,16 @@ emit (ints, cents-exact money, ROUND(4) floats, ISO date strings).
 """
 import sys, json, glob, math, os, time, threading
 import duckdb
-import pandas as pd
+if os.environ.get("SELFCHECK_NO_PANDAS"):
+    # pandas backs the small-output canon() path only; with
+    # SELFCHECK_NO_PANDAS=1 (+ --big-rows 0) every compare runs inside
+    # DuckDB and the sweep works on hosts where the numpy/pandas stack
+    # is unloadable — import is skipped entirely because a broken
+    # native stack dies with SIGBUS, which no try/except can catch
+    # (the r10 disk-failure incident, HOST_INCIDENT.md)
+    pd = None
+else:
+    import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 done, skip, only = set(), set(), None
@@ -149,7 +158,7 @@ for name, sql in sorted(oracles.items()):
         n_spark = con.execute(
             f"SELECT count(*) FROM read_parquet('{spark_glob}')").fetchone()[0]
         with wd:
-            if n_spark > big_rows:
+            if n_spark > big_rows or pd is None:
                 if not compare_big(name, sql, spark_glob, t0):
                     fails += 1
                 continue
