@@ -1,0 +1,34 @@
+#!/bin/bash
+# HOST-INCIDENT fallback test runner (HOST_INCIDENT.md): runs the
+# ScalaTest suite directly on the committed compiled classes — sbt
+# cannot run post-incident. Test-only jars (scalatest/scalacheck) are
+# discovered in the local coursier cache at runtime.
+#   ./run_tests_direct.sh                 # whole suite
+#   ./run_tests_direct.sh -s graft.ProbePlanSpec   # one suite
+set -euo pipefail
+cd "$(dirname "$0")"
+CP="target/scala-2.13/classes:target/scala-2.13/test-classes"
+for j in lib-recovered/*.jar; do CP="$CP:$j"; done
+for j in /opt/spark/jars/*.jar; do
+  case "$(basename "$j")" in
+    spark-sql_2.13-4.1.2.jar|zstd-jni-1.5.7-6.jar|hadoop-client-api-3.4.2.jar|hive-metastore-2.3.10.jar) ;;
+    *) CP="$CP:$j" ;;
+  esac
+done
+for j in $(find "$HOME/.cache/coursier" \
+    \( -name "scalatest*_2.13-3.2.19.jar" -o -name "scalatest*-3.2.19.jar" \
+       -o -name "scalactic_2.13-3.2.19.jar" -o -name "scalacheck_2.13-1.18.0.jar" \
+       -o -name "test-interface-*.jar" \) 2>/dev/null); do
+  CP="$CP:$j"
+done
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens=java.base/$p=ALL-UNNAMED"
+done
+ARGS=("$@")
+if [ ${#ARGS[@]} -eq 0 ]; then ARGS=(-R target/scala-2.13/test-classes); fi
+exec java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" -cp "$CP" org.scalatest.tools.Runner \
+  -oW "${ARGS[@]}"
