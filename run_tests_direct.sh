@@ -7,6 +7,20 @@
 #   ./run_tests_direct.sh -s graft.ProbePlanSpec   # one suite
 set -euo pipefail
 cd "$(dirname "$0")"
+# Staleness guard (ADVICE r10): refuse a green "suite replay" over classes
+# that no longer match the source tree. compile_direct.sh stamps
+# COMPILED_AT.{main,test} with a sha256 over src/; abort on mismatch.
+for m in main test; do
+  SRC_ROOT="src/main/scala"; [ "$m" = "test" ] && SRC_ROOT="src/test/scala"
+  SRC_SHA=$(find "$SRC_ROOT" -name '*.scala' -print0 | sort -z | xargs -0 sha256sum | sha256sum | cut -d' ' -f1)
+  STAMP="target/scala-2.13/COMPILED_AT.$m"
+  if [ ! -f "$STAMP" ]; then
+    echo "WARN: $STAMP missing — cannot verify classes match sources (pre-stamp build)." >&2
+  elif ! grep -q "src_sha256=$SRC_SHA" "$STAMP"; then
+    echo "ERROR: compiled $m classes are STALE relative to $SRC_ROOT (run ./compile_direct.sh $m)." >&2
+    exit 2
+  fi
+done
 CP="target/scala-2.13/classes:target/scala-2.13/test-classes"
 for j in lib-recovered/*.jar; do CP="$CP:$j"; done
 for j in /opt/spark/jars/*.jar; do
