@@ -236,8 +236,12 @@ object SparkEntry {
     // the enforcement half: duplicated spans excised from every doc
     "dedup_substring_scrub" -> ((s, d) =>
       Dedup.exciseSpans(Tables(s, d, "documents"))),
+    // widths pinned to the demo regime (8 bands × r=6) because the
+    // DuckDB oracle replays these exact hyperplane buckets; the
+    // library default is Similarity.AutoWidth (occupancy-driven)
     "dedup_embedding" -> ((s, d) =>
-      Similarity.embeddingNearDup(Tables(s, d, "embeddings"))),
+      Similarity.embeddingNearDup(Tables(s, d, "embeddings"),
+        bands = 8, rowsPerBand = 6)),
     // SEMANTIC decontamination (Corpus.decontaminateSemantic): the
     // paraphrase-leak gate over embeddings — every 20th vector plays
     // the benchmark set, the rest is the train corpus; sign-bit LSH
@@ -626,7 +630,8 @@ object SparkEntry {
     }),
     "customer_rfm" -> ((s, d) =>
       graft.operators.Segmentation.rfmSegments(Tables(s, d, "orders"))),
-    "semdedup" -> ((s, d) => Similarity.semanticDedup(Tables(s, d, "embeddings"))),
+    "semdedup" -> ((s, d) => Similarity.semanticDedup(
+      Tables(s, d, "embeddings"), bands = 8, rowsPerBand = 6)),
     // --- round 3b: star-join analytics, concentration, kNN graph ---
     // TPC-H Q5-shaped multi-way star join: fact filtered by pushed-down
     // date range, dims broadcast, revenue in exact cent·pct BIGINT
@@ -671,11 +676,13 @@ object SparkEntry {
     }),
     "orders_pareto" -> ((s, d) =>
       graft.operators.Segmentation.paretoCoverage(Tables(s, d, "orders"))),
-    "knn_graph" -> ((s, d) => Similarity.knnGraph(Tables(s, d, "embeddings"))),
+    "knn_graph" -> ((s, d) => Similarity.knnGraph(
+      Tables(s, d, "embeddings"), bands = 8, rowsPerBand = 6)),
     "paragraph_dedup" -> ((s, d) =>
       Corpus.paragraphDedup(Tables(s, d, "documents"))),
     "label_noise" -> ((s, d) =>
-      Similarity.labelAgreement(Tables(s, d, "embeddings"))),
+      Similarity.labelAgreement(Tables(s, d, "embeddings"),
+        bands = 8, rowsPerBand = 6)),
   )
 
   // ---------------------------------------------------------------------
@@ -823,43 +830,58 @@ object SparkEntry {
       |    AS quality_score
       |FROM b""".stripMargin
 
-  /** Mirrors TextAnalysis.fingerprint (window=64): the Karp–Rabin
-    * recurrence replayed positionally by a recursive CTE over per-doc
-    * byte lists (ascii corpus: unicode(char) == utf-8 byte). The base
-    * 257 / mod 2^31-1 arithmetic keeps every intermediate BIGINT-safe,
-    * which is exactly why the kernel uses it. DuckDB's % keeps the
-    * dividend's sign (like Java), so the same +M adjustment applies.
+  /** Mirrors TextAnalysis.fingerprint (window=64): Karp–Rabin window
+    * hashes replayed LINEARLY via the modular-inverse prefix trick
+    * (ascii corpus: unicode(char) == utf-8 byte). With S(p) = Σ_{k≤p}
+    * c[k]·B⁻ᵏ mod M (a plain windowed cumulative sum — M is prime, so
+    * B⁻¹ exists), the window hash ending at position e is
+    * Bᵉ·(S(e) − S(e−w)) mod M: one powers table, one char explode,
+    * one window cumsum, one LAG, one group-by — no per-character
+    * recursion (the previous recursive-CTE formulation cost 559 s of
+    * the sf0.1 gate; this one is milliseconds at the same scale and
+    * stays linear at sf10). Magnitude audit: each term c·B⁻ᵏ reduces
+    * mod M < 2³¹, the raw cumsum of a million-char doc stays < 2⁵¹,
+    * the w-term window difference < 2³⁷, and (diff mod M)·Bᵉ < 2⁶² —
+    * every intermediate BIGINT-safe, same family as the kernel's own
+    * arithmetic. All quantities non-negative, so DuckDB's
+    * sign-preserving % needs no +M adjustment anywhere.
     */
   private def docFingerprintSql: String = {
     val w = 64
     val m = graft.functions.RollingFingerprint.Mod
     val b = graft.functions.RollingFingerprint.Base
-    val pow = (1 to w).foldLeft(1L)((p, _) => p * b % m) // B^w mod M
+    val binv = BigInt(b).modInverse(BigInt(m)).toLong // B·B⁻¹ ≡ 1 (mod M)
+    // powers-table depth bounds the supported doc length; testdata max
+    // doc length is ~600 chars (sf10 ScaleUp perturbs by a short
+    // prefix), so 8192 has an order of magnitude of headroom — and an
+    // overflow would FAIL LOUDLY (the pw join drops the doc's rows,
+    // row counts diverge), never silently pass
     s"""WITH RECURSIVE
-       |chl AS (
-       |  SELECT doc_id,
-       |    list(CAST(unicode(substr(text, i, 1)) AS BIGINT) ORDER BY i) AS cs
-       |  FROM documents,
-       |    UNNEST(generate_series(1, length(text))) AS t(i)
-       |  GROUP BY doc_id),
-       |st(doc_id, p, h, mn) AS (
-       |  SELECT doc_id, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT) FROM chl
+       |pw(k, p, pinv) AS (
+       |  SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
        |  UNION ALL
-       |  SELECT s.doc_id, s.p + 1,
-       |    CASE WHEN s.p < $w
-       |      THEN (s.h * $b + l.cs[s.p + 1]) % $m
-       |      ELSE ((s.h * $b + l.cs[s.p + 1]
-       |             - CAST($pow AS BIGINT) * l.cs[s.p + 1 - $w]) % $m
-       |            + $m) % $m END AS hnew,
-       |    CASE WHEN s.p + 1 >= $w
-       |      THEN LEAST(COALESCE(s.mn, hnew), hnew) ELSE NULL END
-       |  FROM st s JOIN chl l ON s.doc_id = l.doc_id
-       |  WHERE s.p < len(l.cs))
-       |SELECT s.doc_id, CASE WHEN len(l.cs) <= $w THEN s.h ELSE s.mn END
-       |  AS fingerprint
-       |FROM st s JOIN chl l ON s.doc_id = l.doc_id
-       |WHERE s.p = len(l.cs)
-       |ORDER BY s.doc_id""".stripMargin
+       |  SELECT k + 1, p * $b % $m, pinv * $binv % $m FROM pw WHERE k < 8192),
+       |ch AS (
+       |  SELECT doc_id, i, length(text) AS doclen,
+       |    CAST(unicode(substr(text, i, 1)) AS BIGINT) AS c
+       |  FROM documents,
+       |    UNNEST(generate_series(1, length(text))) AS t(i)),
+       |cs AS (
+       |  SELECT doc_id, i, doclen,
+       |    SUM(c * pp.pinv % $m)
+       |      OVER (PARTITION BY doc_id ORDER BY i) AS s
+       |  FROM ch JOIN pw pp ON pp.k = i),
+       |wn AS (
+       |  SELECT doc_id, i, doclen, s,
+       |    COALESCE(LAG(s, $w) OVER (PARTITION BY doc_id ORDER BY i),
+       |             CAST(0 AS BIGINT)) AS s0
+       |  FROM cs),
+       |h AS (
+       |  SELECT wn.doc_id, ((wn.s - wn.s0) % $m) * pp.p % $m AS hv
+       |  FROM wn JOIN pw pp ON pp.k = wn.i
+       |  WHERE wn.i >= $w OR wn.i = wn.doclen)
+       |SELECT doc_id, MIN(hv) AS fingerprint
+       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Mirrors Dedup.simhash (62-bit signature over word 3-gram shingle

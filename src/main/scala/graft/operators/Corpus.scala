@@ -263,6 +263,16 @@ object Corpus {
     * Precision is exact (native cosine per candidate); recall is the
     * LSH curve — raise bands for a stricter leak bound. Returns the
     * KEPT train ids ([[decontaminate]]'s contract).
+    *
+    * Width note: this gate deliberately does NOT inherit the dedup
+    * family's [[Similarity.AutoWidth]] occupancy default — widening r
+    * at fixed bands collapses recall at paraphrase-grade similarity
+    * (p = 1−θ/π; at cos 0.8, r=16, b=8 recall is 0.19 vs 0.90 at
+    * r=6), and a leak gate that silently loses recall is worse than
+    * one that costs more. At cluster scale keep the train side sparse
+    * by raising r AND bands together (b ≈ ln(1−R)/ln(1−p^r) holds the
+    * leak bound R; bands cost linearly in train size, collisions cost
+    * quadratically) — both are explicit parameters here.
     */
   def decontaminateSemantic(train: DataFrame, bench: DataFrame,
                             minCosine: Double = 0.35, bands: Int = 8,

@@ -168,12 +168,17 @@ object Dedup {
       .distinct()
     val newSh = newDocs
       .select(col("doc_id"), TextOps.shingles(col("text"), n).as("sh"))
-    // candidates (batch × collisions, micro-batch-bounded) carry the
-    // batch shingle arrays and broadcast into a streaming scan of the
-    // corpus shingle frame — the other index frame that must not shuffle
+    // candidates (batch × collisions) carry the batch shingle arrays
+    // and probe a streaming scan of the corpus shingle frame — the
+    // other index frame that must not shuffle. The probe side
+    // broadcasts only while its MEASURED row count is under the
+    // graft.probe.maxBroadcastRows bound; a collision-heavy
+    // (adversarial) corpus degrades to an explicit shuffle_hash join
+    // instead of blowing the 8 GB broadcast limit — see
+    // [[graft.core.ProbeGuard]].
     val matched = corpusShingles
       .select(col("doc_id").as("corpus_id"), col("sh").as("sh_b"))
-      .join(broadcast(candidates
+      .join(graft.core.ProbeGuard.guarded(candidates
         .join(newSh.select(col("doc_id").as("new_id"), col("sh").as("sh_a")),
           "new_id")), "corpus_id")
       .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /

@@ -311,10 +311,11 @@ object Similarity {
     *
     * Bucket count per band is 2^rowsPerBand — size it so expected
     * bucket occupancy stays executor-friendly (more bits = fewer
-    * collisions = lower recall at a given threshold). The defaults
-    * favour candidate sparsity on weakly-similar corpora; for
-    * high-threshold near-dup mining (cos ≥ 0.9) r=16+ is the right
-    * regime at cluster scale. MEASURED at sf1 (200k vectors, 90k
+    * collisions = lower recall at a given threshold). The one-shot
+    * mining family DEFAULTS to [[AutoWidth]]: a corpus-count occupancy
+    * probe picks the width ([[regimeRowsPerBand]]), so a caller that
+    * omits the parameter gets the sparse regime at every scale — the
+    * demo width r=6 is an explicit opt-in. MEASURED at sf1 (200k
     * planted true pairs — LSH_SCALE.md): r=6's 64 buckets/band
     * saturate and candidates grow corpus-quadratically (257k → 25.8M
     * at 10× corpus, 100.4×); r=16 holds candidates at 1.53× the true
@@ -323,6 +324,56 @@ object Similarity {
     * ([[graft.operators.Dedup.bandedBuckets]]) fold into an unbounded
     * hash space and sit at the candidate floor without widening.
     */
+  /** Sentinel for `rowsPerBand` on the one-shot sign-LSH mining family
+    * ([[nearDupPairs]] / [[embeddingNearDup]] / [[semanticDedup]] /
+    * [[knnGraph]] / [[labelAgreement]] / [[embeddingIncremental]]):
+    * resolve the band width from a corpus-count occupancy probe at
+    * plan-build time ([[regimeRowsPerBand]]). This is the DEFAULT —
+    * the demo width r=6 measured corpus-quadratic at one decade of
+    * growth (LSH_SCALE.md: 25.8M candidates at 200k vectors, 100.4×
+    * per 10× corpus) is now an explicit opt-in, never what a caller
+    * gets by omission.
+    */
+  val AutoWidth = 0
+
+  /** Occupancy-driven sign-LSH band width: the smallest `r` with
+    * expected bucket occupancy `corpusRows / 2^r ≤ targetOccupancy`,
+    * clamped to [6, 24]. MEASURED basis (LSH_SCALE.md, sf1 = 200k
+    * vectors / 90k planted true pairs): this rule selects r=16, which
+    * holds the candidate multiset at 1.53× the true-pair floor with
+    * output IDENTICAL to the saturated r=6 run at the dedup threshold
+    * (τ = 0.9) and 138× less verify shuffle; r=6's 64 buckets/band
+    * saturate and candidates grow ∝ corpus² instead.
+    *
+    * The width moves the band S-curve midpoint (≈ cos(π(1−(1/b)^(1/r))))
+    * toward 1 as r grows, so AUTO WIDTH TARGETS THE NEAR-DUP REGIME
+    * (τ ≳ 0.9, where measured recall is 1.0). Low-threshold similarity
+    * MINING (τ ≈ 0.35) on a corpus big enough to push r past ~8 is a
+    * different problem: no sign-LSH width is both sparse and
+    * high-recall there — pass a small explicit width consciously at
+    * demo scale, or mine via [[ivfTopKIndexed]] cells at cluster
+    * scale. The clamp at 24 (16.7M buckets/band) exists because
+    * recall at fixed bands decays as p^r: past it, raise `bands`
+    * in tandem (recall ≥ 1−(1−p^r)^b with p = 1−θ/π) rather than
+    * silently widening further.
+    */
+  def regimeRowsPerBand(corpusRows: Long,
+                        targetOccupancy: Double = 4.0): Int = {
+    val n = math.max(corpusRows, 1L).toDouble
+    val needed =
+      math.ceil(math.log(n / targetOccupancy) / math.log(2.0)).toInt
+    math.min(24, math.max(6, needed))
+  }
+
+  /** Resolve [[AutoWidth]] against the corpus. The probe is one
+    * count() — a driver-bounded scalar job at plan-BUILD time (the
+    * same class as the centroid/codebook collects); callers that need
+    * fully-lazy plan construction pass an explicit width instead.
+    */
+  private def resolveRows(corpus: DataFrame, rowsPerBand: Int): Int =
+    if (rowsPerBand != AutoWidth) rowsPerBand
+    else regimeRowsPerBand(corpus.count())
+
   /** Deterministic LSH hyperplane `p` (splitmix64-derived — no stored
     * model, no RNG in the plan). Public so the oracle SQL can embed the
     * SAME planes as literals.
@@ -351,7 +402,8 @@ object Similarity {
     * diameter) rounds even when LSH chains run long).
     */
   def semanticDedup(corpus: DataFrame, minCosine: Double = 0.35,
-                    bands: Int = 8, rowsPerBand: Int = 6): DataFrame =
+                    bands: Int = 8,
+                    rowsPerBand: Int = AutoWidth): DataFrame =
     Corpus.connectedComponents(
       nearDupPairs(corpus, minCosine, bands, rowsPerBand), "vec_a", "vec_b")
       .filter(col("doc_id") =!= col("component_id"))
@@ -373,7 +425,7 @@ object Similarity {
     */
   def knnGraph(corpus: DataFrame, k: Int = 5,
                minCosine: Double = 0.2,
-               bands: Int = 8, rowsPerBand: Int = 6): DataFrame =
+               bands: Int = 8, rowsPerBand: Int = AutoWidth): DataFrame =
     graft.core.SmallSort.byNames(
       knnPairs(corpus, k, minCosine, bands, rowsPerBand),
       "vec_id", "rank")
@@ -384,7 +436,7 @@ object Similarity {
   private[operators] def knnPairs(corpus: DataFrame, k: Int = 5,
                                   minCosine: Double = 0.2,
                                   bands: Int = 8,
-                                  rowsPerBand: Int = 6): DataFrame = {
+                                  rowsPerBand: Int = AutoWidth): DataFrame = {
     val pairs = nearDupPairs(corpus, minCosine, bands, rowsPerBand)
     val sym = pairs
       .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"), col("cos_sim"))
@@ -409,7 +461,8 @@ object Similarity {
     */
   def labelAgreement(embeddings: DataFrame, k: Int = 5,
                      minCosine: Double = 0.2,
-                     bands: Int = 8, rowsPerBand: Int = 6): DataFrame = {
+                     bands: Int = 8,
+                     rowsPerBand: Int = AutoWidth): DataFrame = {
     val lab = embeddings.select(col("vec_id"), col("label").cast("long"))
     knnPairs(embeddings, k, minCosine, bands, rowsPerBand)
       .join(lab.select(col("vec_id"), col("label").as("own_label")), "vec_id")
@@ -426,7 +479,7 @@ object Similarity {
   }
 
   def embeddingNearDup(corpus: DataFrame, minCosine: Double = 0.35,
-                       bands: Int = 8, rowsPerBand: Int = 6,
+                       bands: Int = 8, rowsPerBand: Int = AutoWidth,
                        dims: Int = 64): DataFrame =
     nearDupPairs(corpus, minCosine, bands, rowsPerBand, dims)
       .transform(graft.core.SmallSort.byNames(_, "vec_a", "vec_b"))
@@ -447,8 +500,13 @@ object Similarity {
     * [[graft.streaming.EmbeddingIndex]] is the foreachBatch
     * deployment.
     */
-  def embeddingPostings(corpus: DataFrame, bands: Int = 8,
-                        rowsPerBand: Int = 6, dims: Int = 64): DataFrame =
+  def embeddingPostings(corpus: DataFrame, bands: Int,
+                        rowsPerBand: Int, dims: Int = 64): DataFrame = {
+    require(rowsPerBand > 0 && rowsPerBand <= 62,
+      s"rowsPerBand must be in [1, 62] (got $rowsPerBand) — the index " +
+        "geometry is a capacity-planning choice bound to the persisted " +
+        "index (StreamDedup.bindGeometry); size it from the EXPECTED " +
+        "corpus with regimeRowsPerBand, never by omission")
     corpus.select(col("vec_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -458,12 +516,14 @@ object Similarity {
                 .cast("long") * (1L << i)
           }.reduce(_ + _).as("bucket"))): _*)).as("bb"))
       .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
+  }
 
   def nearDupPairs(corpus: DataFrame, minCosine: Double = 0.35,
-                   bands: Int = 8, rowsPerBand: Int = 6,
+                   bands: Int = 8, rowsPerBand: Int = AutoWidth,
                    dims: Int = 64): DataFrame = {
     val emb = corpus.select(col("vec_id"), col("embedding"))
-    val banded = embeddingPostings(emb, bands, rowsPerBand, dims)
+    val banded = embeddingPostings(emb, bands,
+      resolveRows(emb, rowsPerBand), dims)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -533,17 +593,23 @@ object Similarity {
       .join(newEmb.select(col("vec_id").as("id_b"),
         col("embedding").as("emb_b")), "id_b")
 
+  private def guardedProbeSide(df: DataFrame): DataFrame =
+    graft.core.ProbeGuard.guarded(df)
+
   def embeddingProbe(newVecs: DataFrame, corpusPostings: DataFrame,
                      corpusVectors: DataFrame, minCosine: Double = 0.35,
-                     bands: Int = 8, rowsPerBand: Int = 6,
+                     bands: Int, rowsPerBand: Int,
                      dims: Int = 64): DataFrame = {
     val newEmb = newVecs.select(col("vec_id"), col("embedding"))
     val newBanded = embeddingPostings(newEmb, bands, rowsPerBand, dims)
-    // candidates + batch vectors broadcast into a streaming scan of
-    // the stored vector frame — the verify-side index never shuffles
+    // candidates + batch vectors probe a streaming scan of the stored
+    // vector frame — the verify-side index never shuffles. Whether the
+    // probe side BROADCASTS (the flat-cost fast path) or shuffle-hashes
+    // (the fail-soft path on collision-heavy corpora) is decided from
+    // its measured row count — see guardedProbeSide.
     val matched = corpusVectors
       .select(col("vec_id").as("corpus_id"), col("embedding").as("emb_b"))
-      .join(broadcast(bandedCandidates(newBanded, corpusPostings)
+      .join(guardedProbeSide(bandedCandidates(newBanded, corpusPostings)
         .join(newEmb.select(col("vec_id").as("new_id"),
           col("embedding").as("emb_a")), "new_id")), "corpus_id")
       .filter(cosine(col("emb_a"), col("emb_b")) >= minCosine)
@@ -565,12 +631,20 @@ object Similarity {
     */
   def embeddingIncremental(newVecs: DataFrame, corpus: DataFrame,
                            minCosine: Double = 0.35, bands: Int = 8,
-                           rowsPerBand: Int = 6, dims: Int = 64): DataFrame =
+                           rowsPerBand: Int = AutoWidth,
+                           dims: Int = 64): DataFrame = {
+    // both sides are derived in-call, so auto width is safe here:
+    // resolve ONCE against the corpus (the bigger side — its occupancy
+    // is what saturates) and thread the SAME width through build and
+    // probe. The raw probe entry points keep width REQUIRED because
+    // there the index side is prebuilt and a mismatched batch width
+    // silently probes a disjoint bucket space.
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val r = resolveRows(emb, rowsPerBand)
     embeddingProbe(newVecs,
-      embeddingPostings(corpus.select(col("vec_id"), col("embedding")),
-        bands, rowsPerBand, dims),
-      corpus.select(col("vec_id"), col("embedding")),
-      minCosine, bands, rowsPerBand, dims)
+      embeddingPostings(emb, bands, r, dims),
+      emb, minCosine, bands, r, dims)
+  }
 
   /** [[embeddingProbe]] with the corpus verify side stored as PQ CODES
     * instead of raw vectors — the footprint that makes a
@@ -592,11 +666,14 @@ object Similarity {
     */
   def pqEmbeddingProbe(newVecs: DataFrame, corpusPostings: DataFrame,
                        corpusCodes: DataFrame, codebook: DataFrame,
-                       maxD2: Double, bands: Int = 8, rowsPerBand: Int = 6,
+                       maxD2: Double, bands: Int, rowsPerBand: Int,
                        dims: Int = 64, m: Int = 8): DataFrame = {
     val newEmb = newVecs.select(col("vec_id"), col("embedding"))
     val newBanded = embeddingPostings(newEmb, bands, rowsPerBand, dims)
-    val candidates = bandedCandidates(newBanded, corpusPostings)
+    // guarded once: the pinned frame feeds both the dtab semi-join and
+    // the code-frame probe (broadcast below threshold, shuffle_hash
+    // fail-soft above — see graft.core.ProbeGuard)
+    val candidates = guardedProbeSide(bandedCandidates(newBanded, corpusPostings))
     // ADC distance table restricted to batch vectors that actually
     // collided (semi-join first): its size is |colliding vectors|·m·k,
     // NOT |batch|·m·k — a giant backfill batch with few collisions
@@ -609,11 +686,11 @@ object Similarity {
       .join(codebook, "sub_id")
       .select(col("vec_id").as("new_id"), col("sub_id"), col("code"),
         sqDist(col("sub_vec"), col("centroid")).as("d2"))
-    // candidates broadcast into a streaming scan of the stored code
-    // frame — the 8 B/vector code index never shuffles at probe time
+    // candidates probe a streaming scan of the stored code frame — the
+    // 8 B/vector code index never shuffles on the fast path
     val matched = corpusCodes
       .select(col("vec_id").as("corpus_id"), col("codes"))
-      .join(broadcast(candidates), "corpus_id")
+      .join(candidates, "corpus_id")
       .select(col("new_id"), col("corpus_id"), posexplode(col("codes")))
       .select(col("new_id"), col("corpus_id"),
         col("pos").cast("int").as("sub_id"), col("col").cast("int").as("code"))

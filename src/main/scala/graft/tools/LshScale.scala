@@ -148,8 +148,13 @@ object LshScale {
     }
 
     // ---------- sign-LSH configs ----------
+    // `useDefault = true` measures the library DEFAULT call
+    // (rowsPerBand omitted → Similarity.AutoWidth occupancy probe);
+    // `r` is then only the width the rule is EXPECTED to pick, for
+    // the postings-side diagnostics.
     def signConfig(label: String, bands: Int, r: Int,
-                   minCos: Double = 0.35): Unit = {
+                   minCos: Double = 0.35,
+                   useDefault: Boolean = false): Unit = {
       val planted = nPlantedVecsAt(minCos)
       val banded = Similarity.embeddingPostings(emb, bands, r).localCheckpoint()
       val postingsRows = banded.count()
@@ -160,7 +165,8 @@ object LshScale {
             col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id"), col("b.vec_id")).distinct().count()
       val ((nFound, nPlantedFound), shufFull, secs) = measured {
-        val f = Similarity.nearDupPairs(emb, minCos, bands, r)
+        val f = (if (useDefault) Similarity.nearDupPairs(emb, minCos, bands)
+                 else Similarity.nearDupPairs(emb, minCos, bands, r))
           .select(col("vec_a"), col("vec_b"),
             (pmod(col("vec_a"), lit(K)) === pmod(col("vec_b"), lit(K)))
               .cast("long").as("planted"))
@@ -234,6 +240,14 @@ object LshScale {
     // Scaladoc's r=16+ rule prescribes
     signConfig("demo_8x6_t90", bands = 8, r = 6, minCos = 0.9)
     signConfig("wide_8x16_t90", bands = 8, r = 16, minCos = 0.9)
+    // the library DEFAULT (round 11): rowsPerBand omitted — the
+    // AutoWidth occupancy probe must land in the dense regime unaided
+    // (candidates ∝ true pairs, never the demo width's corpus²)
+    val rAuto = Similarity.regimeRowsPerBand(emb.count())
+    System.err.println(s"[lsh] AutoWidth occupancy probe resolves r=$rAuto")
+    signConfig(s"auto_default_r$rAuto", bands = 8, r = rAuto, useDefault = true)
+    signConfig(s"auto_default_r${rAuto}_t90", bands = 8, r = rAuto,
+      minCos = 0.9, useDefault = true)
 
     val json = "{\"sfDir\": \"" + sfDir + "\", \"runs\": [\n  " +
       results.mkString(",\n  ") + "\n]}\n"

@@ -119,9 +119,56 @@ class ProbePlanSpec extends SparkSpec {
       val emb = new EmbeddingIndex(spark, embDir)
       emb.append(vecs)
       assertIndexStreams(
-        Similarity.embeddingProbe(vbatch, emb.postings, emb.vectors), embDir)
+        Similarity.embeddingProbe(vbatch, emb.postings, emb.vectors,
+          bands = 8, rowsPerBand = 6), embDir)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("probe guard fails soft: above the row bound the probe side " +
+       "shuffle-hashes instead of broadcasting, result identical") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val batch = docs.limit(40).select(
+      (col("doc_id") + 500000L).as("doc_id"),
+      concat(lit("zq "), col("text")).as("text"))
+      .localCheckpoint()
+    batch.count()
+    val ndDir = tmp("guard")
+    val nd = new NearDupIndex(spark, ndDir)
+    nd.append(docs)
+
+    def hasShuffledHash(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+      case other => kids(other).exists(hasShuffledHash)
+    }
+    def hasBroadcastHash(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case other => kids(other).exists(hasBroadcastHash)
+    }
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // fast path (default bound): probe side broadcasts
+      val fast = Dedup.minhashProbe(batch, nd.postings, nd.shingles)
+      assert(hasBroadcastHash(fast.queryExecution.executedPlan),
+        "default-bound probe must broadcast the probe side")
+      val fastRows = fast.as[Long].collect().toSeq
+
+      // adversarial regime (bound = 0): the guard must choose
+      // shuffle_hash — degraded, not dead — with the SAME result
+      spark.conf.set(graft.core.ProbeGuard.ConfKey, "0")
+      val slow = Dedup.minhashProbe(batch, nd.postings, nd.shingles)
+      assert(hasShuffledHash(slow.queryExecution.executedPlan),
+        "above-bound probe must degrade to a shuffled hash join:\n" +
+          slow.queryExecution.executedPlan)
+      assert(slow.as[Long].collect().toSeq == fastRows,
+        "guard regimes must be semantically identical")
+    } finally {
+      spark.conf.unset(graft.core.ProbeGuard.ConfKey)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }

@@ -61,6 +61,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("AutoWidth default is regime-aware: occupancy rule picks the width, " +
+       "default call equals the explicit dense call on a planted clique") {
+    // the occupancy rule itself (r = ceil(log2(n/4)), clamped [6, 24])
+    assert(Similarity.regimeRowsPerBand(1) == 6)
+    assert(Similarity.regimeRowsPerBand(256) == 6)
+    assert(Similarity.regimeRowsPerBand(2048) == 9)
+    assert(Similarity.regimeRowsPerBand(200000) == 16) // the LSH_SCALE sf1 point
+    assert(Similarity.regimeRowsPerBand(Long.MaxValue) == 24)
+
+    // a corpus big enough that AUTO leaves the demo width (1010 rows →
+    // r = 8): a caller who omits rowsPerBand must get the sparse
+    // regime — exact clique recovery at τ = 0.9, and bit-identical to
+    // explicitly passing the width the rule selects. The demo r=6 is
+    // reachable only by explicit opt-in now.
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val clique = (0 until 10).map { k =>
+      (100L + k) -> base.zipWithIndex.map { case (x, i) =>
+        if (i == 0) x + 0.001f * k else x }.toSeq }
+    val noise = (0 until 1000).map { k =>
+      (1000L + k) -> Array.fill(64)(rnd.nextFloat() - 0.5f).toSeq }
+    val wide = vecs(clique ++ noise: _*).localCheckpoint()
+
+    val auto = Similarity.nearDupPairs(wide, minCosine = 0.9).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val explicit = Similarity.nearDupPairs(wide, minCosine = 0.9,
+      rowsPerBand = Similarity.regimeRowsPerBand(1010)).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val expected = (for { a <- 0 until 10; b <- a + 1 until 10 }
+      yield (100L + a, 100L + b)).toSet
+    assert(auto == expected,
+      s"auto-width must recover exactly the planted clique: " +
+        s"missing ${expected -- auto}, extra ${auto -- expected}")
+    assert(auto == explicit, "AutoWidth must equal the rule's explicit width")
+  }
+
   test("dense-regime params thread through the composed wrappers: " +
        "semanticDedup keeps one clique representative, knnGraph ranks " +
        "clique neighbors, at r = 16") {

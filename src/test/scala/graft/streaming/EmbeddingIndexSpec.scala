@@ -85,7 +85,8 @@ class EmbeddingIndexSpec extends SparkSpec {
     // rescanned even as the index grows
     val batch1 = vdf(13L -> vec(2, 0.1f, 4), 14L -> vec(5))
     assertIndexOnlyScans(Similarity.embeddingProbe(
-      batch1, idx.postings, idx.vectors), indexDir)
+      batch1, idx.postings, idx.vectors,
+      bands = 8, rowsPerBand = 6), indexDir)
 
     // REPLAY of batch id 1 (at-least-once delivery): must neither match
     // the batch against its own prior rows nor grow the index
@@ -157,7 +158,8 @@ class EmbeddingIndexSpec extends SparkSpec {
     // probe plans scan only index files (the batch is an in-memory
     // relation; corpus vectors exist nowhere to scan)
     assertIndexOnlyScans(Similarity.pqEmbeddingProbe(
-      b1, idx.postings, idx.codes, idx.codebook, 0.5), indexDir)
+      b1, idx.postings, idx.codes, idx.codebook, 0.5,
+      bands = 8, rowsPerBand = 6), indexDir)
 
     // compaction + the folded index still catches an accepted vector
     idx.compact(1L)

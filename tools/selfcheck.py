@@ -44,13 +44,16 @@ else:
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 done, skip, only = set(), set(), None
-timeout_s, big_rows = None, 3_000_000
+timeout_s, big_rows, emit_json = None, 3_000_000, None
 argv = sys.argv[3:]
 while argv:
     if argv[0] == "--resume":
         for line in open(argv[1]):
             if line.startswith("OK   "):
                 done.add(line.split()[1])
+        argv = argv[2:]
+    elif argv[0] == "--emit-json":
+        emit_json = argv[1]
         argv = argv[2:]
     elif argv[0] == "--skip":
         skip |= set(argv[1].split(","))
@@ -85,7 +88,13 @@ def canon(df):
         if v is None or (isinstance(v, float) and math.isnan(v)): return None
         if hasattr(v, "date") and not isinstance(v, str):  # Timestamp
             return str(pd.Timestamp(v))
-        if isinstance(v, float): return repr(v)
+        # floats canonicalize through ROUND(4) — identical to the
+        # compare_big path (which applies DuckDB ROUND(col, 4) to
+        # float columns), so the gate is scale-INdependent: a query
+        # emitting unrounded doubles behaves the same whichever
+        # compare path its output size selects. Idempotent for the
+        # pre-rounded floats every current query emits.
+        if isinstance(v, float): return repr(round(v, 4))
         return str(v)
     rows = [tuple(norm(v) for v in r) for r in df.itertuples(index=False, name=None)]
     return sorted(rows)
@@ -110,75 +119,110 @@ class _Watchdog:
             self.timer.cancel()
         return False
 
-def compare_big(name, sql, spark_glob, t0):
+FLOATY = ("DOUBLE", "FLOAT", "REAL")
+
+def compare_big(name, sql, spark_glob, t0, rec):
     """Multiset compare inside DuckDB (out-of-core) for outputs too
     large for pandas canon(). EXCEPT ALL both directions + counts ≡
     multiset equality; schema compared first via DESCRIBE (bind-only).
+    Float columns pass through ROUND(col, 4) on BOTH sides — the same
+    canonicalization canon() applies — so small- and big-output
+    compares implement one gate.
     """
-    scols = sorted(r[0] for r in con.execute(
-        f"DESCRIBE SELECT * FROM read_parquet('{spark_glob}')").fetchall())
-    ocols = sorted(r[0] for r in con.execute(
-        f"DESCRIBE ({sql})").fetchall())
+    stypes = {r[0]: r[1] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{spark_glob}')").fetchall()}
+    otypes = {r[0]: r[1] for r in con.execute(
+        f"DESCRIBE ({sql})").fetchall()}
+    scols, ocols = sorted(stypes), sorted(otypes)
     if scols != ocols:
         print(f"FAIL {name}: cols spark={scols} oracle={ocols}", flush=True)
+        rec["schema_match"] = False
+        rec["err"] = f"cols spark={scols} oracle={ocols}"
         return False
-    collist = ", ".join('"%s"' % c for c in scols)
+    rec["schema_match"] = True
+    def proj(types):
+        return ", ".join(
+            (f'ROUND("{c}", 4) AS "{c}"' if types[c].upper() in FLOATY
+             else f'"{c}"') for c in scols)
     s_minus_o, o_minus_s, ns, no = con.execute(f"""
-        WITH s AS (SELECT {collist} FROM read_parquet('{spark_glob}')),
-             o AS (SELECT {collist} FROM ({sql}) oq)
+        WITH s AS (SELECT {proj(stypes)} FROM read_parquet('{spark_glob}')),
+             o AS (SELECT {proj(otypes)} FROM ({sql}) oq)
         SELECT (SELECT count(*) FROM (SELECT * FROM s EXCEPT ALL SELECT * FROM o) a),
                (SELECT count(*) FROM (SELECT * FROM o EXCEPT ALL SELECT * FROM s) b),
                (SELECT count(*) FROM s), (SELECT count(*) FROM o)""").fetchone()
+    rec["spark_rows"], rec["oracle_rows"] = ns, no
+    rec["rows_match"] = ns == no
     if ns != no:
         print(f"FAIL {name}: rows spark={ns} oracle={no}", flush=True)
+        rec["err"] = f"rows spark={ns} oracle={no}"
         return False
     if s_minus_o or o_minus_s:
         print(f"FAIL {name}: values differ (spark-only={s_minus_o}, "
               f"oracle-only={o_minus_s} rows)", flush=True)
+        rec["hash_match"] = False
+        rec["err"] = f"values differ (spark-only={s_minus_o}, oracle-only={o_minus_s})"
         return False
+    rec["hash_match"] = True
     print(f"OK   {name} ({ns} rows, {time.time()-t0:.0f}s, duckdb-multiset)",
           flush=True)
     return True
 
 fails = 0
+report = {}
+def blank_rec():
+    return {"rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None}
 for name, sql in sorted(oracles.items()):
     if only is not None and name not in only:
         continue
+    rec = report[name] = blank_rec()
     if name in done:
+        rec.update(rows_match=True, schema_match=True, hash_match=True)
         print(f"OK   {name} (resumed from prior log)", flush=True); continue
     if name in skip:
+        rec["err"] = "skipped: oracle excluded at this scale"
         print(f"SKIP {name}: oracle excluded at this scale", flush=True); continue
     wd = _Watchdog()
     try:
         t0 = time.time()
         spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not spark_files:
+            rec["err"] = "no spark output"
             print(f"FAIL {name}: no spark output", flush=True); fails += 1; continue
         spark_glob = f"{outdir}/{name}/*.parquet"
         n_spark = con.execute(
             f"SELECT count(*) FROM read_parquet('{spark_glob}')").fetchone()[0]
         with wd:
             if n_spark > big_rows or pd is None:
-                if not compare_big(name, sql, spark_glob, t0):
+                if not compare_big(name, sql, spark_glob, t0, rec):
                     fails += 1
                 continue
             sdf = pd.concat([pd.read_parquet(f) for f in sorted(spark_files)])
             odf = con.execute(sql).fetchdf()
         a, b = canon(sdf), canon(odf)
-        if sorted(sdf.columns) != sorted(odf.columns):
+        rec["spark_rows"], rec["oracle_rows"] = len(a), len(b)
+        rec["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+        rec["rows_match"] = len(a) == len(b)
+        if not rec["schema_match"]:
+            rec["err"] = f"cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
             print(f"FAIL {name}: cols spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}", flush=True); fails += 1
         elif len(a) != len(b):
+            rec["err"] = f"rows spark={len(a)} oracle={len(b)}"
             print(f"FAIL {name}: rows spark={len(a)} oracle={len(b)}", flush=True); fails += 1
         elif a != b:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            rec["err"] = f"values differ, first diffs: {diff}"
             print(f"FAIL {name}: values differ, first diffs: {diff}", flush=True); fails += 1
         else:
+            rec["hash_match"] = True
             print(f"OK   {name} ({len(a)} rows, {time.time()-t0:.0f}s)", flush=True)
     except Exception as e:
         if wd.fired:
+            rec["err"] = f"timeout after {timeout_s:.0f}s"
             print(f"TIMEOUT {name}: oracle exceeded {timeout_s:.0f}s — needs a substitute check", flush=True)
             fails += 1
         else:
+            rec["err"] = f"{type(e).__name__}: {e}"
             print(f"FAIL {name}: {type(e).__name__}: {e}", flush=True); fails += 1
 
 # queries with no oracle: rows-only
@@ -188,4 +232,33 @@ declared = (set() if only is not None
 for name in sorted(declared - set(oracles)):
     n = len(glob.glob(f"{outdir}/{name}/*.parquet"))
     print(f"ROWS {name}: output present ({n} files)")
+
+if emit_json:
+    # the driver's CORRECTNESS_r{N}.json shape (per-query rows_match /
+    # schema_match / hash_match / spark_rows / oracle_rows / err),
+    # stamped under "_meta" with provenance so a round artifact
+    # produced by this gate is self-describing even when the driver's
+    # own run could not complete (the r10 host incident)
+    import subprocess
+    try:
+        rev = subprocess.run(["git", "rev-parse", "HEAD"],
+                             capture_output=True, text=True,
+                             cwd=os.path.dirname(os.path.dirname(
+                                 os.path.abspath(__file__)))).stdout.strip()
+    except Exception:
+        rev = "unknown"
+    out = {"_meta": {
+        "git_rev": rev,
+        "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "sf_dir": sfdir,
+        "tool": "tools/selfcheck.py" +
+                (" (pandas-free pure-DuckDB mode)" if pd is None else ""),
+        "queries": len(report),
+        "fails": fails,
+    }}
+    out.update(sorted(report.items()))
+    with open(emit_json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"WROTE {emit_json} ({len(report)} queries, {fails} fails)", flush=True)
+
 sys.exit(1 if fails else 0)
