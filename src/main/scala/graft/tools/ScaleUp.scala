@@ -71,6 +71,43 @@ object ScaleUp {
     def tagText(c: Column) = when(rep === 0, c)
       .otherwise(concat(lit("r"), rep.cast("string"), lit(" "), c))
 
+    /** Planted rare-shingle PAIR family (round 11): at factor ≥ 100
+      * every replica clique has 100 members, so each clique shingle's
+      * df blows past ngramJaccard's maxDf cut and the four pairwise
+      * near-dup queries (ngram_jaccard / dedup_containment /
+      * dedup_cluster / dedup_cluster_best) go validly EMPTY at sf10 —
+      * green-but-vacuous evidence. Plant `nPairs` doc PAIRS per
+      * replica (rep > 0) whose token material embeds the pair's own
+      * uid: every shingle has df = 2 — far under any df cut at any
+      * factor — so the pair family survives 100× replication and those
+      * rows are non-trivially exercised. Members share tokens 0..10 of
+      * 12 (jaccard 9/11 ≈ 0.82 ≥ 0.6, containment 0.9 ≥ 0.8). ids sit
+      * at PairBase = 10^7 inside the replica's id block — disjoint
+      * from every offset real id (driver doc ids < 10^4) and from
+      * other replicas; different-replica members carry different uids,
+      * so they neither pair across replicas nor perturb the
+      * same-residue planted-clique ground truth LshScale verifies.
+      * factor = 1 plants nothing (passthrough stays byte-identical).
+      */
+    def plantedPairDocs(): DataFrame = {
+      val PairBase = 10000000L
+      val nPairs = 20
+      val base = spark.range(nPairs).select(col("id").as("__pair"))
+        .crossJoin(broadcast(
+          spark.range(1, factor.toLong).select(col("id").as("__rep"))))
+        .select((col("__rep") * K + PairBase + col("__pair") * 2).as("pair_a"))
+        .select(col("pair_a"), explode(array(lit(0L), lit(1L))).as("m"))
+      val uid = concat(lit("u"), col("pair_a").cast("string"))
+      val toks = (0 until 11).map(j => concat(uid, lit(s"t$j"))) :+
+        when(col("m") === 0L, concat(uid, lit("t11")))
+          .otherwise(concat(uid, lit("alt")))
+      val text = concat_ws(" ", toks: _*)
+      base.select(
+        (col("pair_a") + col("m")).as("doc_id"), text.as("text"),
+        lit("en").as("lang"), lit("src0").as("source"),
+        length(text).cast("long").as("n_chars"))
+    }
+
     val plans: Seq[(String, DataFrame)] = Seq(
       "region" -> table("region"),
       "nation" -> table("nation"),
@@ -87,7 +124,8 @@ object ScaleUp {
       "events" -> replicate(table("events"), Map(
         "event_id" -> off, "user_id" -> off)),
       "documents" -> replicate(table("documents"), Map(
-        "doc_id" -> off, "text" -> tagText)),
+        "doc_id" -> off, "text" -> tagText))
+        .unionByName(plantedPairDocs()),
       // ε on component 0 keeps replicas near-parallel (cos ≈ 1-ε²/2):
       // semantic dedup sees them as the near-dup clusters they are,
       // while exact float equality no longer holds
