@@ -67,7 +67,8 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.regimeRowsPerBand(1) == 6)
     assert(Similarity.regimeRowsPerBand(256) == 6)
     assert(Similarity.regimeRowsPerBand(2048) == 9)
-    assert(Similarity.regimeRowsPerBand(200000) == 16) // the LSH_SCALE sf1 point
+    assert(Similarity.regimeRowsPerBand(20000) == 13)  // the LSH_SCALE sf1 point
+    assert(Similarity.regimeRowsPerBand(200000) == 16) // the measured-optimal width
     assert(Similarity.regimeRowsPerBand(Long.MaxValue) == 24)
 
     // a corpus big enough that AUTO leaves the demo width (1010 rows →
