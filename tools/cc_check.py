@@ -21,17 +21,42 @@ Validate against a DuckDB-verified outdir at a small SF first.
 import glob
 import sys
 
-import pandas as pd
+# pandas is unloadable on the incident host (HOST_INCIDENT.md) and a
+# broken native stack dies with SIGBUS, which no try/except can catch
+# — so, as in selfcheck.py, SELFCHECK_NO_PANDAS=1 skips the import
+# entirely and every read goes through DuckDB. rows(path, cols)
+# returns plain tuples either way; the union-find is backend-agnostic.
+import os
+if os.environ.get("SELFCHECK_NO_PANDAS"):
+    pd = None
+else:
+    import pandas as pd
+import duckdb
 
 
-def read_any(path, columns=None):
+def _files(path):
     files = sorted(glob.glob(path) or glob.glob(f"{path}/*.parquet"))
+    # a bare directory match (pandas reads those natively, DuckDB needs
+    # the part files) expands to its parquet parts
+    if len(files) == 1 and os.path.isdir(files[0]):
+        files = sorted(glob.glob(f"{files[0]}/*.parquet"))
     assert files, f"no parquet at {path}"
-    return pd.concat([pd.read_parquet(f, columns=columns) for f in files])
+    return files
+
+
+def rows(path, cols):
+    files = _files(path)
+    if pd is not None:
+        df = pd.concat([pd.read_parquet(f, columns=list(cols)) for f in files])
+        return list(df[list(cols)].itertuples(index=False, name=None))
+    con = duckdb.connect()
+    collist = ", ".join('"%s"' % c for c in cols)
+    return con.execute(
+        f"SELECT {collist} FROM read_parquet({files!r})").fetchall()
 
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
-edges = read_any(f"{outdir}/ngram_jaccard")[["doc_a", "doc_b"]]
+edges = rows(f"{outdir}/ngram_jaccard", ("doc_a", "doc_b"))
 print(f"[cc_check] {len(edges)} verified ngram_jaccard edges", flush=True)
 
 parent = {}
@@ -46,21 +71,19 @@ def find(x):
     return root
 
 
-for a, b in edges.itertuples(index=False, name=None):
+for a, b in edges:
     ra, rb = find(a), find(b)
     if ra != rb:
         parent[max(ra, rb)] = min(ra, rb)
 
-docs_in_edges = sorted(set(edges.doc_a) | set(edges.doc_b))
+docs_in_edges = sorted({a for a, _ in edges} | {b for _, b in edges})
 comp = {d: find(d) for d in docs_in_edges}
 
 fails = 0
 
 # --- dedup_cluster ---------------------------------------------------
 expected = sorted((int(d), int(c)) for d, c in comp.items())
-got = read_any(f"{outdir}/dedup_cluster")
-actual = sorted(map(tuple, got[["doc_id", "component_id"]]
-                    .itertuples(index=False, name=None)))
+actual = sorted(rows(f"{outdir}/dedup_cluster", ("doc_id", "component_id")))
 if actual == expected:
     print(f"OK   dedup_cluster ({len(actual)} rows, union-find over "
           f"verified edges)")
@@ -70,23 +93,21 @@ else:
 
 # --- dedup_cluster_best ----------------------------------------------
 if docs_in_edges:
-    nchars = read_any(f"{sfdir}/documents.parquet",
-                      columns=["doc_id", "n_chars"]).set_index("doc_id")
+    nchars = dict(rows(f"{sfdir}/documents.parquet", ("doc_id", "n_chars")))
     best = {}
     members = {}
     for d, c in comp.items():
         members[c] = members.get(c, 0) + 1
-        key = (-int(nchars.loc[d, "n_chars"]), d)
+        key = (-int(nchars[d]), d)
         if c not in best or key < best[c][0]:
             best[c] = (key, d)
-    expected = sorted((int(c), int(b[1]), int(nchars.loc[b[1], "n_chars"]),
+    expected = sorted((int(c), int(b[1]), int(nchars[b[1]]),
                        int(members[c])) for c, b in best.items())
 else:
     expected = []
-got = read_any(f"{outdir}/dedup_cluster_best")
-actual = sorted(map(tuple,
-                    got[["component_id", "keeper_doc_id", "keeper_chars",
-                         "n_members"]].itertuples(index=False, name=None)))
+actual = sorted(rows(f"{outdir}/dedup_cluster_best",
+                     ("component_id", "keeper_doc_id", "keeper_chars",
+                      "n_members")))
 if actual == expected:
     print(f"OK   dedup_cluster_best ({len(actual)} rows, union-find over "
           f"verified edges)")
