@@ -18,13 +18,18 @@ import graft.streaming.CurationPipeline
   * Usage: runMain graft.tools.CurationScale <sfSmall> <sfBig> <batchSrc> [outJson]
   *   e.g.  /root/testdata/sf0.1 target/sf1syn /root/testdata/sf0.01
   *
-  * Batch construction mirrors IndexScale: per-batch id offsets and a
-  * per-batch token interleaved between every word, so every batch is
-  * genuinely new content (no 3-shingle survives) vs the seed corpus
-  * and vs every other batch — accepts don't collapse to drops and all
-  * three indexes grow realistically batch over batch. The sink writes
-  * through [[CurationPipeline.sinkTo]]'s per-batch overwrite, so
-  * measured cost includes the real parquet write.
+  * Batch construction: per-batch id offsets, and every THIRD word
+  * gets a per-batch suffix — every 3-shingle (and k=8 span gram)
+  * contains a mutated word, so each batch is genuinely new content vs
+  * the seed corpus and vs every other batch, while the text still
+  * PASSES the gopher gate (IndexScale's interleave-a-token-everywhere
+  * construction trips the top-ngram-ratio rule at ~0.5 and the gate
+  * rejects the whole batch — the composed curve then measures empty
+  * probes, which is exactly the vacuity this tool must not have; the
+  * per-batch funnel is recorded in the artifact so the non-vacuity is
+  * auditable). The sink writes through [[CurationPipeline.sinkTo]]
+  * with its stats side-channel, so measured cost is the full
+  * observability-enabled deployment path including the parquet write.
   */
 object CurationScale {
   def main(args: Array[String]): Unit = {
@@ -72,7 +77,9 @@ object CurationScale {
     val batches: Seq[DataFrame] = (0 until nBatches).map { b =>
       src.select(
         (col("doc_id") + lit((b + 1) * 1000000000L)).as("doc_id"),
-        regexp_replace(col("text"), lit(" "), lit(s" zb$b ")).as("text"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          (w, i) => when(i % 3 === 0, concat(w, lit(s"zb$b")))
+            .otherwise(w))).as("text"),
         col("source"), col("lang"))
         .localCheckpoint()
     }
@@ -105,13 +112,14 @@ object CurationScale {
     for ((seedName, seedDocs) <- seeds) {
       val dir = s"target/curscale/pipe_$seedName"
       val sinkDir = s"$dir/sink"
+      val statsDir = s"$dir/stats"
       rmrf(dir)
       val pipe = new CurationPipeline(spark, dir)
       // Seed all three indexes through the pipeline's own backfill path
       // (batch id 0) — the 10× seed is what the probes must stay flat
       // against. Seeding cost is recorded but not part of the curve.
       val (_, _, _, seedSecs) = measured {
-        pipe.sinkTo(sinkDir)(seedDocs, 0L)
+        pipe.sinkTo(sinkDir, Some(statsDir))(seedDocs, 0L)
       }
       val nSeed = seedDocs.count()
       rec("seed" -> seedName, "batch" -> "seed", "docs" -> nSeed,
@@ -119,9 +127,16 @@ object CurationScale {
       for (b <- 0 until nBatches) {
         val nIn = batches(b).count()
         val (_, rd, sh, secs) = measured {
-          pipe.sinkTo(sinkDir)(batches(b), (b + 1).toLong)
+          pipe.sinkTo(sinkDir, Some(statsDir))(batches(b), (b + 1).toLong)
         }
+        // funnel read-back (outside the measurement): the artifact must
+        // show the probes were NON-vacuous — gate survivors flowed into
+        // every dedup stage and accepts grew the indexes
+        val st = spark.read.parquet(statsDir)
+          .filter(col("batch_id") === (b + 1).toLong).head()
         rec("seed" -> seedName, "batch" -> b, "docs" -> nIn,
+          "n_gated" -> st.getLong(2), "n_after_exact" -> st.getLong(3),
+          "n_after_near" -> st.getLong(4), "n_out" -> st.getLong(5),
           "docs_per_sec" -> nIn / secs, "bytes_read" -> rd,
           "shuffle" -> sh, "secs" -> secs)
       }
