@@ -71,6 +71,14 @@ while argv:
         sys.exit(f"unknown arg {argv[0]}")
 con = duckdb.connect()
 con.execute(f"SET memory_limit='{os.environ.get('SELFCHECK_MEM', '48GB')}'")
+# Every compare here is order-insensitive (multiset EXCEPT ALL, or
+# python-sorted canon rows), so DuckDB need not buffer pipelines to
+# preserve insertion order — without this the sf10 ngram oracles
+# buffer their 85M-row shingle DISTINCT through the spill path and
+# exhaust the disk; with it the same query runs in seconds in-memory.
+con.execute("SET preserve_insertion_order=false")
+if os.environ.get("SELFCHECK_TMP"):
+    con.execute(f"SET temp_directory='{os.environ['SELFCHECK_TMP']}'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     # driver testdata ships single files; Spark-written tables (the
@@ -144,12 +152,20 @@ def compare_big(name, sql, spark_glob, t0, rec):
         return ", ".join(
             (f'ROUND("{c}", 4) AS "{c}"' if types[c].upper() in FLOATY
              else f'"{c}"') for c in scols)
+    # The oracle is MATERIALIZED once into a temp table before the
+    # two EXCEPT ALLs + count reference it: inlined as a CTE it is
+    # re-executed per reference (three times), which at sf10 spilled a
+    # 85M-row shingle pipeline past the free disk. The temp table is
+    # only output-sized. The spark side stays inline — re-reading
+    # parquet is cheap.
+    con.execute(f"""CREATE OR REPLACE TEMP TABLE __oracle AS
+        SELECT {proj(otypes)} FROM ({sql}) oq""")
     s_minus_o, o_minus_s, ns, no = con.execute(f"""
-        WITH s AS (SELECT {proj(stypes)} FROM read_parquet('{spark_glob}')),
-             o AS (SELECT {proj(otypes)} FROM ({sql}) oq)
-        SELECT (SELECT count(*) FROM (SELECT * FROM s EXCEPT ALL SELECT * FROM o) a),
-               (SELECT count(*) FROM (SELECT * FROM o EXCEPT ALL SELECT * FROM s) b),
-               (SELECT count(*) FROM s), (SELECT count(*) FROM o)""").fetchone()
+        WITH s AS (SELECT {proj(stypes)} FROM read_parquet('{spark_glob}'))
+        SELECT (SELECT count(*) FROM (SELECT * FROM s EXCEPT ALL SELECT * FROM __oracle) a),
+               (SELECT count(*) FROM (SELECT * FROM __oracle EXCEPT ALL SELECT * FROM s) b),
+               (SELECT count(*) FROM s), (SELECT count(*) FROM __oracle)""").fetchone()
+    con.execute("DROP TABLE IF EXISTS __oracle")
     rec["spark_rows"], rec["oracle_rows"] = ns, no
     rec["rows_match"] = ns == no
     if ns != no:
