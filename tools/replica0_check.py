@@ -31,21 +31,41 @@ CORRECTNESS_sf1.json).
 Usage: replica0_check.py <query> <src_out> <syn_out> [K=100000000]
 """
 import glob
+import os
 import sys
 
-import pandas as pd
+# SELFCHECK_NO_PANDAS=1 routes every read/compare through DuckDB (the
+# incident host kills pandas with an uncatchable SIGBUS — see
+# selfcheck.py / HOST_INCIDENT.md)
+if os.environ.get("SELFCHECK_NO_PANDAS"):
+    pd = None
+else:
+    import pandas as pd
+import duckdb
 
 query, src_out, syn_out = sys.argv[1], sys.argv[2], sys.argv[3]
 K = int(sys.argv[4]) if len(sys.argv) > 4 else 100000000
 
-
-def load(d, q):
-    return pd.concat([pd.read_parquet(f)
-                      for f in sorted(glob.glob(f"{d}/{q}/*.parquet"))])
+_con = duckdb.connect()
+_con.execute("SET preserve_insertion_order=false")
 
 
-src = load(src_out, query)
-syn = load(syn_out, query)
+def files(d, q):
+    fs = sorted(glob.glob(f"{d}/{q}/*.parquet"))
+    assert fs, f"no parquet at {d}/{q}"
+    return fs
+
+
+def rows(d, q, cols, where="TRUE"):
+    collist = ", ".join('"%s"' % c for c in cols)
+    return sorted(_con.execute(
+        f"SELECT {collist} FROM read_parquet({files(d, q)!r}) "
+        f"WHERE {where}").fetchall())
+
+
+def nrows(d, q):
+    return _con.execute(
+        f"SELECT count(*) FROM read_parquet({files(d, q)!r})").fetchone()[0]
 
 if query in ("dedup_simhash", "dedup_minhash_lsh"):
     # both are pair-local: signature = pure per-doc function of text,
@@ -53,34 +73,34 @@ if query in ("dedup_simhash", "dedup_minhash_lsh"):
     # (hamming / jaccard) = function of the two docs — so pairs with
     # both endpoints in replica 0 depend on replica-0 text alone
     metric = "hamming" if query == "dedup_simhash" else "jaccard"
-    sub = syn[(syn.doc_a < K) & (syn.doc_b < K)]
-    a = sorted(map(tuple, sub[["doc_a", "doc_b", metric]]
-                   .itertuples(index=False, name=None)))
-    e = sorted(map(tuple, src[["doc_a", "doc_b", metric]]
-                   .itertuples(index=False, name=None)))
+    cols = ("doc_a", "doc_b", metric)
+    a = rows(syn_out, query, cols, f"doc_a < {K} AND doc_b < {K}")
+    e = rows(src_out, query, cols)
     if a != e:
         print(f"FAIL {query}: replica-0 pairs {len(a)} != source {len(e)}")
         sys.exit(1)
     print(f"OK   {query} (replica-0 block {len(a)} rows exact-equal "
-          f"to oracle-verified source SF; {len(syn)} total rows)")
+          f"to oracle-verified source SF; {nrows(syn_out, query)} total rows)")
 elif query == "doc_chunk_cdc":
-    cols = ["doc_id", "chunk_id", "n_chunk_tokens", "chunk_text"]
-    sub = syn[syn.doc_id < K]
-    a = sorted(map(tuple, sub[cols].itertuples(index=False, name=None)))
-    e = sorted(map(tuple, src[cols].itertuples(index=False, name=None)))
+    cols = ("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text")
+    a = rows(syn_out, query, cols, f"doc_id < {K}")
+    e = rows(src_out, query, cols)
     if a != e:
         print(f"FAIL doc_chunk_cdc: replica-0 chunks {len(a)} != source {len(e)}")
         sys.exit(1)
     # replica-0 n_docs_sharing counts cross-replica sharers — recount
     # independently over the full synthetic output
-    recount = syn.groupby("chunk_text")["doc_id"].nunique()
-    bad = syn[syn["n_docs_sharing"].to_numpy()
-              != recount[syn["chunk_text"]].to_numpy()]
-    if len(bad):
-        print(f"FAIL doc_chunk_cdc: {len(bad)} rows with inconsistent "
-              f"n_docs_sharing, e.g.\n{bad.head(3)}")
+    nbad, ntot = _con.execute(f"""
+        WITH syn AS (SELECT * FROM read_parquet({files(syn_out, query)!r})),
+             rc AS (SELECT chunk_text, COUNT(DISTINCT doc_id) AS n
+                    FROM syn GROUP BY 1)
+        SELECT count(*) FILTER (WHERE syn.n_docs_sharing != rc.n), count(*)
+        FROM syn JOIN rc USING (chunk_text)""").fetchone()
+    if nbad:
+        print(f"FAIL doc_chunk_cdc: {nbad} rows with inconsistent "
+              f"n_docs_sharing")
         sys.exit(1)
     print(f"OK   doc_chunk_cdc (replica-0 block {len(a)} rows exact-equal; "
-          f"n_docs_sharing recount consistent on all {len(syn)} rows)")
+          f"n_docs_sharing recount consistent on all {ntot} rows)")
 else:
     sys.exit(f"unknown query {query}")
