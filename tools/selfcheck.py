@@ -69,24 +69,41 @@ while argv:
         argv = argv[2:]
     else:
         sys.exit(f"unknown arg {argv[0]}")
-con = duckdb.connect()
-con.execute(f"SET memory_limit='{os.environ.get('SELFCHECK_MEM', '48GB')}'")
-# Every compare here is order-insensitive (multiset EXCEPT ALL, or
-# python-sorted canon rows), so DuckDB need not buffer pipelines to
-# preserve insertion order — without this the sf10 ngram oracles
-# buffer their 85M-row shingle DISTINCT through the spill path and
-# exhaust the disk; with it the same query runs in seconds in-memory.
-con.execute("SET preserve_insertion_order=false")
-if os.environ.get("SELFCHECK_TMP"):
-    con.execute(f"SET temp_directory='{os.environ['SELFCHECK_TMP']}'")
-for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]:
-    # driver testdata ships single files; Spark-written tables (the
-    # ScaleUp sweep) are part-file directories — accept both
-    pat = f"{sfdir}/{t}.parquet"
-    if os.path.isdir(pat):
-        pat = f"{pat}/*.parquet"
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+def _connect():
+    c = duckdb.connect()
+    c.execute(f"SET memory_limit='{os.environ.get('SELFCHECK_MEM', '48GB')}'")
+    # Every compare here is order-insensitive (multiset EXCEPT ALL, or
+    # python-sorted canon rows), so DuckDB need not buffer pipelines to
+    # preserve insertion order — without this the sf10 ngram oracles
+    # buffer their 85M-row shingle DISTINCT through the spill path and
+    # exhaust the disk; with it the same query runs in seconds in-memory.
+    c.execute("SET preserve_insertion_order=false")
+    if os.environ.get("SELFCHECK_TMP"):
+        c.execute(f"SET temp_directory='{os.environ['SELFCHECK_TMP']}'")
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        # driver testdata ships single files; Spark-written tables (the
+        # ScaleUp sweep) are part-file directories — accept both
+        pat = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(pat):
+            pat = f"{pat}/*.parquet"
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+    return c
+
+con = _connect()
+
+def reset_con():
+    """A query that dies on OutOfMemory can leave the connection's
+    allocator accounting poisoned — every later query then fails on
+    kilobyte allocations (observed in the sf10 sweep: one true OOM
+    cascaded into five false ones). Reconnect so one hard query's
+    failure cannot invalidate the rest of the gate."""
+    global con
+    try:
+        con.close()
+    except Exception:
+        pass
+    con = _connect()
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 
@@ -240,6 +257,9 @@ for name, sql in sorted(oracles.items()):
         else:
             rec["err"] = f"{type(e).__name__}: {e}"
             print(f"FAIL {name}: {type(e).__name__}: {e}", flush=True); fails += 1
+        if "OutOfMemory" in type(e).__name__ or "Out of Memory" in str(e) \
+                or wd.fired:
+            reset_con()
 
 # queries with no oracle: rows-only
 import os
