@@ -64,9 +64,17 @@ private[streaming] object EmbeddingIndexOps {
   }
 }
 
+/** Band geometry (`bands`, `rowsPerBand`) is REQUIRED: it is the
+  * persisted index's capacity-planning contract (bound to disk by
+  * bindGeometry below — reopening under different geometry throws),
+  * and a demo-width default silently built a 64-buckets/band index
+  * whose probe collisions grow with the corpus (LSH_SCALE.md). Size
+  * from the EXPECTED corpus:
+  * `Similarity.regimeRowsPerBand(expectedRows)`.
+  */
 class EmbeddingIndex(protected val spark: SparkSession, dir: String,
-                     minCosine: Double = 0.35, bands: Int = 8,
-                     rowsPerBand: Int = 6, dims: Int = 64)
+                     bands: Int, rowsPerBand: Int,
+                     minCosine: Double = 0.35, dims: Int = 64)
     extends IndexMaintenance {
   private val postingsDir = s"$dir/postings"
   private val vectorsDir = s"$dir/vectors"
@@ -148,9 +156,10 @@ class EmbeddingIndex(protected val spark: SparkSession, dir: String,
   * Train it on (a normalized sample of) the corpus the index will
   * serve, and pick `maxD2` as 2·(1 − minCosine) for unit vectors.
   */
+/** Geometry REQUIRED — see [[EmbeddingIndex]]'s contract note. */
 class PqEmbeddingIndex(protected val spark: SparkSession, dir: String,
                        codebookIn: => DataFrame, maxD2: Double,
-                       bands: Int = 8, rowsPerBand: Int = 6,
+                       bands: Int, rowsPerBand: Int,
                        dims: Int = 64, m: Int = 8)
     extends IndexMaintenance {
   private val postingsDir = s"$dir/postings"

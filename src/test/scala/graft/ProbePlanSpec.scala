@@ -116,7 +116,7 @@ class ProbePlanSpec extends SparkSpec {
         Dedup.duplicateSpansProbe(batch, span.grams), spanDir)
 
       val embDir = tmp("emb")
-      val emb = new EmbeddingIndex(spark, embDir)
+      val emb = new EmbeddingIndex(spark, embDir, bands = 8, rowsPerBand = 6)
       emb.append(vecs)
       assertIndexStreams(
         Similarity.embeddingProbe(vbatch, emb.postings, emb.vectors,

@@ -48,7 +48,7 @@ class EmbeddingIndexSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_emb").toString
     val indexDir = s"$root/index"
     val sink = s"$root/accepted"
-    val idx = new EmbeddingIndex(spark, indexDir)
+    val idx = new EmbeddingIndex(spark, indexDir, bands = 8, rowsPerBand = 6)
     idx.append(vdf(1L -> vec(0), 2L -> vec(1))) // one-time corpus seed
 
     val mem = MemoryStream[(Long, Array[Float])]
@@ -109,7 +109,7 @@ class EmbeddingIndexSpec extends SparkSpec {
 
   test("accept keeps NULL-vec_id batch rows (pass-through, never indexed)") {
     val root = java.nio.file.Files.createTempDirectory("graft_enull").toString
-    val idx = new EmbeddingIndex(spark, s"$root/index")
+    val idx = new EmbeddingIndex(spark, s"$root/index", bands = 8, rowsPerBand = 6)
     idx.append(vdf(1L -> vec(0)))
     val batch = Seq((Option(10L), vec(0, 0.1f)), (None: Option[Long], vec(7)))
       .toDF("vec_id", "embedding")
@@ -131,7 +131,7 @@ class EmbeddingIndexSpec extends SparkSpec {
     val cb = Similarity.pqTrain(train, m = 8, k = 8, iters = 2, seedStride = 1)
     val root = java.nio.file.Files.createTempDirectory("graft_pqe").toString
     val indexDir = s"$root/index"
-    val idx = new PqEmbeddingIndex(spark, indexDir, cb, maxD2 = 0.5)
+    val idx = new PqEmbeddingIndex(spark, indexDir, cb, maxD2 = 0.5, bands = 8, rowsPerBand = 6)
     idx.append(vdf(1L -> vec(0)))
 
     // batch 0: ADC near-dup of the seed (drop), fresh keeper (keep)
@@ -183,7 +183,7 @@ class EmbeddingIndexSpec extends SparkSpec {
     assert(dropList == Set(2L, 3L, 5L), s"semanticDedup dropped $dropList")
 
     val root = java.nio.file.Files.createTempDirectory("graft_embp").toString
-    val idx = new EmbeddingIndex(spark, s"$root/index")
+    val idx = new EmbeddingIndex(spark, s"$root/index", bands = 8, rowsPerBand = 6)
     val batches = Seq(Seq(1L, 4L), Seq(2L, 6L), Seq(3L, 5L))
     val byId = all.toMap
     val survivors = batches.zipWithIndex.flatMap { case (ids, bid) =>
@@ -204,18 +204,18 @@ class EmbeddingIndexSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_embbf").toString
 
     def kept(chunks: Int): Set[Long] = {
-      val idx = new EmbeddingIndex(spark, s"$root/idx$chunks")
+      val idx = new EmbeddingIndex(spark, s"$root/idx$chunks", bands = 8, rowsPerBand = 6)
       idx.backfill(vdf(corpus: _*), chunks)
         .select("vec_id").as[Long].collect().toSet
     }
     val oneShot = {
-      val idx = new EmbeddingIndex(spark, s"$root/one")
+      val idx = new EmbeddingIndex(spark, s"$root/one", bands = 8, rowsPerBand = 6)
       idx.accept(vdf(corpus: _*), 0L).select("vec_id").as[Long].collect().toSet
     }
     assert(kept(1) == oneShot && kept(3) == oneShot && oneShot ==
       Set(1L, 5L, 8L, 17L), s"chunked embedding backfill diverged: $oneShot")
 
-    val idx = new EmbeddingIndex(spark, s"$root/rerun")
+    val idx = new EmbeddingIndex(spark, s"$root/rerun", bands = 8, rowsPerBand = 6)
     val first = idx.backfill(vdf(corpus: _*), 3)
       .select("vec_id").as[Long].collect().toSet
     val n = idx.postings.count()

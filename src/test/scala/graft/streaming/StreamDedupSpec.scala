@@ -368,9 +368,9 @@ class StreamDedupSpec extends SparkSpec {
     new NearDupIndex(spark, s"$root/idx", minJaccard = 0.9)
     new SpanIndex(spark, s"$root/span", k = 8)
     intercept[IllegalStateException](new SpanIndex(spark, s"$root/span", k = 4))
-    new EmbeddingIndex(spark, s"$root/emb")
+    new EmbeddingIndex(spark, s"$root/emb", bands = 8, rowsPerBand = 6)
     intercept[IllegalStateException](
-      new EmbeddingIndex(spark, s"$root/emb", dims = 32))
+      new EmbeddingIndex(spark, s"$root/emb", bands = 8, rowsPerBand = 6, dims = 32))
   }
 
   test("compact refuses to fold a batch the checkpoint has not committed") {
