@@ -156,6 +156,22 @@ class EmbeddingIndex(protected val spark: SparkSession, dir: String,
   * Train it on (a normalized sample of) the corpus the index will
   * serve, and pick `maxD2` as 2·(1 − minCosine) for unit vectors.
   */
+object EmbeddingIndex {
+  /** Construct with occupancy-derived geometry for an EXPECTED corpus
+    * size — [[graft.operators.Similarity.regimeRowsPerBand]] applied
+    * at the index layer, so capacity planning is one number instead
+    * of a band-width choice. The resolved width binds to disk like
+    * any explicit one; reopening later requires the SAME
+    * expectedRows-derived width (geometry is the contract, not the
+    * estimate — document the number you sized with).
+    */
+  def forExpectedRows(spark: SparkSession, dir: String,
+                      expectedRows: Long, minCosine: Double = 0.35,
+                      bands: Int = 8, dims: Int = 64): EmbeddingIndex =
+    new EmbeddingIndex(spark, dir, bands,
+      Similarity.regimeRowsPerBand(expectedRows), minCosine, dims)
+}
+
 /** Geometry REQUIRED — see [[EmbeddingIndex]]'s contract note. */
 class PqEmbeddingIndex(protected val spark: SparkSession, dir: String,
                        codebookIn: => DataFrame, maxD2: Double,

@@ -107,6 +107,28 @@ class EmbeddingIndexSpec extends SparkSpec {
       "compacted index missed a near-dup of an accepted vector")
   }
 
+  test("forExpectedRows derives the occupancy-regime geometry and binds it " +
+       "to disk like an explicit width") {
+    val root = java.nio.file.Files.createTempDirectory("graft_efr").toString
+    // 200k expected rows → r=16 (the LSH_SCALE measured-optimal point)
+    val idx = EmbeddingIndex.forExpectedRows(spark, s"$root/idx",
+      expectedRows = 200000L)
+    idx.append(vdf(1L -> vec(0)))
+    // the derived geometry is the binding one: reopening with the demo
+    // width must throw (bindGeometry), reopening with the same
+    // expectedRows must not
+    intercept[IllegalStateException](
+      new EmbeddingIndex(spark, s"$root/idx", bands = 8, rowsPerBand = 6))
+    EmbeddingIndex.forExpectedRows(spark, s"$root/idx",
+      expectedRows = 200000L) // same estimate → same width → reopens fine
+    // and the postings really are 16-bit buckets: with one vector the
+    // bucket values occupy the 2^16 space, not the demo 2^6
+    val buckets = idx.postings.select("bucket")
+      .collect().map(_.getLong(0))
+    assert(buckets.exists(_ >= 64),
+      s"expected 2^16-space buckets, got ${buckets.toSeq}")
+  }
+
   test("accept keeps NULL-vec_id batch rows (pass-through, never indexed)") {
     val root = java.nio.file.Files.createTempDirectory("graft_enull").toString
     val idx = new EmbeddingIndex(spark, s"$root/index", bands = 8, rowsPerBand = 6)
