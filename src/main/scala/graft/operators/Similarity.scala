@@ -374,6 +374,28 @@ object Similarity {
     if (rowsPerBand != AutoWidth) rowsPerBand
     else regimeRowsPerBand(corpus.count())
 
+  /** The companion knob to [[regimeRowsPerBand]]: the smallest `bands`
+    * holding sign-LSH recall ≥ `recall` for pairs at cosine ≥ `tau`
+    * under width `rowsPerBand` — b = ⌈ln(1−R)/ln(1−pʳ)⌉ with
+    * p = 1−θ/π. Use when a corpus is dense enough to push the
+    * occupancy rule past the width your threshold tolerates: widen r
+    * for sparsity AND raise bands from this formula to keep the
+    * recall floor (bands cost linearly in corpus size; saturated
+    * buckets cost quadratically — LSH_SCALE.md's trade, as a
+    * function). Sanity-capped at 4096 bands: needing more means the
+    * threshold is too low for sign-LSH at that width — mine via
+    * [[ivfTopKIndexed]] cells instead.
+    */
+  def regimeBands(rowsPerBand: Int, tau: Double,
+                  recall: Double = 0.95): Int = {
+    require(tau > -1.0 && tau < 1.0 && recall > 0.0 && recall < 1.0,
+      s"tau in (-1,1), recall in (0,1) (got $tau, $recall)")
+    val p = 1.0 - math.acos(tau) / math.Pi
+    val pr = math.pow(p, rowsPerBand.toDouble)
+    val b = math.ceil(math.log1p(-recall) / math.log1p(-pr))
+    math.min(4096, math.max(1, b.toInt))
+  }
+
   /** Deterministic LSH hyperplane `p` (splitmix64-derived — no stored
     * model, no RNG in the plan). Public so the oracle SQL can embed the
     * SAME planes as literals.

@@ -96,6 +96,18 @@ class SimilaritySpec extends SparkSpec {
       s"auto-width must recover exactly the planted clique: " +
         s"missing ${expected -- auto}, extra ${auto -- expected}")
     assert(auto == explicit, "AutoWidth must equal the rule's explicit width")
+
+    // the companion bands knob: recall compensation is monotone in the
+    // right directions and matches hand-computed anchor points
+    // (p(0.9) = 1 - acos(0.9)/pi ≈ 0.8564; p^16 ≈ 0.0837 →
+    //  b(0.95) = ceil(ln 0.05 / ln(1-0.0837)) = 35)
+    assert(Similarity.regimeBands(16, 0.9) == 35)
+    assert(Similarity.regimeBands(6, 0.9) < Similarity.regimeBands(16, 0.9),
+      "wider rows need more bands at fixed recall")
+    assert(Similarity.regimeBands(16, 0.99) < Similarity.regimeBands(16, 0.9),
+      "easier (higher-cos) pairs need fewer bands")
+    assert(Similarity.regimeBands(16, 0.35) == 4096,
+      "low-threshold mining at wide r must hit the sanity cap")
   }
 
   test("dense-regime params thread through the composed wrappers: " +
