@@ -115,13 +115,41 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Sentinel for `stride`/`centroidStride`: resolve the IVF cell
+    * count from the corpus size at plan-build time ([[regimeStride]]).
+    * This is the DEFAULT — a fixed stride is an explicit opt-in (the
+    * oracle-replay entries pin 50, which happens to sit near √n at
+    * the test scales but is a 100 TB footgun as a default: stride 50
+    * on 10⁹ vectors is 2·10⁷ cells, and both the assignment scan and
+    * every probe pay the k-dot centroid pass).
+    */
+  val AutoStride = 0
+
+  /** Occupancy rule for the IVF cell grid: per-probe cost is
+    * k centroid dots + nProbeCells·(n/k) cell-member dots, minimized
+    * at k ≈ √(nProbeCells·n); with stride = n/k that is
+    * stride ≈ √(n/nProbeCells) ≈ √n. Clamped below so a tiny corpus
+    * still forms a few multi-member cells.
+    */
+  def regimeStride(corpusRows: Long): Int =
+    math.max(2, math.ceil(math.sqrt(math.max(corpusRows, 1L).toDouble)).toInt)
+
+  private def resolveStride(corpus: DataFrame, stride: Int): Int =
+    if (stride != AutoStride) stride
+    else regimeStride(corpus.count())
+
   /** The deterministic coarse-centroid seed for [[ivfTopK]]: every
     * `stride`-th vector. A pure narrow filter over the corpus scan —
-    * no sampling RNG, so every recomputation agrees.
+    * no sampling RNG, so every recomputation agrees. `stride` defaults
+    * to [[AutoStride]] (one count() at plan-build time — pass an
+    * explicit stride for fully-lazy construction or oracle replay).
     */
-  def strideCentroids(corpus: DataFrame, stride: Int = 50): DataFrame =
-    corpus.filter(pmod(col("vec_id"), lit(stride)) === 0)
+  def strideCentroids(corpus: DataFrame,
+                      stride: Int = AutoStride): DataFrame = {
+    val s = resolveStride(corpus, stride)
+    corpus.filter(pmod(col("vec_id"), lit(s)) === 0)
       .select(col("vec_id").as("cell_id"), col("embedding").as("centroid"))
+  }
 
   /** IVF-style ANN: the scale path.
     *
@@ -289,7 +317,7 @@ object Similarity {
   }
 
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5,
-              centroidStride: Int = 50, nProbeCells: Int = 2,
+              centroidStride: Int = AutoStride, nProbeCells: Int = 2,
               centroids: Option[DataFrame] = None): DataFrame = {
     val cents = centroids.getOrElse(strideCentroids(corpus, centroidStride))
     ivfTopKIndexed(ivfAssignments(corpus, cents), cents, probes, k, nProbeCells)
@@ -1013,7 +1041,7 @@ object Similarity {
     * candidate set never leaves the probed cells.
     */
   def ivfPqTopK(corpus: DataFrame, probes: DataFrame, k: Int = 5,
-                centroidStride: Int = 50, nProbeCells: Int = 2,
+                centroidStride: Int = AutoStride, nProbeCells: Int = 2,
                 centroids: Option[DataFrame] = None,
                 m: Int = 8, codebookSize: Int = 256, iters: Int = 2,
                 seedStride: Int = 1, shortlist: Int = 50,

@@ -114,8 +114,8 @@ class PqSpec extends SparkSpec {
     // 10 stride-50 cells on the 500-vector corpus; probing all of them
     // with a corpus-sized shortlist leaves re-ranking as the only
     // ranking step, so the output must equal the exact scan exactly.
-    val out = Similarity.ivfPqTopK(emb, probes, k = 5, nProbeCells = 10,
-      shortlist = 500)
+    val out = Similarity.ivfPqTopK(emb, probes, k = 5,
+      centroidStride = 50, nProbeCells = 10, shortlist = 500)
       .select($"probe_id", $"rank", $"neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(out == exactTop5Ranked(probes), "ivf-pq must degrade to exact search")

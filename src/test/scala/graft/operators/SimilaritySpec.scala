@@ -108,6 +108,18 @@ class SimilaritySpec extends SparkSpec {
       "easier (higher-cos) pairs need fewer bands")
     assert(Similarity.regimeBands(16, 0.35) == 4096,
       "low-threshold mining at wide r must hit the sanity cap")
+
+    // the IVF cell grid has the same auto discipline: stride ≈ √n
+    // (cells ≈ √n minimizes k + nProbe·n/k per probe)
+    assert(Similarity.regimeStride(2000) == 45)
+    assert(Similarity.regimeStride(1000000000L) == 31623)
+    assert(Similarity.regimeStride(1) == 2)
+    val emb = spark.read.parquet(sf("sf0.01") + "/embeddings.parquet")
+    val autoCents = Similarity.strideCentroids(emb).collect().map(_.getLong(0)).toSet
+    val explicitCents = Similarity.strideCentroids(emb,
+      Similarity.regimeStride(emb.count())).collect().map(_.getLong(0)).toSet
+    assert(autoCents == explicitCents && autoCents.nonEmpty,
+      "AutoStride must equal the rule's explicit stride")
   }
 
   test("dense-regime params thread through the composed wrappers: " +
