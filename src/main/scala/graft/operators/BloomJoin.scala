@@ -102,8 +102,30 @@ object BloomJoin {
     * dropped, exactly as in [[buildBits]] (the semi-join never
     * matches them, so the composed result is unchanged).
     */
-  def buildPackedBits(keys: DataFrame, keyCol: String, mBits: Int = 1 << 20,
-                      k: Int = 3): Array[Long] = {
+  /** Sentinel for `mBits` on the packed family: size the filter from
+    * a build-side count at ~10 bits/key (k=3 → ~1.7% false positives),
+    * next power of two, clamped [2^14, 2^30]. This is the DEFAULT —
+    * the old fixed 2^20 silently saturated past ~10^5 build keys
+    * (fp → 1, the pre-filter stops filtering; never wrong — the exact
+    * semi-join stays behind it — just wasted work). A fixed mBits is
+    * an explicit opt-in; the build side is the SMALL side, so the
+    * count is one cheap driver-bounded job.
+    */
+  val AutoBits = 0
+
+  def regimeMBits(buildKeys: Long): Int = {
+    val wanted = math.max(1L, buildKeys) * 10L
+    var m = 1 << 14
+    while (m < wanted && m < (1 << 30)) m <<= 1
+    m
+  }
+
+  private def resolveMBits(keys: DataFrame, mBits: Int): Int =
+    if (mBits != AutoBits) mBits else regimeMBits(keys.count())
+
+  def buildPackedBits(keys: DataFrame, keyCol: String,
+                      mBits0: Int = AutoBits, k: Int = 3): Array[Long] = {
+    val mBits = resolveMBits(keys, mBits0)
     require(mBits > 0 && (mBits & (mBits - 1)) == 0, "mBits must be a power of 2")
     val words = new Array[Long]((mBits + 63) >> 6)
     keys.filter(col(keyCol).isNotNull)
@@ -136,7 +158,7 @@ object BloomJoin {
     * handle would pin it until driver GC.
     */
   def broadcastPackedBits(keys: DataFrame, keyCol: String,
-                          mBits: Int = 1 << 20, k: Int = 3)
+                          mBits: Int = AutoBits, k: Int = 3)
       : org.apache.spark.broadcast.Broadcast[Array[Long]] =
     keys.sparkSession.sparkContext
       .broadcast(buildPackedBits(keys, keyCol, mBits, k))
@@ -150,9 +172,16 @@ object BloomJoin {
   def bloomSemiJoinPacked(big: DataFrame, bigKey: String,
                           keys: DataFrame, keyCol: String,
                           bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
-                          mBits: Int, k: Int): DataFrame =
+                          mBits: Int, k: Int): DataFrame = {
+    // the packed array's length IS the geometry: a caller-supplied
+    // mBits that disagrees would probe the wrong bit positions and
+    // silently pass everything (or worse) — fail fast instead
+    require(mBits == bc.value.length.toLong * 64,
+      s"mBits=$mBits disagrees with the broadcast filter's " +
+        s"${bc.value.length.toLong * 64} bits")
     big.filter(mightContainPacked(col(bigKey), bc, mBits, k))
       .join(keys.select(col(keyCol).as(bigKey)), Seq(bigKey), "left_semi")
+  }
 
   /** Convenience form that builds and broadcasts the filter itself.
     * The broadcast handle is NOT returned: fine for one-shot queries
@@ -162,7 +191,10 @@ object BloomJoin {
     */
   def bloomSemiJoinPacked(big: DataFrame, bigKey: String,
                           keys: DataFrame, keyCol: String,
-                          mBits: Int = 1 << 20, k: Int = 3): DataFrame =
+                          mBits: Int = AutoBits, k: Int = 3): DataFrame = {
+    val m = resolveMBits(keys, mBits) // resolve ONCE: build and probe
+                                      // must share the same geometry
     bloomSemiJoinPacked(big, bigKey, keys, keyCol,
-      broadcastPackedBits(keys, keyCol, mBits, k), mBits, k)
+      broadcastPackedBits(keys, keyCol, m, k), m, k)
+  }
 }

@@ -52,6 +52,22 @@ class BloomJoinSpec extends SparkSpec {
     val plan = packed.queryExecution.executedPlan.toString
     assert(plan.length < 20000, s"plan string is ${plan.length} chars")
     assert(plan.contains("bloom_bits_contain"), plan)
+
+    // AutoBits (the default): filter sized from the build-side count
+    // at ~10 bits/key, row-identical to the explicit run; and the
+    // sizing rule itself (clamped pow2 of 10n)
+    assert(BloomJoin.regimeMBits(1) == 1 << 14)
+    assert(BloomJoin.regimeMBits(100000) == 1 << 20)
+    assert(BloomJoin.regimeMBits(1000000000L) == 1 << 30)
+    val auto = BloomJoin.bloomSemiJoinPacked(
+      orders, "o_custkey", high, "c_custkey")
+    assert(auto.orderBy("o_orderkey").collect().toSeq == plain)
+    // geometry mismatch between a prebuilt filter and the probe must
+    // fail fast, never silently probe wrong positions
+    val bc = BloomJoin.broadcastPackedBits(high, "c_custkey", 1 << 16)
+    intercept[IllegalArgumentException](BloomJoin.bloomSemiJoinPacked(
+      orders, "o_custkey", high, "c_custkey", bc, 1 << 20, 3))
+    bc.unpersist()
   }
 
   test("NULL build keys neither crash the build nor change the semi-join result") {
