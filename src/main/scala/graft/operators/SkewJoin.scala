@@ -20,16 +20,33 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Sentinel for `saltBuckets`: size the salt space to the cluster's
+    * default parallelism (clamped [8, 1024]). Salting never changes
+    * the join RESULT — only how many tasks a hot key spreads across —
+    * so the auto default is oracle-safe; a fixed 8 silently capped the
+    * hottest key at 8 tasks on a 1000-executor stage (the exact
+    * straggler this operator exists to kill). The cost of more buckets
+    * is linear small-side replication: pass an explicit count when the
+    * small side is only barely replicable.
+    */
+  val AutoSalt = 0
+
+  private def resolveSalt(big: DataFrame, saltBuckets: Int): Int =
+    if (saltBuckets != AutoSalt) saltBuckets
+    else math.min(1024,
+      math.max(8, big.sparkSession.sparkContext.defaultParallelism))
+
   /** Inner equi-join of `big` (skewed) with `small` on `keys`;
     * `small` is replicated `saltBuckets`×, so keep it dimension-sized.
     */
   def saltedInner(big: DataFrame, small: DataFrame, keys: Seq[String],
-                  saltBuckets: Int = 8): DataFrame = {
-    require(saltBuckets > 0, "saltBuckets must be positive")
+                  saltBuckets: Int = AutoSalt): DataFrame = {
+    val nSalt = resolveSalt(big, saltBuckets)
+    require(nSalt > 0, "saltBuckets must be positive")
     val salted = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(nSalt)))
     val replicated = small.withColumn("__salt",
-      explode(array((0 until saltBuckets).map(lit): _*)))
+      explode(array((0 until nSalt).map(lit): _*)))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
@@ -39,7 +56,8 @@ object SkewJoin {
     * small side is too big to broadcast but small enough to replicate.
     */
   def joinSkewAware(big: DataFrame, small: DataFrame, keys: Seq[String],
-                    broadcastable: Boolean, saltBuckets: Int = 8): DataFrame =
+                    broadcastable: Boolean,
+                    saltBuckets: Int = AutoSalt): DataFrame =
     if (broadcastable) big.join(broadcast(small), keys)
     else saltedInner(big, small, keys, saltBuckets)
 
