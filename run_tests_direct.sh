@@ -43,6 +43,34 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 ARGS=("$@")
 if [ ${#ARGS[@]} -eq 0 ]; then ARGS=(-R target/scala-2.13/test-classes); fi
-exec java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+# Suite-log preservation (VERDICT r11 #2): every run tees to a git-rev-stamped
+# log and, for FULL-suite runs, emits SUITE_<rev>.json {suites,tests,failed}
+# so a "suite green" claim always carries its artifact.
+REV=$(git rev-parse --short HEAD 2>/dev/null || echo unknown)
+git diff --quiet 2>/dev/null && git diff --cached --quiet 2>/dev/null || REV="${REV}-dirty"
+LOG="target/suite_${REV}_$(date -u +%Y%m%dT%H%M%SZ).log"
+set +e
+java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" -cp "$CP" org.scalatest.tools.Runner \
-  -oW "${ARGS[@]}"
+  -oW "${ARGS[@]}" 2>&1 | tee "$LOG"
+RC=${PIPESTATUS[0]}
+set -e
+echo "suite log: $LOG" >&2
+if [ ${#ARGS[@]} -eq 2 ] && [ "${ARGS[0]}" = "-R" ]; then
+  python3 - "$LOG" "$REV" "$RC" <<'EOF'
+import json, re, sys, time
+log, rev, rc = sys.argv[1], sys.argv[2], int(sys.argv[3])
+text = open(log, errors="replace").read()
+suites = re.search(r"Suites: completed (\d+)", text)
+tests = re.search(r"Tests: succeeded (\d+), failed (\d+)", text)
+out = {"git_rev": rev, "rc": rc, "log": log,
+       "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+       "suites": int(suites.group(1)) if suites else None,
+       "tests": int(tests.group(1)) if tests else None,
+       "failed": int(tests.group(2)) if tests else None}
+path = f"SUITE_{rev}.json"
+json.dump(out, open(path, "w"), indent=1)
+print(f"WROTE {path}: {out}")
+EOF
+fi
+exit "$RC"

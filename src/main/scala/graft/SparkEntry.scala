@@ -105,7 +105,17 @@ object SparkEntry {
       "stg_load" -> ((s, d) => WeatherMart.staging(s, d)),
       "fact_build" -> ((s, d) => WeatherMart.fact(s, d)),
       "gap_fill" -> ((s, d) => graft.etl.TimeSeries.gapFill(s, d, ordered = false)),
-      "cdc_apply" -> ((s, d) => graft.etl.Cdc.ordersSnapshot(s, d, ordered = false)))
+      "cdc_apply" -> ((s, d) => graft.etl.Cdc.ordersSnapshot(s, d, ordered = false)),
+      // the component-labeling family: the operators return unsorted
+      // (VERDICT r11 #4); the bench measures them as a caller would
+      "dedup_cluster" -> ((s, d) => Corpus.connectedComponents(
+        Dedup.ngramJaccard(Tables(s, d, "documents")), "doc_a", "doc_b")),
+      "dedup_cluster_best" -> ((s, d) => {
+        val docs = Tables(s, d, "documents")
+        Corpus.clusterKeepers(docs, Dedup.ngramJaccard(docs))
+      }),
+      "semdedup" -> ((s, d) => Similarity.semanticDedup(
+        Tables(s, d, "embeddings"), bands = 8, rowsPerBand = 6)))
 
   private def raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stg_load" -> ((s, d) => WeatherMart.staging(s, d)
@@ -524,12 +534,17 @@ object SparkEntry {
         .crossJoin(Corpus.qualityFilter(docs)
           .agg(count(lit(1)).as("n_pass_quality_gate")))
     }),
-    "dedup_cluster" -> ((s, d) => Corpus.connectedComponents(
-      Dedup.ngramJaccard(Tables(s, d, "documents")), "doc_a", "doc_b")),
+    // component labelings come back UNSORTED from the operators (the
+    // doctrine above); the verify wrappers add the hash-stability sort
+    "dedup_cluster" -> ((s, d) => graft.core.SmallSort.byNames(
+      Corpus.connectedComponents(
+        Dedup.ngramJaccard(Tables(s, d, "documents")), "doc_a", "doc_b"),
+      "doc_id")),
     // keeper policy per NEAR-dup cluster: keep the most complete copy
     "dedup_cluster_best" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      Corpus.clusterKeepers(docs, Dedup.ngramJaccard(docs))
+      graft.core.SmallSort.byNames(
+        Corpus.clusterKeepers(docs, Dedup.ngramJaccard(docs)), "component_id")
     }),
     "doc_chunk" -> ((s, d) => Corpus.chunk(Tables(s, d, "documents"))),
     "doc_novelty" -> ((s, d) => Corpus.noveltyScore(Tables(s, d, "documents"))),
@@ -634,8 +649,9 @@ object SparkEntry {
     }),
     "customer_rfm" -> ((s, d) =>
       graft.operators.Segmentation.rfmSegments(Tables(s, d, "orders"))),
-    "semdedup" -> ((s, d) => Similarity.semanticDedup(
-      Tables(s, d, "embeddings"), bands = 8, rowsPerBand = 6)),
+    "semdedup" -> ((s, d) => graft.core.SmallSort.byNames(
+      Similarity.semanticDedup(
+        Tables(s, d, "embeddings"), bands = 8, rowsPerBand = 6), "vec_id")),
     // --- round 3b: star-join analytics, concentration, kNN graph ---
     // TPC-H Q5-shaped multi-way star join: fact filtered by pushed-down
     // date range, dims broadcast, revenue in exact cent·pct BIGINT
@@ -857,14 +873,22 @@ object SparkEntry {
     val binv = BigInt(b).modInverse(BigInt(m)).toLong // B·B⁻¹ ≡ 1 (mod M)
     // powers-table depth bounds the supported doc length; testdata max
     // doc length is ~600 chars (sf10 ScaleUp perturbs by a short
-    // prefix), so 8192 has an order of magnitude of headroom — and an
-    // overflow would FAIL LOUDLY (the pw join drops the doc's rows,
-    // row counts diverge), never silently pass
+    // prefix), so 8192 has an order of magnitude of headroom. The
+    // overflow mode is NOT loud by itself (chars past the table drop
+    // from the cumsum but the doc still emits a MIN over its first
+    // ~8129 windows — row counts match, only values can diverge), so
+    // the `guard` CTE asserts the bound explicitly: a longer doc makes
+    // the whole oracle error() instead of silently comparing a
+    // truncated fingerprint (ADVICE r11).
     s"""WITH RECURSIVE
        |pw(k, p, pinv) AS (
        |  SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
        |  UNION ALL
        |  SELECT k + 1, p * $b % $m, pinv * $binv % $m FROM pw WHERE k < 8192),
+       |guard AS (
+       |  SELECT CASE WHEN max(length(text)) > 8192 THEN CAST(error(
+       |      'doc exceeds the 8192-entry fingerprint powers table') AS BIGINT)
+       |    ELSE 0 END AS ok FROM documents),
        |ch AS (
        |  SELECT doc_id, i, length(text) AS doclen,
        |    CAST(unicode(substr(text, i, 1)) AS BIGINT) AS c
@@ -885,7 +909,8 @@ object SparkEntry {
        |  FROM wn JOIN pw pp ON pp.k = wn.i
        |  WHERE wn.i >= $w OR wn.i = wn.doclen)
        |SELECT doc_id, MIN(hv) AS fingerprint
-       |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM h, guard WHERE guard.ok = 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** Mirrors Dedup.simhash (62-bit signature over word 3-gram shingle

@@ -34,30 +34,59 @@ import org.apache.spark.sql.functions.broadcast
   *     hard-failing — fail-soft, exactly the old un-hinted behavior
   *     but chosen deliberately and only when the fast path is unsafe.
   *
-  * The threshold is in ROWS because the probe payloads differ by call
-  * site (a shingle-array row is ~1 KB, an embedding row ~300 B); at
-  * the 1M default the worst-case broadcast is ~1 GB — inside the 8 GB
-  * limit with headroom for concurrent batches. Tune per deployment via
-  * the runtime conf (`spark.conf.set("graft.probe.maxBroadcastRows",
-  * ...)`); ProbePlanSpec pins both regimes structurally.
+  * The fast path is gated on BOTH rows and estimated BYTES (ADVICE
+  * r11: a rows-only bound lets a 1M-row shingle-array frame at ~1 KB/
+  * row attempt a ~1 GB broadcast — over Spark's default 1g driver
+  * memory long before the 8 GB broadcast limit). Bytes are estimated
+  * as exact row count × sampled average row size (SizeEstimator over
+  * up to 1024 collected rows of the pinned frame — a driver-bounded
+  * sample, conservative because the java-object estimate exceeds the
+  * tungsten wire size). Defaults: 1M rows AND 256 MB — safe under an
+  * un-tuned 1g driver; tune per deployment via the runtime confs
+  * (`graft.probe.maxBroadcastRows` / `graft.probe.maxBroadcastBytes`);
+  * ProbePlanSpec pins all regimes structurally.
   *
-  * Laziness note: calling this RUNS a job (the checkpoint + count) at
-  * plan-construction time. The probes are deployed inside
+  * Laziness note: calling this RUNS a job (the checkpoint + count +
+  * sample) at plan-construction time. The probes are deployed inside
   * `foreachBatch` where plan construction is already per-batch work;
-  * the one extra count over pinned partitions is noise next to the
-  * index scan itself.
+  * the extra jobs over pinned partitions are noise next to the index
+  * scan itself.
+  *
+  * The pin obeys [[Pin]] (`graft.pin.mode`): localCheckpoint by
+  * default, reliable checkpoint on clusters with dynamic allocation.
   */
 object ProbeGuard {
   val ConfKey = "graft.probe.maxBroadcastRows"
   val DefaultMaxBroadcastRows = 1000000L
+  val BytesConfKey = "graft.probe.maxBroadcastBytes"
+  val DefaultMaxBroadcastBytes = 256L * 1024 * 1024
 
   def maxBroadcastRows(df: DataFrame): Long =
     df.sparkSession.conf
       .get(ConfKey, DefaultMaxBroadcastRows.toString).toLong
 
+  def maxBroadcastBytes(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get(BytesConfKey, DefaultMaxBroadcastBytes.toString).toLong
+
+  /** rows × sampled avg java-object row size of an already-pinned
+    * frame — 0 for an empty frame.
+    */
+  private def estimatedBytes(pinned: DataFrame, rows: Long): Long = {
+    if (rows == 0L) return 0L
+    val sample = pinned.limit(1024).collect()
+    if (sample.isEmpty) return 0L
+    val avg = org.apache.spark.util.SizeEstimator.estimate(sample).toDouble /
+      sample.length
+    math.ceil(avg * rows).toLong
+  }
+
   def guarded(probeSide: DataFrame): DataFrame = {
-    val pinned = probeSide.localCheckpoint()
-    if (pinned.count() <= maxBroadcastRows(pinned)) broadcast(pinned)
+    val pinned = Pin.pin(probeSide)
+    val rows = pinned.count()
+    if (rows <= maxBroadcastRows(pinned) &&
+        estimatedBytes(pinned, rows) <= maxBroadcastBytes(pinned))
+      broadcast(pinned)
     else pinned.hint("shuffle_hash")
   }
 }

@@ -36,8 +36,14 @@ object Affinity {
     val items = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
-      .localCheckpoint(eager = false)
-    val itemCounts = items.groupBy("pk").agg(count(lit(1)).as("n_item"))
+      .transform(graft.core.Pin.pin(_, eager = false))
+    // itemCounts is CATALOG-grain: normally dim-sized, but a 100M-item
+    // catalog would hard-fail an unconditional broadcast at the 8 GB
+    // limit — so it goes through the same measured fail-soft guard as
+    // the index probes (ProbeGuard: broadcast when small, explicit
+    // shuffle_hash when not). One guarded pin feeds both join sides.
+    val itemCounts = graft.core.ProbeGuard.guarded(
+      items.groupBy("pk").agg(count(lit(1)).as("n_item")))
     val nOrders = items.agg(countDistinct("okey").as("n_orders"))
     val pairs = items.as("a")
       .join(items.as("b"),
@@ -46,10 +52,10 @@ object Affinity {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
     pairs
-      .join(broadcast(itemCounts.select(col("pk").as("part_a"),
-        col("n_item").as("__na"))), "part_a")
-      .join(broadcast(itemCounts.select(col("pk").as("part_b"),
-        col("n_item").as("__nb"))), "part_b")
+      .join(itemCounts.select(col("pk").as("part_a"),
+        col("n_item").as("__na")), "part_a")
+      .join(itemCounts.select(col("pk").as("part_b"),
+        col("n_item").as("__nb")), "part_b")
       .crossJoin(broadcast(nOrders))
       .select(col("part_a"), col("part_b"), col("support"),
         round(col("support").cast("double") * col("n_orders") /

@@ -175,10 +175,13 @@ object BloomJoin {
                           mBits: Int, k: Int): DataFrame = {
     // the packed array's length IS the geometry: a caller-supplied
     // mBits that disagrees would probe the wrong bit positions and
-    // silently pass everything (or worse) — fail fast instead
-    require(mBits == bc.value.length.toLong * 64,
+    // silently pass everything (or worse) — fail fast instead.
+    // Compare against the ROUNDED word count (buildPackedBits rounds
+    // the array up to whole 64-bit words), so a consistent sub-word
+    // pairing (e.g. mBits=32 on both sides) stays legal.
+    require((mBits.toLong + 63) >> 6 == bc.value.length.toLong,
       s"mBits=$mBits disagrees with the broadcast filter's " +
-        s"${bc.value.length.toLong * 64} bits")
+        s"${bc.value.length} words (${bc.value.length.toLong * 64} bits)")
     big.filter(mightContainPacked(col(bigKey), bc, mBits, k))
       .join(keys.select(col(keyCol).as(bigKey)), Seq(bigKey), "left_semi")
   }

@@ -528,7 +528,7 @@ object Corpus {
     * This is the one deliberately ITERATIVE operator in the library —
     * like GraphX/Pregel, each round is a distributed shuffle join and
     * the driver only checks a converged/not-converged bit.
-    * `localCheckpoint` caps lineage so round N's plan does not replay
+    * a [[graft.core.Pin]] pin caps lineage so round N's plan does not replay
     * rounds 1..N-1.
     *
     * Size-adaptive fast path: the edge list is already materialized
@@ -550,7 +550,7 @@ object Corpus {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .localCheckpoint()
+      .transform(graft.core.Pin.pin(_))
     val integralIds = edges.schema.fields.forall(f =>
       Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType))
     if (integralIds && edges.count() <= localThreshold)
@@ -561,7 +561,7 @@ object Corpus {
       .groupBy("src")
       .agg(least(min("dst"), col("src")).as("comp"))
       .select(col("src").as("id"), col("comp"))
-      .localCheckpoint()
+      .transform(graft.core.Pin.pin(_))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -574,7 +574,7 @@ object Corpus {
         .join(labels, col("nid") === labels("id"), "right")
         .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("mid"))
-        .localCheckpoint()
+        .transform(graft.core.Pin.pin(_))
       // 2. pointer jump: comp''(x) = comp'(comp'(x)). Every label value
       //    is a member of the same component (labels only ever hold
       //    node ids reached by a path), so the lookup always hits and
@@ -584,13 +584,15 @@ object Corpus {
           col("x.mid") === col("jid"))
         .select(col("x.id"), col("x.old"), col("jcomp").as("comp"),
           (col("jcomp") < col("x.old")).as("changed"))
-        .localCheckpoint()
+        .transform(graft.core.Pin.pin(_))
       converged = jumped.filter(col("changed")).isEmpty
       labels = jumped.select("id", "comp")
       i += 1
     }
+    // UNSORTED by doctrine (SparkEntry.queries): hash-stability sorts
+    // live in the verify wrapper only — a production caller of a
+    // 100 TB dup graph must not pay a global sort it didn't ask for
     labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
-      .orderBy("doc_id")
   }
 
   /** Exact union-find over a subcritical (≤ threshold) symmetric edge
@@ -629,7 +631,6 @@ object Corpus {
         nodes.keysIterator.map(n => (n, find(n)))
       }
       .toDF("doc_id", "component_id")
-      .orderBy("doc_id")
   }
 
   /** Keeper policy for NEAR-dup clusters — the near-dup twin of
@@ -651,5 +652,4 @@ object Corpus {
       .select(col("component_id"),
         (lit(0L) - col("__k.neg")).as("keeper_doc_id"),
         col("__k.c").as("keeper_chars"), col("n_members"))
-      .orderBy("component_id")
 }

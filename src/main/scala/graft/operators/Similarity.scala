@@ -364,6 +364,60 @@ object Similarity {
     */
   val AutoWidth = 0
 
+  /** Sentinel for `bands` on the same one-shot mining family — and the
+    * other half of the [[AutoWidth]] contract. Widening `r` at FIXED
+    * bands guts recall (p^r decay: at cos 0.35, r=16, b=8 recall is
+    * ~0.3%), so a caller that lets the occupancy probe widen the bucket
+    * space must also let the recall formula raise the band count:
+    * AutoBands resolves to [[regimeBands]](resolved r, the call's own
+    * `minCosine`, R=0.95) at plan-build time. When no band count ≤ 4096
+    * can hold the recall floor (threshold too low for sign-LSH at the
+    * occupancy-required width), the resolution FAILS LOUDLY and points
+    * at [[ivfTopKIndexed]] — a near-empty knn graph / dedup set by
+    * omission is the one outcome this family must never produce. The
+    * sole exception is the demo regime (auto width at its r=6 floor,
+    * i.e. corpus ≤ ~256 rows): there low-τ mining keeps the historical
+    * best-effort 8 bands, because a handful of rows cannot reproduce
+    * the silent-collapse failure mode and demo calls (e.g. τ = -1,
+    * "rank every LSH candidate") are legitimate.
+    */
+  val AutoBands = 0
+
+  /** Resolve the (bands, rowsPerBand) geometry for a one-shot mining
+    * call: [[AutoWidth]] → occupancy probe ([[regimeRowsPerBand]]),
+    * [[AutoBands]] → recall compensation ([[regimeBands]]) at the
+    * call's own threshold. Explicit values pass through untouched —
+    * the oracle entries pin 8×6 and stay bit-identical.
+    */
+  private def resolveGeometry(corpus: DataFrame, bands: Int,
+                              rowsPerBand: Int,
+                              minCosine: Double): (Int, Int) = {
+    val r = if (rowsPerBand != AutoWidth) rowsPerBand
+            else regimeRowsPerBand(corpus.count())
+    val b =
+      if (bands != AutoBands) bands
+      else {
+        val needed =
+          if (minCosine > -1.0 && minCosine < 1.0)
+            regimeBandsUncapped(r, minCosine, recall = 0.95)
+          else Long.MaxValue // τ ≤ -1: no recall floor is definable
+        if (needed <= 4096) needed.toInt
+        else if (r <= 6) 8
+        // r == 6 is the demo regime (corpus ≤ ~256 rows at occupancy
+        // 4): low-τ mining there is best-effort by construction and
+        // the historical 8-band default stands — a handful of rows
+        // cannot silently produce the near-empty-result failure mode.
+        else throw new IllegalArgumentException(
+          s"sign-LSH cannot hold recall 0.95 at cosine >= $minCosine " +
+            s"with the occupancy-required rowsPerBand=$r (needs " +
+            s"$needed bands > 4096): the threshold is too low for " +
+            "this corpus size. Mine via ivfTopKIndexed cells at this " +
+            "scale, or pass an explicit (bands, rowsPerBand) " +
+            "consciously at demo scale.")
+      }
+    (b, r)
+  }
+
   /** Occupancy-driven sign-LSH band width: the smallest `r` with
     * expected bucket occupancy `corpusRows / 2^r ≤ targetOccupancy`,
     * clamped to [6, 24]. MEASURED basis (LSH_SCALE.md, sf1 = 200k
@@ -393,15 +447,6 @@ object Similarity {
     math.min(24, math.max(6, needed))
   }
 
-  /** Resolve [[AutoWidth]] against the corpus. The probe is one
-    * count() — a driver-bounded scalar job at plan-BUILD time (the
-    * same class as the centroid/codebook collects); callers that need
-    * fully-lazy plan construction pass an explicit width instead.
-    */
-  private def resolveRows(corpus: DataFrame, rowsPerBand: Int): Int =
-    if (rowsPerBand != AutoWidth) rowsPerBand
-    else regimeRowsPerBand(corpus.count())
-
   /** The companion knob to [[regimeRowsPerBand]]: the smallest `bands`
     * holding sign-LSH recall ≥ `recall` for pairs at cosine ≥ `tau`
     * under width `rowsPerBand` — b = ⌈ln(1−R)/ln(1−pʳ)⌉ with
@@ -415,13 +460,21 @@ object Similarity {
     * [[ivfTopKIndexed]] cells instead.
     */
   def regimeBands(rowsPerBand: Int, tau: Double,
-                  recall: Double = 0.95): Int = {
+                  recall: Double = 0.95): Int =
+    math.min(4096L, regimeBandsUncapped(rowsPerBand, tau, recall)).toInt
+
+  /** [[regimeBands]] before the 4096 sanity cap — the [[AutoBands]]
+    * resolution needs the uncapped count to FAIL (route to IVF) rather
+    * than silently run a capped-but-still-insufficient geometry.
+    */
+  private def regimeBandsUncapped(rowsPerBand: Int, tau: Double,
+                                  recall: Double): Long = {
     require(tau > -1.0 && tau < 1.0 && recall > 0.0 && recall < 1.0,
       s"tau in (-1,1), recall in (0,1) (got $tau, $recall)")
     val p = 1.0 - math.acos(tau) / math.Pi
     val pr = math.pow(p, rowsPerBand.toDouble)
     val b = math.ceil(math.log1p(-recall) / math.log1p(-pr))
-    math.min(4096, math.max(1, b.toInt))
+    math.max(1L, if (b.isFinite) b.toLong else Long.MaxValue)
   }
 
   /** Deterministic LSH hyperplane `p` (splitmix64-derived — no stored
@@ -452,13 +505,12 @@ object Similarity {
     * diameter) rounds even when LSH chains run long).
     */
   def semanticDedup(corpus: DataFrame, minCosine: Double = 0.35,
-                    bands: Int = 8,
+                    bands: Int = AutoBands,
                     rowsPerBand: Int = AutoWidth): DataFrame =
     Corpus.connectedComponents(
       nearDupPairs(corpus, minCosine, bands, rowsPerBand), "vec_a", "vec_b")
       .filter(col("doc_id") =!= col("component_id"))
       .select(col("doc_id").as("vec_id"), col("component_id").as("keeper_id"))
-      .transform(graft.core.SmallSort.byNames(_, "vec_id"))
 
   /** kNN graph: each vector's top-`k` most-similar neighbors among its
     * LSH candidates (same banded hyperplane buckets as
@@ -475,7 +527,7 @@ object Similarity {
     */
   def knnGraph(corpus: DataFrame, k: Int = 5,
                minCosine: Double = 0.2,
-               bands: Int = 8, rowsPerBand: Int = AutoWidth): DataFrame =
+               bands: Int = AutoBands, rowsPerBand: Int = AutoWidth): DataFrame =
     graft.core.SmallSort.byNames(
       knnPairs(corpus, k, minCosine, bands, rowsPerBand),
       "vec_id", "rank")
@@ -485,7 +537,7 @@ object Similarity {
     */
   private[operators] def knnPairs(corpus: DataFrame, k: Int = 5,
                                   minCosine: Double = 0.2,
-                                  bands: Int = 8,
+                                  bands: Int = AutoBands,
                                   rowsPerBand: Int = AutoWidth): DataFrame = {
     val pairs = nearDupPairs(corpus, minCosine, bands, rowsPerBand)
     val sym = pairs
@@ -511,7 +563,7 @@ object Similarity {
     */
   def labelAgreement(embeddings: DataFrame, k: Int = 5,
                      minCosine: Double = 0.2,
-                     bands: Int = 8,
+                     bands: Int = AutoBands,
                      rowsPerBand: Int = AutoWidth): DataFrame = {
     val lab = embeddings.select(col("vec_id"), col("label").cast("long"))
     knnPairs(embeddings, k, minCosine, bands, rowsPerBand)
@@ -529,7 +581,7 @@ object Similarity {
   }
 
   def embeddingNearDup(corpus: DataFrame, minCosine: Double = 0.35,
-                       bands: Int = 8, rowsPerBand: Int = AutoWidth,
+                       bands: Int = AutoBands, rowsPerBand: Int = AutoWidth,
                        dims: Int = 64): DataFrame =
     nearDupPairs(corpus, minCosine, bands, rowsPerBand, dims)
       .transform(graft.core.SmallSort.byNames(_, "vec_a", "vec_b"))
@@ -569,11 +621,11 @@ object Similarity {
   }
 
   def nearDupPairs(corpus: DataFrame, minCosine: Double = 0.35,
-                   bands: Int = 8, rowsPerBand: Int = AutoWidth,
+                   bands: Int = AutoBands, rowsPerBand: Int = AutoWidth,
                    dims: Int = 64): DataFrame = {
     val emb = corpus.select(col("vec_id"), col("embedding"))
-    val banded = embeddingPostings(emb, bands,
-      resolveRows(emb, rowsPerBand), dims)
+    val (b, r) = resolveGeometry(emb, bands, rowsPerBand, minCosine)
+    val banded = embeddingPostings(emb, b, r, dims)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -680,20 +732,20 @@ object Similarity {
     * the probe form.
     */
   def embeddingIncremental(newVecs: DataFrame, corpus: DataFrame,
-                           minCosine: Double = 0.35, bands: Int = 8,
+                           minCosine: Double = 0.35, bands: Int = AutoBands,
                            rowsPerBand: Int = AutoWidth,
                            dims: Int = 64): DataFrame = {
-    // both sides are derived in-call, so auto width is safe here:
+    // both sides are derived in-call, so auto geometry is safe here:
     // resolve ONCE against the corpus (the bigger side — its occupancy
-    // is what saturates) and thread the SAME width through build and
-    // probe. The raw probe entry points keep width REQUIRED because
-    // there the index side is prebuilt and a mismatched batch width
-    // silently probes a disjoint bucket space.
+    // is what saturates) and thread the SAME (bands, width) through
+    // build and probe. The raw probe entry points keep geometry
+    // REQUIRED because there the index side is prebuilt and a
+    // mismatched batch width silently probes a disjoint bucket space.
     val emb = corpus.select(col("vec_id"), col("embedding"))
-    val r = resolveRows(emb, rowsPerBand)
+    val (b, r) = resolveGeometry(emb, bands, rowsPerBand, minCosine)
     embeddingProbe(newVecs,
-      embeddingPostings(emb, bands, r, dims),
-      emb, minCosine, bands, r, dims)
+      embeddingPostings(emb, b, r, dims),
+      emb, minCosine, b, r, dims)
   }
 
   /** [[embeddingProbe]] with the corpus verify side stored as PQ CODES

@@ -172,4 +172,82 @@ class ProbePlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("probe guard is byte-aware: a frame under the row bound but over " +
+       "the byte bound still degrades to shuffle_hash, result identical") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(200)
+    val batch = docs.limit(40).select(
+      (col("doc_id") + 500000L).as("doc_id"),
+      concat(lit("zq "), col("text")).as("text"))
+      .localCheckpoint()
+    batch.count()
+    val ndDir = tmp("byteguard")
+    val nd = new NearDupIndex(spark, ndDir)
+    nd.append(docs)
+
+    def hasShuffledHash(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+      case other => kids(other).exists(hasShuffledHash)
+    }
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fastRows = Dedup.minhashProbe(batch, nd.postings, nd.shingles)
+        .as[Long].collect().toSeq
+      // rows fit the 1M row bound with room to spare, but a 1-byte
+      // byte bound must push the guard onto the fail-soft path — this
+      // is ADVICE r11's ~1 KB/row shingle frame scenario in miniature
+      spark.conf.set(graft.core.ProbeGuard.BytesConfKey, "1")
+      val slow = Dedup.minhashProbe(batch, nd.postings, nd.shingles)
+      assert(hasShuffledHash(slow.queryExecution.executedPlan),
+        "over-byte-bound probe must degrade to a shuffled hash join:\n" +
+          slow.queryExecution.executedPlan)
+      assert(slow.as[Long].collect().toSeq == fastRows,
+        "byte-guard regimes must be semantically identical")
+    } finally {
+      spark.conf.unset(graft.core.ProbeGuard.BytesConfKey)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("basketPairs guards its catalog-grain count broadcast: small " +
+       "catalog broadcasts, adversarial bound shuffle-hashes, identical") {
+    val li = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).limit(3000)
+      .localCheckpoint()
+    li.count()
+
+    def hasShuffledHash(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+      case other => kids(other).exists(hasShuffledHash)
+    }
+    def hasBroadcastHash(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case other => kids(other).exists(hasBroadcastHash)
+    }
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val fast = graft.operators.Affinity.basketPairs(li)
+      assert(hasBroadcastHash(fast.queryExecution.executedPlan),
+        "dim-sized item counts must broadcast on the fast path")
+      val fastRows = fast.collect().map(_.toSeq).toSeq
+
+      // a "100M-item catalog" in miniature: force the guard's
+      // fail-soft path and require the SAME lift table
+      spark.conf.set(graft.core.ProbeGuard.ConfKey, "0")
+      val slow = graft.operators.Affinity.basketPairs(li)
+      assert(hasShuffledHash(slow.queryExecution.executedPlan),
+        "over-bound item counts must shuffle-hash, not hard-fail:\n" +
+          slow.queryExecution.executedPlan)
+      assert(slow.collect().map(_.toSeq).toSeq == fastRows,
+        "guard regimes must produce the identical lift table")
+    } finally {
+      spark.conf.unset(graft.core.ProbeGuard.ConfKey)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }

@@ -109,6 +109,27 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.regimeBands(16, 0.35) == 4096,
       "low-threshold mining at wide r must hit the sanity cap")
 
+    // AutoBands (ADVICE r11): when AutoWidth widens r, the band count
+    // must follow the recall formula at the CALL's own threshold —
+    // default call ≡ explicitly passing (regimeBands(r, τ), r). Fixed
+    // bands=8 at auto width silently gutted recall on big corpora.
+    val autoBoth = Similarity.nearDupPairs(wide, minCosine = 0.9).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val explicitBoth = Similarity.nearDupPairs(wide, minCosine = 0.9,
+      bands = Similarity.regimeBands(Similarity.regimeRowsPerBand(1010), 0.9),
+      rowsPerBand = Similarity.regimeRowsPerBand(1010)).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(autoBoth == explicitBoth,
+      "AutoBands must equal the recall formula's explicit band count")
+    // and when NO sign-LSH geometry holds the recall floor (low-τ
+    // mining at wide r), the resolution fails LOUDLY toward IVF
+    // instead of returning a silently near-empty result
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(wide, minCosine = 0.2, rowsPerBand = 24)
+    }
+    assert(e.getMessage.contains("ivfTopKIndexed"),
+      s"low-τ auto-bands failure must route to IVF: ${e.getMessage}")
+
     // the IVF cell grid has the same auto discipline: stride ≈ √n
     // (cells ≈ √n minimizes k + nProbe·n/k per probe)
     assert(Similarity.regimeStride(2000) == 45)

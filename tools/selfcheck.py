@@ -293,8 +293,26 @@ if emit_json:
         "fails": fails,
     }}
     out.update(sorted(report.items()))
-    with open(emit_json, "w") as f:
+    # Clobber guard (VERDICT r11 #3): the r11 round artifact was replaced
+    # with "{}" by a crashed run. Never overwrite a non-empty artifact with
+    # an empty result, and write tmp+rename so a mid-write crash cannot
+    # leave a truncated file in the slot.
+    if not report:
+        prior_nonempty = False
+        try:
+            with open(emit_json) as f:
+                prior = json.load(f)
+            prior_nonempty = bool(set(prior) - {"_meta"})
+        except Exception:
+            pass
+        if prior_nonempty:
+            print(f"REFUSED to clobber non-empty {emit_json} with an empty "
+                  f"result (0 queries checked)", flush=True)
+            sys.exit(3)
+    tmp = emit_json + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(out, f, indent=1)
+    os.replace(tmp, emit_json)
     print(f"WROTE {emit_json} ({len(report)} queries, {fails} fails)", flush=True)
 
 sys.exit(1 if fails else 0)
