@@ -1370,8 +1370,71 @@ object SparkEntry {
     * shortest-round-trip Double printing parses back to the identical
     * double, so both engines compute bit-equal dot products.
     */
-  private def embeddingNearDupSql: String =
-    s"${embeddingNearDupBody()}\nORDER BY vec_a, vec_b"
+  private def embeddingNearDupSql: String = embeddingNearDupSqlAt(8, 6)
+
+  private def embeddingNearDupSqlAt(bands: Int, rows: Int): String =
+    s"${embeddingNearDupBody(0.35, bands, rows)}\nORDER BY vec_a, vec_b"
+
+  /** The four embedding-LSH oracle SQLs at an ARBITRARY geometry —
+    * (8, 6) reproduces the standing oracle entries; the sf10 sweep
+    * dumps them at its dense-regime width (EmbeddingScale) so
+    * tools/selfcheck.py gates those outputs against DuckDB directly,
+    * retiring the numpy substitute replay (VERDICT r11 #1).
+    */
+  private[graft] def embeddingOracleSqlAt(bands: Int,
+                                          rows: Int): Map[String, String] =
+    Map(
+      "dedup_embedding" -> embeddingNearDupSqlAt(bands, rows),
+      "semdedup" -> semdedupSqlAt(bands, rows),
+      "knn_graph" -> knnGraphSqlAt(bands, rows),
+      "label_noise" -> labelNoiseSqlAt(bands, rows))
+
+  private def semdedupSqlAt(bands: Int, rows: Int): String =
+    s"""WITH RECURSIVE
+       |edges AS (SELECT vec_a AS src, vec_b AS dst
+       |          FROM (${embeddingNearDupBody(0.35, bands, rows)})
+       |          UNION ALL
+       |          SELECT vec_b AS src, vec_a AS dst
+       |          FROM (${embeddingNearDupBody(0.35, bands, rows)})),
+       |reach(src, dst) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS vec_id, MIN(dst) AS keeper_id
+       |FROM reach GROUP BY src HAVING src <> MIN(dst)
+       |ORDER BY vec_id""".stripMargin
+
+  private def knnGraphSqlAt(bands: Int, rows: Int): String =
+    s"""WITH p AS (${embeddingNearDupBody(0.2, bands, rows)}),
+       |sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM p
+       |        UNION ALL
+       |        SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM p),
+       |r AS (SELECT vec_id, neighbor_id, cos_sim, row_number() OVER (
+       |        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |      FROM sym)
+       |SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
+
+  private def labelNoiseSqlAt(bands: Int, rows: Int): String =
+    s"""WITH p AS (${embeddingNearDupBody(0.2, bands, rows)}),
+       |sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM p
+       |        UNION ALL
+       |        SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM p),
+       |r AS (SELECT vec_id, neighbor_id, row_number() OVER (
+       |        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |      FROM sym),
+       |k AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= 5),
+       |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings)
+       |SELECT k.vec_id, e1.label, COUNT(*) AS n_neighbors,
+       |  CAST(SUM(CASE WHEN e2.label = e1.label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree,
+       |  ROUND(CAST(SUM(CASE WHEN e2.label = e1.label THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / COUNT(*), 4) AS agreement
+       |FROM k
+       |JOIN e e1 ON k.vec_id = e1.vec_id
+       |JOIN e e2 ON k.neighbor_id = e2.vec_id
+       |GROUP BY k.vec_id, e1.label
+       |ORDER BY k.vec_id""".stripMargin
 
   /** The sign-bit banded-postings SQL branches over CTE `src` (vec_id,
     * emb) — the [[graft.operators.Similarity.hyperplane]] literals,
@@ -1411,16 +1474,9 @@ object SparkEntry {
        |WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)
        |ORDER BY vec_id""".stripMargin
 
-  private def embeddingNearDupBody(minCosine: Double = 0.35): String = {
-    val (bands, rows) = (8, 6)
-    val branches = (0 until bands).map { b =>
-      val bucket = (0 until rows).map { i =>
-        val planeLit = graft.operators.Similarity.hyperplane(b * rows + i)
-          .map(_.toDouble.toString).mkString("[", ", ", "]")
-        s"(CASE WHEN list_dot_product(emb, $planeLit) > 0 THEN 1 ELSE 0 END) * ${1L << i}"
-      }.mkString("\n      + ")
-      s"SELECT vec_id, $b AS band,\n      $bucket AS bucket FROM c"
-    }.mkString("\n  UNION ALL\n  ")
+  private def embeddingNearDupBody(minCosine: Double = 0.35,
+                                   bands: Int = 8, rows: Int = 6): String = {
+    val branches = bandedBranchesSql("c", bands, rows)
     s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |banded AS (
        |  $branches),
@@ -2137,17 +2193,31 @@ object SparkEntry {
         |SELECT fold, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS total_tokens,
         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
         |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
-    // Mirrors Segmentation.skyline — by the QUADRATIC dominance
-    // definition the sweep implementation optimizes away.
+    // Mirrors Segmentation.skyline. Equivalent closed form of the 2D
+    // dominance definition (min price, max size, ≥1 strict): a point
+    // survives iff (a) its size equals its own price group's max (no
+    // same-price point strictly larger) and (b) its size strictly
+    // exceeds every strictly-cheaper point's size. Exhaustive case
+    // split of "∃q: q.price ≤ p.price ∧ q.size ≥ p.size ∧ strict":
+    // q.price < p.price → (b); q.price = p.price ∧ q.size > p.size →
+    // (a). O(n log n) — the former NOT EXISTS form was O(n²) and the
+    // one reason this query needed a substitute check at sf10
+    // (VERDICT r11 #1); equality pinned by the three-scale gates.
     "parts_skyline" ->
-      """SELECT p_partkey, p_retailprice, p_size FROM part p
-        |WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
-        |  AND NOT EXISTS (
-        |    SELECT 1 FROM part q
-        |    WHERE q.p_retailprice <= p.p_retailprice
-        |      AND q.p_size >= p.p_size
-        |      AND (q.p_retailprice < p.p_retailprice
-        |        OR q.p_size > p.p_size))
+      """WITH f AS (
+        |  SELECT p_partkey, p_retailprice, p_size FROM part
+        |  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+        |pp AS (SELECT p_retailprice, MAX(p_size) AS gmax
+        |       FROM f GROUP BY p_retailprice),
+        |cm AS (SELECT p_retailprice, gmax,
+        |         MAX(gmax) OVER (ORDER BY p_retailprice
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prevmax
+        |       FROM pp)
+        |SELECT f.p_partkey, f.p_retailprice, f.p_size
+        |FROM f JOIN cm USING (p_retailprice)
+        |WHERE f.p_size = cm.gmax
+        |  AND (cm.prevmax IS NULL OR f.p_size > cm.prevmax)
         |ORDER BY p_retailprice, p_partkey""".stripMargin,
     // Mirrors Profile.corrBy: exact HUGEINT sufficient statistics,
     // float assembly (sqrt+divide, correctly rounded) once per group.
@@ -2612,14 +2682,21 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     // Mirrors Similarity.ivfTopK (centroidStride=50, nProbeCells=2, k=5).
     "ann_ivf" ->
+      // The corpus→cell assignment runs as a STREAMING aggregate
+      // (MIN over a (−cos, cell_id) struct ≡ the former window's
+      // ORDER BY cos DESC, cell_id rank-1, pinned equal at
+      // sf0.01/sf0.1): the window form materialized the full
+      // corpus × centroid cross join (800M rows at sf10, >74 GB of
+      // spill — the one reason this query needed a substitute check,
+      // VERDICT r11 #1); the agg streams it through n_vec groups.
       """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |cent AS (SELECT vec_id AS cell_id, emb AS ce FROM c WHERE vec_id % 50 = 0),
         |assigned AS (
-        |  SELECT vec_id, emb, cell_id FROM (
-        |    SELECT c.vec_id, c.emb, cent.cell_id,
-        |      row_number() OVER (PARTITION BY c.vec_id
-        |        ORDER BY list_cosine_similarity(c.emb, cent.ce) DESC, cent.cell_id) AS rk
-        |    FROM c CROSS JOIN cent) WHERE rk = 1),
+        |  SELECT c.vec_id,
+        |    MIN(struct_pack(
+        |      negcs := -list_cosine_similarity(c.emb, cent.ce),
+        |      cid := cent.cell_id)).cid AS cell_id
+        |  FROM c CROSS JOIN cent GROUP BY c.vec_id),
         |probes AS (
         |  SELECT probe_id, pe, cell_id FROM (
         |    SELECT p.vec_id AS probe_id, p.emb AS pe, cent.cell_id,
@@ -2628,8 +2705,9 @@ object SparkEntry {
         |    FROM (SELECT * FROM c WHERE vec_id < 10) p CROSS JOIN cent) WHERE rk <= 2),
         |scored AS (
         |  SELECT probe_id, a.vec_id AS neighbor_id,
-        |    MAX(list_cosine_similarity(pe, a.emb)) AS cs
+        |    MAX(list_cosine_similarity(pe, ca.emb)) AS cs
         |  FROM probes pr JOIN assigned a ON pr.cell_id = a.cell_id
+        |  JOIN c ca ON ca.vec_id = a.vec_id
         |  WHERE a.vec_id <> pr.probe_id GROUP BY 1, 2),
         |r AS (SELECT probe_id, neighbor_id, cs,
         |        row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, neighbor_id) AS rank
@@ -3106,18 +3184,7 @@ object SparkEntry {
     // (hyperplane literals, same as dedup_embedding) closed transitively
     // by recursive CTE; drop list = members that are not their
     // component's min id.
-    "semdedup" ->
-      s"""WITH RECURSIVE
-         |edges AS (SELECT vec_a AS src, vec_b AS dst FROM (${embeddingNearDupBody()})
-         |          UNION ALL
-         |          SELECT vec_b AS src, vec_a AS dst FROM (${embeddingNearDupBody()})),
-         |reach(src, dst) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-         |SELECT src AS vec_id, MIN(dst) AS keeper_id
-         |FROM reach GROUP BY src HAVING src <> MIN(dst)
-         |ORDER BY vec_id""".stripMargin,
+    "semdedup" -> semdedupSqlAt(8, 6),
     // Mirrors the revenue_by_nation star join: revenue accumulated in
     // exact cent·pct BIGINT units, one division at the end.
     "revenue_by_nation" ->
@@ -3180,16 +3247,7 @@ object SparkEntry {
     // Mirrors Similarity.knnGraph: LSH candidate pairs at minCosine
     // 0.2, symmetrized, top-5 per vector by (rounded cosine DESC,
     // neighbor id).
-    "knn_graph" ->
-      s"""WITH p AS (${embeddingNearDupBody(0.2)}),
-         |sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM p
-         |        UNION ALL
-         |        SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM p),
-         |r AS (SELECT vec_id, neighbor_id, cos_sim, row_number() OVER (
-         |        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-         |      FROM sym)
-         |SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
-         |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    "knn_graph" -> knnGraphSqlAt(8, 6),
     // Mirrors Corpus.paragraphDedup: chunk CTE (same as doc_chunk),
     // first-occurrence ownership in (doc_id, chunk_id) order, per-doc
     // duplicate-chunk profile.
@@ -3214,26 +3272,7 @@ object SparkEntry {
         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     // Mirrors Similarity.labelAgreement: kNN edges at minCosine 0.2,
     // both endpoint labels joined in, per-vector agreement fraction.
-    "label_noise" ->
-      s"""WITH p AS (${embeddingNearDupBody(0.2)}),
-         |sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM p
-         |        UNION ALL
-         |        SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM p),
-         |r AS (SELECT vec_id, neighbor_id, row_number() OVER (
-         |        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-         |      FROM sym),
-         |k AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= 5),
-         |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings)
-         |SELECT k.vec_id, e1.label, COUNT(*) AS n_neighbors,
-         |  CAST(SUM(CASE WHEN e2.label = e1.label THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS n_agree,
-         |  ROUND(CAST(SUM(CASE WHEN e2.label = e1.label THEN 1 ELSE 0 END)
-         |    AS DOUBLE) / COUNT(*), 4) AS agreement
-         |FROM k
-         |JOIN e e1 ON k.vec_id = e1.vec_id
-         |JOIN e e2 ON k.neighbor_id = e2.vec_id
-         |GROUP BY k.vec_id, e1.label
-         |ORDER BY k.vec_id""".stripMargin,
+    "label_noise" -> labelNoiseSqlAt(8, 6),
     // Mirrors EventStream.slidingByType: 1h windows sliding 15min —
     // every event lands in exactly 4 epoch-aligned windows, replayed
     // here by exploding i in 0..3. make_timestamp(micros) builds a

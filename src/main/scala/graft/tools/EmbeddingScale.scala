@@ -51,6 +51,23 @@ object EmbeddingScale {
       System.err.println(
         f"[embscale] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs, r=$rowsPerBand)")
     }
+    // Dump the DIRECT DuckDB oracles at THIS geometry (plane literals
+    // regenerate at any width), so tools/selfcheck.py gates these
+    // outputs exactly like the sf0.01 surface — the numpy replay
+    // (tools/embedding_check.py) is retired as the sweep's oracle.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = graft.SparkEntry.embeddingOracleSqlAt(8, rowsPerBand)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }
