@@ -548,6 +548,42 @@ class PlanAuditSpec extends SparkSpec {
         Window.partitionBy("x").orderBy("x")))).isEmpty)
   }
 
+  test("bench component-labeling plans carry no output sort: the " +
+       "operators return unsorted, only the verify wrappers sort") {
+    // VERDICT r11 #4: connectedComponents / clusterKeepers /
+    // semanticDedup embed no orderBy — a production caller of a 100 TB
+    // dup graph must not pay a global sort. The bench surface measures
+    // the sortless cores; window-internal sorts (knn rank) are
+    // semantic and untouched, so the audit is on the PLAN ROOT: no
+    // SortExec may sit above the last real operator.
+    for (name <- Seq("dedup_cluster", "dedup_cluster_best", "semdedup")) {
+      val df = SparkEntry.benchQueries(name)(spark, sf())
+      df.collect()
+      def rootSort(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case _: org.apache.spark.sql.execution.SortExec => true
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            rootSort(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            rootSort(q.plan)
+          case _: org.apache.spark.sql.execution.ProjectExec |
+               _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike |
+               _: org.apache.spark.sql.execution.SerializeFromObjectExec |
+               _: org.apache.spark.sql.execution.WholeStageCodegenExec |
+               _: org.apache.spark.sql.execution.InputAdapter =>
+            p.children.exists(rootSort)
+          case _ => false
+        }
+      assert(!rootSort(df.queryExecution.executedPlan),
+        s"$name bench plan sorts its output:\n${df.queryExecution.executedPlan}")
+      // and the VERIFY twin still sorts (hash-stable dump)
+      val v = SparkEntry.queries(name)(spark, sf())
+      assert(rootSort(v.queryExecution.executedPlan) ||
+          v.queryExecution.executedPlan.toString.contains("Sort"),
+        s"$name verify plan lost its hash-stability sort")
+    }
+  }
+
   test("every contract query stays free of cartesian products and " +
        "unpartitioned windows") {
     // the 1-row dim_source cross join broadcasts; a CartesianProduct node
