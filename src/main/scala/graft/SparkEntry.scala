@@ -4,7 +4,7 @@ import graft.core.Tables
 import graft.etl.{Cube, Dashboard, Ingest, WeatherMart}
 import graft.operators.{AsOfJoin, Corpus, Dedup, Multimodal, RangeJoin, Sampling, Sessionize, Similarity, Sketches, TextAnalysis}
 import graft.streaming.EventStream
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -90,8 +90,93 @@ object SparkEntry {
       }
   }
 
+  /** Hash-stability output sorts applied to the VERIFY surface only —
+    * the doctrine's central ledger (one entry per query whose operator
+    * core returns unsorted). The driver's row-hash compare is order-
+    * sensitive, so the dump must be totally ordered; a production
+    * caller (and the bench, which measures `raw`) must not pay a
+    * corpus-sized output sort the operator semantics never needed.
+    * SmallSort (1-partition + local sort) keeps the expensive subtree
+    * at full parallelism and executes it once — acceptable for a
+    * verify dump, wrong inside an operator.
+    */
+  private[graft] val verifySortKeys: Map[String, Seq[Column]] = {
+    def k(names: String*): Seq[Column] = names.map(col)
+    Map(
+      "dedup_cluster" -> k("doc_id"),
+      "dedup_cluster_best" -> k("component_id"),
+      "semdedup" -> k("vec_id"),
+      "knn_graph" -> k("vec_id", "rank"),
+      "label_noise" -> k("vec_id"),
+      "dedup_embedding" -> k("vec_a", "vec_b"),
+      "ngram_jaccard" -> k("doc_a", "doc_b"),
+      "dedup_containment" -> k("doc_a", "doc_b"),
+      "dedup_minhash_lsh" -> k("doc_a", "doc_b"),
+      "dedup_simhash" -> k("doc_a", "doc_b"),
+      "events_anomaly" -> k("event_id"),
+      "quality_filter" -> k("doc_id"),
+      "gopher_gate" -> k("doc_id"),
+      "decontaminate_semantic" -> k("vec_id"),
+      "decontaminate" -> k("doc_id"),
+      "doc_chunk" -> k("doc_id", "chunk_id"),
+      // round-12 sweep: every remaining operator-embedded output sort
+      // on a scale-proportional (doc/event/fact-grain) result
+      "embedding_normalize" -> k("vec_id", "pos"),
+      "events_sessionize" -> k("user_id", "session_seq"),
+      "events_argmax" -> k("user_id"),
+      "events_streaks" -> k("user_id"),
+      "events_robust_outliers" -> k("event_id"),
+      "events_conversion_lag" -> k("user_id"),
+      "events_value_cdf" -> k("event_type", "v"),
+      "events_sliding" -> k("win_start", "event_type"),
+      "snapshot_diff" -> k("o_orderkey"),
+      "fact_rolling_range" -> k("loc_ref", "date_valid"),
+      "normalized_weather_day" -> k("date_valid", "postal_code",
+        "avg_temp_f", "precipitation_in", "snowfall_in", "band_q"),
+      "csv_ingest" -> k("doc_id"),
+      "json_ingest" -> k("doc_id"),
+      "sample_epochs" -> k("doc_id", "copy"),
+      "multimodal_extract" -> k("doc_id"),
+      "multimodal_frames" -> k("doc_id", "frame_idx"),
+      "multimodal_dedup" -> k("format", "content_hash"),
+      "multimodal_resize" -> k("doc_id"),
+      "dedup_exact" -> k("content_hash"),
+      "dedup_exact_best" -> k("content_hash"),
+      "dedup_incremental" -> k("doc_id"),
+      "dedup_substring" -> k("doc_id", "span_start"),
+      "dedup_substring_scrub" -> k("doc_id"),
+      "text_quality" -> k("doc_id"),
+      "token_count" -> k("doc_id"),
+      "lang_id" -> k("doc_id"),
+      "doc_fingerprint" -> k("doc_id"),
+      "doc_repetition" -> k("doc_id"),
+      "doc_normalize" -> k("doc_id"),
+      "doc_novelty" -> k("doc_id"),
+      "paragraph_dedup" -> k("doc_id"),
+      "ngram_lm" -> k("gram"),
+      "tfidf_topterms" -> Seq(col("doc_id"), col("score").desc, col("term")))
+  }
+
+  /** Ledger entries whose outputs stay FACT-scale (≳10⁶ rows at the
+    * sweep SFs): the verify wrapper range-sorts these in parallel —
+    * SmallSort's 1-partition funnel is for small results; a 53M-row
+    * dump through one task is its own bottleneck. The subtree
+    * double-execution of orderBy (range-partitioner sampling) is a
+    * verify-only cost the bench never pays.
+    */
+  private val verifyBigSort: Set[String] = Set(
+    "fact_rolling_range", "normalized_weather_day", "events_sliding",
+    "events_sessionize", "events_value_cdf", "snapshot_diff",
+    "embedding_normalize")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = raw.map {
-    case (name, fn) => name -> ((s: SparkSession, d: String) => datesAsStrings(fn(s, d)))
+    case (name, fn) => name -> ((s: SparkSession, d: String) => {
+      val df = datesAsStrings(fn(s, d))
+      verifySortKeys.get(name).fold(df) { ks =>
+        if (verifyBigSort(name)) df.orderBy(ks: _*)
+        else graft.core.SmallSort(df, ks: _*)
+      }
+    })
   }
 
   /** Bench surface: identical operator cores, minus the global output
@@ -105,17 +190,9 @@ object SparkEntry {
       "stg_load" -> ((s, d) => WeatherMart.staging(s, d)),
       "fact_build" -> ((s, d) => WeatherMart.fact(s, d)),
       "gap_fill" -> ((s, d) => graft.etl.TimeSeries.gapFill(s, d, ordered = false)),
-      "cdc_apply" -> ((s, d) => graft.etl.Cdc.ordersSnapshot(s, d, ordered = false)),
-      // the component-labeling family: the operators return unsorted
-      // (VERDICT r11 #4); the bench measures them as a caller would
-      "dedup_cluster" -> ((s, d) => Corpus.connectedComponents(
-        Dedup.ngramJaccard(Tables(s, d, "documents")), "doc_a", "doc_b")),
-      "dedup_cluster_best" -> ((s, d) => {
-        val docs = Tables(s, d, "documents")
-        Corpus.clusterKeepers(docs, Dedup.ngramJaccard(docs))
-      }),
-      "semdedup" -> ((s, d) => Similarity.semanticDedup(
-        Tables(s, d, "embeddings"), bands = 8, rowsPerBand = 6)))
+      "cdc_apply" -> ((s, d) => graft.etl.Cdc.ordersSnapshot(s, d, ordered = false)))
+      // every verifySortKeys query needs no bench override: `raw` holds
+      // the sortless core and only `queries` (the verify dump) sorts
 
   private def raw: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stg_load" -> ((s, d) => WeatherMart.staging(s, d)
@@ -187,9 +264,7 @@ object SparkEntry {
     "normalized_weather_day" -> ((s, d) => WeatherMart.staging(s, d)
       .select(col("date_valid"), col("loc_ref").as("postal_code"),
         col("avg_temp_f"), col("precipitation_in"), col("snowfall_in"),
-        col("band_q"))
-      .orderBy("date_valid", "postal_code", "avg_temp_f",
-        "precipitation_in", "snowfall_in", "band_q")),
+        col("band_q"))),
     // set difference: snapshot rows not present in the current dim
     // naturals = the day's changed + brand-new locations (EXCEPT is a
     // distinct-aggregating shuffle — same cost shape as a groupBy)
@@ -534,17 +609,14 @@ object SparkEntry {
         .crossJoin(Corpus.qualityFilter(docs)
           .agg(count(lit(1)).as("n_pass_quality_gate")))
     }),
-    // component labelings come back UNSORTED from the operators (the
-    // doctrine above); the verify wrappers add the hash-stability sort
-    "dedup_cluster" -> ((s, d) => graft.core.SmallSort.byNames(
-      Corpus.connectedComponents(
-        Dedup.ngramJaccard(Tables(s, d, "documents")), "doc_a", "doc_b"),
-      "doc_id")),
+    // component labelings come back UNSORTED from the operators; the
+    // verifySortKeys ledger adds the hash-stability sort in `queries`
+    "dedup_cluster" -> ((s, d) => Corpus.connectedComponents(
+      Dedup.ngramJaccard(Tables(s, d, "documents")), "doc_a", "doc_b")),
     // keeper policy per NEAR-dup cluster: keep the most complete copy
     "dedup_cluster_best" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      graft.core.SmallSort.byNames(
-        Corpus.clusterKeepers(docs, Dedup.ngramJaccard(docs)), "component_id")
+      Corpus.clusterKeepers(docs, Dedup.ngramJaccard(docs))
     }),
     "doc_chunk" -> ((s, d) => Corpus.chunk(Tables(s, d, "documents"))),
     "doc_novelty" -> ((s, d) => Corpus.noveltyScore(Tables(s, d, "documents"))),
@@ -568,8 +640,7 @@ object SparkEntry {
     "cdc_apply" -> ((s, d) => graft.etl.Cdc.ordersSnapshot(s, d)),
     "events_anomaly" -> ((s, d) => Sessionize.anomalies(Tables(s, d, "events"))),
     "events_sliding" -> ((s, d) =>
-      EventStream.slidingByType(Tables(s, d, "events"))
-        .orderBy("win_start", "event_type")),
+      EventStream.slidingByType(Tables(s, d, "events"))),
     "events_props_parse" -> ((s, d) => Sessionize.propsBreakdown(Tables(s, d, "events"))),
     "doc_normalize" -> ((s, d) => TextAnalysis.normalize(Tables(s, d, "documents"))),
     "agg_incremental_merge" -> ((s, d) => graft.etl.Incremental.mergedMonthlyOrders(s, d)),
@@ -649,9 +720,8 @@ object SparkEntry {
     }),
     "customer_rfm" -> ((s, d) =>
       graft.operators.Segmentation.rfmSegments(Tables(s, d, "orders"))),
-    "semdedup" -> ((s, d) => graft.core.SmallSort.byNames(
-      Similarity.semanticDedup(
-        Tables(s, d, "embeddings"), bands = 8, rowsPerBand = 6), "vec_id")),
+    "semdedup" -> ((s, d) => Similarity.semanticDedup(
+      Tables(s, d, "embeddings"), bands = 8, rowsPerBand = 6)),
     // --- round 3b: star-join analytics, concentration, kNN graph ---
     // TPC-H Q5-shaped multi-way star join: fact filtered by pushed-down
     // date range, dims broadcast, revenue in exact cent·pct BIGINT

@@ -168,6 +168,5 @@ object Cdc {
         round(col("o_totalprice"), 2).as("o_totalprice"))
     snapshotDiff(base, ordersSnapshot(spark, dir, ordered = false),
       Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
-      .orderBy("o_orderkey")
   }
 }

@@ -52,14 +52,14 @@ object Ingest {
       .option("ignoreTrailingWhiteSpace", "false")
       .csv(out)
     val (clean, _) = quarantine(Tables.csv(spark, out, documentsSchema))
-    clean.select(docCols: _*).orderBy("doc_id")
+    clean.select(docCols: _*)
   }
 
   def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val out = Files.createTempDirectory("graft_ingest_json").toString
     Tables(spark, dir, "documents").write.mode("overwrite").json(out)
     val (clean, _) = quarantine(Tables.json(spark, out, documentsSchema))
-    clean.select(docCols: _*).orderBy("doc_id")
+    clean.select(docCols: _*)
   }
 
   /** Schema-evolution read: a parquet table whose later files carry

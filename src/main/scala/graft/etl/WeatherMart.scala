@@ -248,7 +248,6 @@ object WeatherMart {
     daily.select(col("loc_ref"), col("date_valid"),
       (col("__c") / 100.0).as("day_precip"),
       (sum("__c").over(w) / 100.0).as("precip_7day"))
-      .orderBy("loc_ref", "date_valid")
   }
 
   /** Validation (reference §3.6): FK null count + measure range, one row. */

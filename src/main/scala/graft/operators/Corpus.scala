@@ -76,7 +76,6 @@ object Corpus {
         TextAnalysis.predictedLangExpr(col("text")).as("predicted_lang"))
       .filter(col("predicted_lang") === lang && col("quality_score") >= minScore)
       .join(keepers, Seq("doc_id"), "left_semi")
-      .transform(graft.core.SmallSort.byNames(_, "doc_id"))
   }
 
   /** Gopher-style composed quality gate: one corpus scan computes
@@ -102,14 +101,15 @@ object Corpus {
                  maxPunctRatio: Double = 0.2, minScore: Double = 0.5,
                  maxRepetitionRatio: Double = 0.05,
                  maxTopNgramRatio: Double = 0.10): DataFrame =
-    graft.core.SmallSort.byNames(
-      gopherGateRows(docs, lang, minTokens, maxTokens, minAvgTokenLen,
-        maxAvgTokenLen, maxPunctRatio, minScore, maxRepetitionRatio,
-        maxTopNgramRatio),
-      "doc_id")
+    // UNSORTED (doctrine: hash-stability sorts live in the verify
+    // wrapper, SparkEntry.verifySortKeys) — identical to
+    // gopherGateRows, which remains the streaming-named entry point
+    gopherGateRows(docs, lang, minTokens, maxTokens, minAvgTokenLen,
+      maxAvgTokenLen, maxPunctRatio, minScore, maxRepetitionRatio,
+      maxTopNgramRatio)
 
-  /** [[gopherGate]] without the oracle's output sort — everything left
-    * is a stateless per-row projection + filter, so this form drops
+  /** [[gopherGate]] under its streaming-deployment name — a stateless
+    * per-row projection + filter, so this form drops
     * straight into a `readStream` (ingest-time quality gating, the
     * [[graft.operators.Redact.scrubExpr]] deployment shape — gate the
     * crawl as it lands instead of re-scanning the corpus later);
@@ -196,7 +196,6 @@ object Corpus {
       .join(TextAnalysis.lmScore(survivors, lm, n)
         .filter(col("lm_score") <= maxLmScore)
         .select(col("doc_id"), col("lm_score")), Seq("doc_id"))
-      .orderBy("doc_id")
     }
 
   /** Benchmark decontamination: drop train documents that share any
@@ -294,7 +293,6 @@ object Corpus {
       .select("vec_id").distinct()
     tEmb.select("vec_id")
       .join(contaminated, Seq("vec_id"), "left_anti")
-      .transform(graft.core.SmallSort.byNames(_, "vec_id"))
   }
 
   /** Row-preserving [[decontaminateSemantic]] for pipeline
@@ -338,7 +336,6 @@ object Corpus {
     tagged.filter(col("is_train"))
       .join(contaminated, Seq("doc_id"), "left_anti")
       .select("doc_id")
-      .transform(graft.core.SmallSort.byNames(_, "doc_id"))
   }
 
   /** Fixed-size chunking with overlap — the pretraining/RAG step that
@@ -348,7 +345,7 @@ object Corpus {
     * one scan, no shuffle, 1→⌈n/stride⌉ rows per doc.
     */
   def chunk(docs: DataFrame, chunkSize: Int = 50, stride: Int = 40): DataFrame =
-    chunkRaw(docs, chunkSize, stride).orderBy("doc_id", "chunk_id")
+    chunkRaw(docs, chunkSize, stride)
 
   /** [[chunk]] without the hash-stability output sort, for composers
     * that re-shuffle anyway ([[paragraphDedup]]).
@@ -456,7 +453,6 @@ object Corpus {
     chunks.join(sharing, "ck").drop("ck")
       .select("doc_id", "chunk_id", "n_chunk_tokens", "chunk_text",
         "n_docs_sharing")
-      .transform(graft.core.SmallSort.byNames(_, "doc_id", "chunk_id"))
   }
 
   /** Chunk-level (paragraph) deduplication profile, the CCNet/RefinedWeb
@@ -487,7 +483,6 @@ object Corpus {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"), sum("is_dup").as("n_dup_chunks"),
         round(sum("is_dup").cast("double") / count(lit(1)), 4).as("dup_ratio"))
-      .orderBy("doc_id")
   }
 
   /** Per-document novelty/fluency signals from corpus-wide bigram
@@ -511,7 +506,6 @@ object Corpus {
         sum(when(col("sup") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
       .withColumn("rare_rate",
         round(col("n_rare").cast("double") / col("n_bigrams"), 4))
-      .orderBy("doc_id")
   }
 
   /** Connected components over an undirected pair list via min-label

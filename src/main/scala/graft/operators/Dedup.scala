@@ -27,7 +27,6 @@ object Dedup {
   def exact(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("content_hash"))
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_dupes"))
-      .orderBy("content_hash")
 
   /** [[exact]] with a pluggable keeper POLICY: exact duplicates share
     * their text (so any content-derived score ties) — real pipelines
@@ -48,7 +47,6 @@ object Dedup {
         count(lit(1)).as("n_dupes"))
       .select(col("content_hash") +: col("k.doc_id").as("keeper_doc_id") +:
         carry.map(c => col(s"k.$c").as(s"keeper_$c")) :+ col("n_dupes"): _*)
-      .orderBy("content_hash")
 
   /** Per-source exact-duplication profile — the curation diagnostic
     * that tells you WHERE the duplication lives (a crawl slice with a
@@ -83,7 +81,6 @@ object Dedup {
       .join(corpus.select(md5(col("text")).as("content_hash")).distinct(),
         Seq("content_hash"), "left_anti")
       .select(col("doc_id"), col("content_hash"))
-      .orderBy("doc_id")
 
   /** [[incremental]] against a PERSISTED hash frame (`content_hash`
     * column; extra columns like a batch partition id are ignored) —
@@ -243,7 +240,7 @@ object Dedup {
     * on a 64-bit collision (~#grams²/2⁶⁴, vanishing at any SF).
     */
   def duplicateSpans(docs: DataFrame, k: Int = 8, minDocs: Int = 2): DataFrame =
-    spanCore(docs, k, minDocs).orderBy("doc_id", "span_start")
+    spanCore(docs, k, minDocs)
 
   /** The positional k-gram instance table (doc_id, pos: long, h: long)
     * — gram strings are hashed inside the scan projection and never
@@ -486,7 +483,6 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
       .unionByName(nullIdDocs)
-      .orderBy("doc_id")
   }
 
   /** Exact n-gram Jaccard similar pairs via an inverted index.
@@ -505,7 +501,6 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .transform(graft.core.SmallSort.byNames(_, "doc_a", "doc_b"))
 
   /** Asymmetric near-dup: containment |A∩B|/|A| (and /|B|) over the
     * same rare-shingle machinery. Jaccard misses SUBSET duplication —
@@ -525,7 +520,6 @@ object Dedup {
         (col("inter").cast("double") / col("sz_b")).as("containment_b"))
       .filter(greatest(col("containment_a"), col("containment_b"))
         >= minContainment)
-      .transform(graft.core.SmallSort.byNames(_, "doc_a", "doc_b"))
 
   /** Shared core of [[ngramJaccard]] / [[ngramContainment]]: rare-
     * shingle co-occurrence pairs with intersection and doc sizes —
@@ -633,7 +627,6 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-      .transform(graft.core.SmallSort.byNames(_, "doc_a", "doc_b"))
   }
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ `maxHamming`.
@@ -672,6 +665,5 @@ object Dedup {
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .transform(graft.core.SmallSort.byNames(_, "doc_a", "doc_b"))
   }
 }

@@ -72,7 +72,6 @@ object Multimodal {
     asPayloads(docs)
       .groupBy(col("format"), md5(col("payload")).as("content_hash"))
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
-      .orderBy("format", "content_hash")
 
   /** Frame sampling: every `stride`-th frame of each payload as its own
     * row, with the frame's bytes sliced out of the binary column.
@@ -97,7 +96,6 @@ object Multimodal {
         md5(col("payload").substr(
           (col("frame_idx") * col("frame_len") + 1).cast("int"),
           col("frame_len").cast("int"))).as("frame_md5"))
-      .orderBy("doc_id", "frame_idx")
   }
 
   /** Resize/thumbnail planning: fit each decoded payload into a
@@ -129,7 +127,6 @@ object Multimodal {
         col("target_w"), col("target_h"), col("n_bytes_est"),
         md5(col("payload").substr(lit(1), col("n_bytes_est").cast("int")))
           .as("thumb_md5"))
-      .orderBy("doc_id")
   }
 
   /** Decode payloads to typed metadata, one decoder per partition. */
@@ -147,6 +144,5 @@ object Multimodal {
           Row(docId, format, payload.length.toLong, w, h, f)
         }
       }(enc)
-      .orderBy("doc_id")
   }
 }

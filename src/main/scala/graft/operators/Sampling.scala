@@ -113,7 +113,6 @@ object Sampling {
       .filter(col("__n") > 0)
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(1L), col("__n"))).as("copy"))
-      .orderBy("doc_id", "copy")
   }
 
   /** Token-budget shard packing: assign documents (in doc_id order) to

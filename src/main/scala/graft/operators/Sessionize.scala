@@ -41,7 +41,6 @@ object Sessionize {
         max("us").as("end_us"),
         (round(sum("value") * 100, 0) / 100.0).as("total_value"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
-      .orderBy("user_id", "session_seq")
   }
 
   /** Ordered signup→click→purchase conversion funnel. A click counts
@@ -413,7 +412,6 @@ object Sessionize {
       .agg(count(lit(1)).as("n_streaks"),
         max("len").as("longest_streak"),
         sum("len").as("active_days"))
-      .orderBy("user_id")
   }
 
   /** DAU / trailing-7-day WAU / stickiness per day — the engagement
@@ -453,7 +451,6 @@ object Sessionize {
           .orderBy(col("value").desc, col("event_id"))))
       .filter(col("__rn") === 1)
       .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
-      .orderBy("user_id")
 
   /** First-order Markov transition matrix over per-user event
     * sequences: counts and row-normalized probabilities of
@@ -513,7 +510,6 @@ object Sessionize {
       .filter(dev * dev > varN2 * 9)
       .select(col("event_id"), col("event_type"), col("value"),
         when(dev > 0, lit("high")).otherwise(lit("low")).as("side"))
-      .transform(graft.core.SmallSort.byNames(_, "event_id"))
   }
 
   /** Robust (median/MAD) outliers per event type — the heavy-tail-safe
@@ -546,7 +542,6 @@ object Sessionize {
     dev.join(broadcast(mad), "event_type")
       .filter(col("__dev") > lit(k) * col("__mad"))
       .select(col("event_id"), col("event_type"), col("value"))
-      .orderBy("event_id")
   }
 
   /** Session-length distribution: how many sessions contain k events —
@@ -590,7 +585,6 @@ object Sessionize {
         unix_micros(col("purchase_ts")).as("purchase_us"),
         (unix_micros(col("purchase_ts")) -
           unix_micros(col("signup_ts"))).as("lag_us"))
-      .orderBy("user_id")
   }
 
   /** Empirical CDF table per event type at integer-cent grain — the
@@ -616,7 +610,6 @@ object Sessionize {
       .join(broadcast(totals), "event_type")
       .select(col("event_type"), col("v"), col("n_at"), col("cum"),
         round(col("cum").cast("double") / col("__n"), 4).as("cdf"))
-      .orderBy("event_type", "v")
   }
 
   /** User-growth accounting: per day, how many users appeared for the

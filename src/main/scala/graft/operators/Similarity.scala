@@ -45,7 +45,6 @@ object Similarity {
       .select(col("vec_id"), posexplode(col("embedding")), col("l2"))
       .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
         round(col("col").cast("double") / col("l2"), 4).as("unit_val"))
-      .orderBy("vec_id", "pos")
 
   /** One Lloyd iteration per call: refine IVF coarse centroids by
     * k-means over the corpus. Assignment reuses the broadcast-centroid
@@ -528,9 +527,7 @@ object Similarity {
   def knnGraph(corpus: DataFrame, k: Int = 5,
                minCosine: Double = 0.2,
                bands: Int = AutoBands, rowsPerBand: Int = AutoWidth): DataFrame =
-    graft.core.SmallSort.byNames(
-      knnPairs(corpus, k, minCosine, bands, rowsPerBand),
-      "vec_id", "rank")
+    knnPairs(corpus, k, minCosine, bands, rowsPerBand)
 
   /** [[knnGraph]] without the output sort, for composers that
     * re-shuffle anyway ([[labelAgreement]]).
@@ -577,14 +574,12 @@ object Similarity {
         col("n_agree"),
         round(col("n_agree").cast("double") / col("n_neighbors"), 4)
           .as("agreement"))
-      .transform(graft.core.SmallSort.byNames(_, "vec_id"))
   }
 
   def embeddingNearDup(corpus: DataFrame, minCosine: Double = 0.35,
                        bands: Int = AutoBands, rowsPerBand: Int = AutoWidth,
                        dims: Int = 64): DataFrame =
     nearDupPairs(corpus, minCosine, bands, rowsPerBand, dims)
-      .transform(graft.core.SmallSort.byNames(_, "vec_a", "vec_b"))
 
   /** [[embeddingNearDup]] without the hash-stability output sort —
     * the form graph consumers (connected components, kNN ranking)

@@ -168,7 +168,6 @@ object TextAnalysis {
         .when(fr >= de && fr > 0, "fr")
         .when(de > 0, "de")
         .otherwise("und"))
-      .orderBy("doc_id")
   }
 
   /** Quality scoring: token count, average token length, punctuation
@@ -196,7 +195,6 @@ object TextAnalysis {
         least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4
           + (lit(1.0) - col("punct_ratio")) * 0.3
           + least(col("stopword_ratio") * 5.0, lit(1.0)) * 0.3)
-      .orderBy("doc_id")
   }
 
   /** Token counting three ways: whitespace tokens, BPE-ish regex tokens
@@ -218,7 +216,6 @@ object TextAnalysis {
       ceil(length(translate(text, " ", "")).cast("double") / 4.0).cast("long")
     docs.select(col("doc_id"), wsTokens.as("ws_tokens"), bpeIsh.as("bpe_tokens"),
       subwordEst.as("subword_est"))
-      .orderBy("doc_id")
   }
 
   /** Collocation extraction for vocabulary prep: top-k bigrams by
@@ -275,7 +272,6 @@ object TextAnalysis {
         when(col("st.total_ngrams") === 0, 0.0)
           .otherwise(round(col("st.top_ngram_freq").cast("double") /
             col("st.total_ngrams"), 4)).as("top_ngram_ratio"))
-      .orderBy("doc_id")
   }
 
   /** Winnowing-style document fingerprint via the native
@@ -284,7 +280,6 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, window: Int = 64): DataFrame =
     docs.select(col("doc_id"),
       GraftFunctions.rollingFingerprint(col("text"), window).as("fingerprint"))
-      .orderBy("doc_id")
 
   /** Corpus vocabulary top-k by term frequency (BPE/vocab prep).
     *
@@ -322,7 +317,6 @@ object TextAnalysis {
       .groupBy("gram")
       .agg(sum("__in_doc").as("n_instances"), count(lit(1)).as("n_docs"))
       .filter(col("n_instances") >= minCount)
-      .orderBy("gram")
 
   /** CCNet-style LM quality score: mean negative log-probability of a
     * doc's word n-gram instances under the count LM from
@@ -473,7 +467,6 @@ object TextAnalysis {
       nTokensExpr(col("text")).as("n_tokens_raw"),
       size(col("__kept")).cast("long").as("n_tokens_norm"),
       md5(array_join(col("__kept"), " ")).as("norm_md5"))
-      .orderBy("doc_id")
   }
 
   /** Per-document top-k terms by tf-idf, with a RATIONAL idf: score =
@@ -505,6 +498,5 @@ object TextAnalysis {
       .filter(col("__rn") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("score"), 4).as("score"))
-      .orderBy(col("doc_id"), col("score").desc, col("term"))
   }
 }
