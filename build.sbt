@@ -1,25 +1,16 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "globalweatheretlspark"
-// Spark jars ship with the image at /opt/spark/jars (zero-egress):
+// Spark jars ship with the image at /opt/spark/jars (zero-egress).
+// The r10 host-incident classpath repair (lib-recovered/ substituting
+// four disk-rotten jars — see HOST_INCIDENT.md) was retired in r12
+// after the host rebuild: the stock jars read cleanly again and were
+// verified byte-identical to the recovered copies. Top-level jars
+// only (connect-repl/ REPL jars are not application deps).
 unmanagedBase := file("/opt/spark/jars")
-// r10 host-incident repair (HOST_INCIDENT.md): the host disk developed
-// bad read extents under four stock jars (SIGBUS on page-in, JVM fatal
-// error at class load). CRC-clean byte-identical copies recovered from
-// sbt's bg-jobs classpath snapshot live in lib-recovered/ and REPLACE
-// the unreadable files on the classpath; the unused connect-repl/
-// subtree (REPL-only jars, also on bad extents) is dropped from the
-// default recursive glob so the classloader never maps it.
-val brokenJars = Set("spark-sql_2.13-4.1.2.jar", "zstd-jni-1.5.7-6.jar",
-  "hadoop-client-api-3.4.2.jar", "hive-metastore-2.3.10.jar")
-def repairedClasspath(base: File): Seq[Attributed[File]] = {
-  val recovered = (file("lib-recovered") * "*.jar").get
-  val stock = (base * "*.jar").get.filterNot(f => brokenJars(f.getName))
-  Attributed.blankSeq(recovered ++ stock)
-}
-Compile / unmanagedJars := repairedClasspath(unmanagedBase.value)
-Test / unmanagedJars := repairedClasspath(unmanagedBase.value)
-Runtime / unmanagedJars := repairedClasspath(unmanagedBase.value)
+Compile / unmanagedJars := Attributed.blankSeq((unmanagedBase.value * "*.jar").get)
+Test / unmanagedJars := Attributed.blankSeq((unmanagedBase.value * "*.jar").get)
+Runtime / unmanagedJars := Attributed.blankSeq((unmanagedBase.value * "*.jar").get)
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(

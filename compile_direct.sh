@@ -22,13 +22,9 @@ SCALAC_CP="${SCALAC_CP#:}"
 
 # app classpath = repaired jars + stock spark jars minus the four dead ones
 CP="target/scala-2.13/classes"
-for j in lib-recovered/*.jar; do CP="$CP:$j"; done
-for j in /opt/spark/jars/*.jar; do
-  case "$(basename "$j")" in
-    spark-sql_2.13-4.1.2.jar|zstd-jni-1.5.7-6.jar|hadoop-client-api-3.4.2.jar|hive-metastore-2.3.10.jar) ;;
-    *) CP="$CP:$j" ;;
-  esac
-done
+# stock jars (the r10 lib-recovered substitution was retired after the
+# r12 host rebuild — HOST_INCIDENT.md)
+for j in /opt/spark/jars/*.jar; do CP="$CP:$j"; done
 
 MODE="${1:-main}"
 if [ "$MODE" = "test" ]; then

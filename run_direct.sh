@@ -1,23 +1,17 @@
 #!/bin/bash
-# HOST-INCIDENT fallback runner (HOST_INCIDENT.md): the host disk lost
-# cold regions including JDK jimage pages that sbt's launcher needs —
-# `sbt runMain` SIGBUS-crashes before reaching user code, while the
-# Spark application itself loads fine. This runs any graft main
-# directly against the already-compiled classes + the repaired
-# classpath (lib-recovered/ substitutes the four dead stock jars).
+# Direct runner (originally the r10 host-incident fallback — see
+# HOST_INCIDENT.md; the host was rebuilt in r12 and sbt works again,
+# but this remains a useful zero-sbt way to run any graft main
+# against the compiled classes + stock Spark jars).
 #
 #   ./run_direct.sh graft.Verify /root/testdata/sf0.01 /tmp/out
 #   SPARK_GRAFT_SF_DIR=... ./run_direct.sh graft.Bench
 set -euo pipefail
 cd "$(dirname "$0")"
 CP="target/scala-2.13/classes"
-for j in lib-recovered/*.jar; do CP="$CP:$j"; done
-for j in /opt/spark/jars/*.jar; do
-  case "$(basename "$j")" in
-    spark-sql_2.13-4.1.2.jar|zstd-jni-1.5.7-6.jar|hadoop-client-api-3.4.2.jar|hive-metastore-2.3.10.jar) ;;
-    *) CP="$CP:$j" ;;
-  esac
-done
+# stock jars (the r10 lib-recovered substitution was retired after the
+# r12 host rebuild — HOST_INCIDENT.md)
+for j in /opt/spark/jars/*.jar; do CP="$CP:$j"; done
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
