@@ -950,6 +950,11 @@ object SparkEntry {
     // the `guard` CTE asserts the bound explicitly: a longer doc makes
     // the whole oracle error() instead of silently comparing a
     // truncated fingerprint (ADVICE r11).
+    // The final CAST(MIN(hv) AS BIGINT) matters for the compare, not
+    // the math: DuckDB types a windowed SUM(BIGINT) as HUGEINT, which
+    // its pandas conversion widens to float64 ("6446402.0"), failing
+    // the canon-path string compare against Spark's int64. hv < M
+    // < 2³¹, so the cast is lossless.
     s"""WITH RECURSIVE
        |pw(k, p, pinv) AS (
        |  SELECT 0, CAST(1 AS BIGINT), CAST(1 AS BIGINT)
@@ -978,7 +983,7 @@ object SparkEntry {
        |  SELECT wn.doc_id, ((wn.s - wn.s0) % $m) * pp.p % $m AS hv
        |  FROM wn JOIN pw pp ON pp.k = wn.i
        |  WHERE wn.i >= $w OR wn.i = wn.doclen)
-       |SELECT doc_id, MIN(hv) AS fingerprint
+       |SELECT doc_id, CAST(MIN(hv) AS BIGINT) AS fingerprint
        |FROM h, guard WHERE guard.ok = 0
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
