@@ -43,7 +43,10 @@ if [ ${#ARGS[@]} -eq 0 ]; then ARGS=(-R target/scala-2.13/test-classes); fi
 # log and, for FULL-suite runs, emits SUITE_<rev>.json {suites,tests,failed}
 # so a "suite green" claim always carries its artifact.
 REV=$(git rev-parse --short HEAD 2>/dev/null || echo unknown)
-git diff --quiet 2>/dev/null && git diff --cached --quiet 2>/dev/null || REV="${REV}-dirty"
+# git status --porcelain, not diff --quiet: untracked source files also
+# make the compiled binary differ from the rev (the staleness stamp
+# hashes ALL .scala files, so untracked code replays as "fresh")
+[ -z "$(git status --porcelain 2>/dev/null)" ] || REV="${REV}-dirty"
 LOG="target/suite_${REV}_$(date -u +%Y%m%dT%H%M%SZ).log"
 set +e
 java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \

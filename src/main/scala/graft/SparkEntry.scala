@@ -119,6 +119,7 @@ object SparkEntry {
       "decontaminate_semantic" -> k("vec_id"),
       "decontaminate" -> k("doc_id"),
       "doc_chunk" -> k("doc_id", "chunk_id"),
+      "doc_chunk_cdc" -> k("doc_id", "chunk_id"),
       // round-12 sweep: every remaining operator-embedded output sort
       // on a scale-proportional (doc/event/fact-grain) result
       "embedding_normalize" -> k("vec_id", "pos"),
@@ -154,6 +155,7 @@ object SparkEntry {
       "doc_novelty" -> k("doc_id"),
       "paragraph_dedup" -> k("doc_id"),
       "ngram_lm" -> k("gram"),
+      "basket_pairs" -> k("part_a", "part_b"),
       "tfidf_topterms" -> Seq(col("doc_id"), col("score").desc, col("term")))
   }
 

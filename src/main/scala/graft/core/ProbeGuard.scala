@@ -39,9 +39,9 @@ import org.apache.spark.sql.functions.broadcast
   * row attempt a ~1 GB broadcast — over Spark's default 1g driver
   * memory long before the 8 GB broadcast limit). Bytes are estimated
   * as exact row count × sampled average row size (SizeEstimator over
-  * up to 1024 collected rows of the pinned frame — a driver-bounded
-  * sample, conservative because the java-object estimate exceeds the
-  * tungsten wire size). Defaults: 1M rows AND 256 MB — safe under an
+  * up to 1024 rows drawn uniformly across the pinned partitions — a
+  * driver-bounded sample, conservative because the java-object
+  * estimate exceeds the tungsten wire size). Defaults: 1M rows AND 256 MB — safe under an
   * un-tuned 1g driver; tune per deployment via the runtime confs
   * (`graft.probe.maxBroadcastRows` / `graft.probe.maxBroadcastBytes`);
   * ProbePlanSpec pins all regimes structurally.
@@ -74,7 +74,16 @@ object ProbeGuard {
     */
   private def estimatedBytes(pinned: DataFrame, rows: Long): Long = {
     if (rows == 0L) return 0L
-    val sample = pinned.limit(1024).collect()
+    // spread sample, not limit(): limit(1024) drains the FIRST
+    // partition(s), so a frame whose row sizes correlate with write
+    // order (short docs first, long docs later) underestimates the
+    // average and an oversized broadcast slips past the byte bound —
+    // the exact failure this guard exists to stop. sample() draws
+    // uniformly across every pinned partition; seeded, so the guard's
+    // regime decision is deterministic across runs.
+    val fraction = math.min(1.0, 4096.0 / rows)
+    val sample = pinned.sample(withReplacement = false, fraction, seed = 7L)
+      .limit(1024).collect()
     if (sample.isEmpty) return 0L
     val avg = org.apache.spark.util.SizeEstimator.estimate(sample).toDouble /
       sample.length

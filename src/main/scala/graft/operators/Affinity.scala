@@ -42,6 +42,11 @@ object Affinity {
     // limit — so it goes through the same measured fail-soft guard as
     // the index probes (ProbeGuard: broadcast when small, explicit
     // shuffle_hash when not). One guarded pin feeds both join sides.
+    // Known tradeoff: the guard counts at CONSTRUCTION time, which
+    // forces the `items` pin — so building this plan without running
+    // it (explain, speculative composition) already pays the distinct.
+    // Every current caller executes the frame immediately; a caller
+    // that only composes should pass a pre-guarded itemCounts instead.
     val itemCounts = graft.core.ProbeGuard.guarded(
       items.groupBy("pk").agg(count(lit(1)).as("n_item")))
     val nOrders = items.agg(countDistinct("okey").as("n_orders"))
@@ -60,6 +65,8 @@ object Affinity {
       .select(col("part_a"), col("part_b"), col("support"),
         round(col("support").cast("double") * col("n_orders") /
           (col("__na") * col("__nb")), 4).as("lift"))
-      .orderBy("part_a", "part_b")
+    // no output sort: the pair frame is catalog²-bounded but still
+    // scale-proportional — hash-stability ordering lives in the
+    // verify ledger (SparkEntry.verifySortKeys), per the r12 doctrine
   }
 }

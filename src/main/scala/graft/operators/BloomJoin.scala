@@ -127,6 +127,15 @@ object BloomJoin {
                       mBits0: Int = AutoBits, k: Int = 3): Array[Long] = {
     val mBits = resolveMBits(keys, mBits0)
     require(mBits > 0 && (mBits & (mBits - 1)) == 0, "mBits must be a power of 2")
+    // whole words only: with power-of-2 mBits >= 64 the packed array
+    // length is a BIJECTION of the geometry, which is what lets the
+    // probe-side guard verify build/probe agreement from the broadcast
+    // alone. A sub-word filter (mBits <= 32) shares its 1-word length
+    // with mBits=64, so a mismatched pairing (build 64 / probe 32)
+    // would pass any length check yet probe wrong bit positions —
+    // silent false negatives in the pre-filter. Nothing real wants a
+    // <64-bit bloom filter (AutoBits floors at 2^14).
+    require(mBits >= 64, s"mBits=$mBits: packed filters must be >= 64 bits")
     val words = new Array[Long]((mBits + 63) >> 6)
     keys.filter(col(keyCol).isNotNull)
       .select(explode(array((0 until k).map(i =>
@@ -175,11 +184,13 @@ object BloomJoin {
                           mBits: Int, k: Int): DataFrame = {
     // the packed array's length IS the geometry: a caller-supplied
     // mBits that disagrees would probe the wrong bit positions and
-    // silently pass everything (or worse) — fail fast instead.
-    // Compare against the ROUNDED word count (buildPackedBits rounds
-    // the array up to whole 64-bit words), so a consistent sub-word
-    // pairing (e.g. mBits=32 on both sides) stays legal.
-    require((mBits.toLong + 63) >> 6 == bc.value.length.toLong,
+    // silently drop matching rows — fail fast instead. Build enforces
+    // power-of-2 mBits >= 64, so words = mBits/64 is a bijection and
+    // this check is EXACT (a rounded-word compare admitted build=64 /
+    // probe=32 — both 1 word, inconsistent bit positions).
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits=$mBits: packed probes require a power-of-2 geometry >= 64 bits")
+    require(mBits.toLong >> 6 == bc.value.length.toLong,
       s"mBits=$mBits disagrees with the broadcast filter's " +
         s"${bc.value.length} words (${bc.value.length.toLong * 64} bits)")
     big.filter(mightContainPacked(col(bigKey), bc, mBits, k))

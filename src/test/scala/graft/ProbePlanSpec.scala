@@ -234,7 +234,10 @@ class ProbePlanSpec extends SparkSpec {
       val fast = graft.operators.Affinity.basketPairs(li)
       assert(hasBroadcastHash(fast.queryExecution.executedPlan),
         "dim-sized item counts must broadcast on the fast path")
-      val fastRows = fast.collect().map(_.toSeq).toSeq
+      // the operator returns unsorted (hash-stability sorts live in the
+      // verify ledger) — order both regimes for the row-wise compare
+      val fastRows = fast.orderBy("part_a", "part_b")
+        .collect().map(_.toSeq).toSeq
 
       // a "100M-item catalog" in miniature: force the guard's
       // fail-soft path and require the SAME lift table
@@ -243,7 +246,8 @@ class ProbePlanSpec extends SparkSpec {
       assert(hasShuffledHash(slow.queryExecution.executedPlan),
         "over-bound item counts must shuffle-hash, not hard-fail:\n" +
           slow.queryExecution.executedPlan)
-      assert(slow.collect().map(_.toSeq).toSeq == fastRows,
+      assert(slow.orderBy("part_a", "part_b")
+          .collect().map(_.toSeq).toSeq == fastRows,
         "guard regimes must produce the identical lift table")
     } finally {
       spark.conf.unset(graft.core.ProbeGuard.ConfKey)

@@ -68,6 +68,16 @@ class BloomJoinSpec extends SparkSpec {
     intercept[IllegalArgumentException](BloomJoin.bloomSemiJoinPacked(
       orders, "o_custkey", high, "c_custkey", bc, 1 << 20, 3))
     bc.unpersist()
+    // sub-word geometries are unrepresentable: a 1-word array cannot
+    // distinguish mBits=64 from mBits=32, so a mixed pairing (build 64
+    // / probe 32) would pass any length compare yet probe wrong bit
+    // positions — silent false negatives. Both sides reject < 64.
+    intercept[IllegalArgumentException](
+      BloomJoin.buildPackedBits(high, "c_custkey", 32))
+    val bc64 = BloomJoin.broadcastPackedBits(high, "c_custkey", 64)
+    intercept[IllegalArgumentException](BloomJoin.bloomSemiJoinPacked(
+      orders, "o_custkey", high, "c_custkey", bc64, 32, 3))
+    bc64.unpersist()
   }
 
   test("NULL build keys neither crash the build nor change the semi-join result") {

@@ -65,9 +65,13 @@ for q, log in LOGS.items():
                        "check": "duckdb-oracle", "note": NOTES[q]}
     upgraded.append(q)
 
+# a direct check is one whose check field STARTS WITH a direct-compare
+# method name; substring-matching "duckdb" anywhere would misclassify a
+# substitute row whose free-text note merely mentions duckdb
 d["substitute_checks"] = sum(
     1 for v in d["queries"].values()
-    if "duckdb" not in v.get("check", "duckdb-oracle"))
+    if not v.get("check", "duckdb-oracle")
+          .startswith(("duckdb-oracle", "duckdb-multiset")))
 d["round12_note"] = (
     "Round 12 retired the numpy substitute checks for "
     + ", ".join(upgraded) + " into direct DuckDB oracles regenerated on "

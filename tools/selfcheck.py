@@ -294,21 +294,23 @@ if emit_json:
     }}
     out.update(sorted(report.items()))
     # Clobber guard (VERDICT r11 #3): the r11 round artifact was replaced
-    # with "{}" by a crashed run. Never overwrite a non-empty artifact with
-    # an empty result, and write tmp+rename so a mid-write crash cannot
-    # leave a truncated file in the slot.
-    if not report:
-        prior_nonempty = False
-        try:
-            with open(emit_json) as f:
-                prior = json.load(f)
-            prior_nonempty = bool(set(prior) - {"_meta"})
-        except Exception:
-            pass
-        if prior_nonempty:
-            print(f"REFUSED to clobber non-empty {emit_json} with an empty "
-                  f"result (0 queries checked)", flush=True)
-            sys.exit(3)
+    # with "{}" by a crashed run. Never overwrite an artifact with a
+    # SMALLER query set — an empty result is the r11 incident, and a
+    # partial run (--only / crash-shortened) is the same artifact-loss
+    # class one query above the threshold. Write tmp+rename so a
+    # mid-write crash cannot leave a truncated file in the slot.
+    prior_queries = -1
+    try:
+        with open(emit_json) as f:
+            prior = json.load(f)
+        prior_queries = len(set(prior) - {"_meta"})
+    except Exception:
+        pass
+    if prior_queries > len(report):
+        print(f"REFUSED to clobber {emit_json} ({prior_queries} queries) "
+              f"with a smaller result ({len(report)} queries checked) — "
+              f"delete it first if the shrink is intentional", flush=True)
+        sys.exit(3)
     tmp = emit_json + ".tmp"
     with open(tmp, "w") as f:
         json.dump(out, f, indent=1)
