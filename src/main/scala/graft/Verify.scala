@@ -18,6 +18,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // scale shuffle width with the data, not the host (VERDICT r12 #3)
+    System.err.println("[verify] shuffle partitions: " +
+      graft.core.Tuning.autoShufflePartitions(spark, sfDir))
     new java.io.File(outDir).mkdirs()
     // Single-file output (coalesce(1)) is the driver default — one
     // part per query keeps the sf0.01 compare trivial. At synthetic
@@ -52,7 +55,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // SF-resolved oracles: the embedding-LSH entries regenerate their
+    // hyperplane literals at the geometry the AutoWidth query entries
+    // resolve against THIS corpus (VERDICT r12 #1) — the static
+    // SparkEntry.oracleSql holds only at the 500-vector gate corpora.
+    val json = SparkEntry.oracleSqlFor(spark, sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -38,10 +38,14 @@ import org.apache.spark.sql.functions.broadcast
   * r11: a rows-only bound lets a 1M-row shingle-array frame at ~1 KB/
   * row attempt a ~1 GB broadcast — over Spark's default 1g driver
   * memory long before the 8 GB broadcast limit). Bytes are estimated
-  * as exact row count × sampled average row size (SizeEstimator over
-  * up to 1024 rows drawn uniformly across the pinned partitions — a
-  * driver-bounded sample, conservative because the java-object
-  * estimate exceeds the tungsten wire size). Defaults: 1M rows AND 256 MB — safe under an
+  * as exact row count × sampled average row size: a Bernoulli
+  * `sample()` at fraction ≈ 1024/rows collected WHOLE, so every
+  * pinned partition contributes in expectation (~1024 rows, driver-
+  * bounded) and a frame whose row sizes correlate with write order
+  * cannot skew the average (ADVICE r12: a `limit` after the sample
+  * drained only the earliest partitions). The SizeEstimator java-
+  * object figure exceeds the tungsten wire size, so the estimate
+  * stays conservative. Defaults: 1M rows AND 256 MB — safe under an
   * un-tuned 1g driver; tune per deployment via the runtime confs
   * (`graft.probe.maxBroadcastRows` / `graft.probe.maxBroadcastBytes`);
   * ProbePlanSpec pins all regimes structurally.
@@ -78,12 +82,16 @@ object ProbeGuard {
     // partition(s), so a frame whose row sizes correlate with write
     // order (short docs first, long docs later) underestimates the
     // average and an oversized broadcast slips past the byte bound —
-    // the exact failure this guard exists to stop. sample() draws
-    // uniformly across every pinned partition; seeded, so the guard's
-    // regime decision is deterministic across runs.
-    val fraction = math.min(1.0, 4096.0 / rows)
+    // the exact failure this guard exists to stop. A CollectLimit on
+    // TOP of the sample re-introduces the same bias in attenuated form
+    // (it still drains the sampled frame's earliest partitions first —
+    // ADVICE r12), so the Bernoulli sample is collected whole: at
+    // fraction 1024/rows the expected size is ~1024 rows, driver-
+    // bounded, and every partition contributes in expectation. Seeded,
+    // so the guard's regime decision is deterministic across runs.
+    val fraction = math.min(1.0, 1024.0 / rows)
     val sample = pinned.sample(withReplacement = false, fraction, seed = 7L)
-      .limit(1024).collect()
+      .collect()
     if (sample.isEmpty) return 0L
     val avg = org.apache.spark.util.SizeEstimator.estimate(sample).toDouble /
       sample.length

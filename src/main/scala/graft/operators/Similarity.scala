@@ -385,8 +385,10 @@ object Similarity {
   /** Resolve the (bands, rowsPerBand) geometry for a one-shot mining
     * call: [[AutoWidth]] → occupancy probe ([[regimeRowsPerBand]]),
     * [[AutoBands]] → recall compensation ([[regimeBands]]) at the
-    * call's own threshold. Explicit values pass through untouched —
-    * the oracle entries pin 8×6 and stay bit-identical.
+    * call's own threshold. Explicit values pass through untouched.
+    * (The SparkEntry gate entries run bands=8 × AutoWidth since r13 —
+    * their DuckDB oracles regenerate the plane literals at the
+    * resolved width per SF, so nothing pins the demo width anymore.)
     */
   private def resolveGeometry(corpus: DataFrame, bands: Int,
                               rowsPerBand: Int,

@@ -34,6 +34,9 @@ object EmbeddingScale {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // scale shuffle width with the data, not the host (VERDICT r12 #3)
+    System.err.println("[embscale] shuffle partitions: " +
+      graft.core.Tuning.autoShufflePartitions(spark, sfDir))
 
     val emb = Tables(spark, sfDir, "embeddings")
     val runs = Seq(

@@ -43,6 +43,17 @@ object ScaleUp {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // scale shuffle width with the OUTPUT size: the source dir is the
+    // small corpus, so probe it and multiply by the replication factor
+    // (VERDICT r12 #3 — a constant 32 at factor-100 output starved the
+    // sf10 writes)
+    val srcRows =
+      try spark.read.parquet(s"$src/lineitem.parquet").count()
+      catch { case _: Throwable => 0L }
+    val shufP = graft.core.Tuning.shufflePartitions(
+      srcRows * factor, spark.sparkContext.defaultParallelism)
+    spark.conf.set("spark.sql.shuffle.partitions", shufP.toString)
+    System.err.println(s"[scaleup] shuffle partitions: $shufP")
 
     val K = 100000000L // per-replica key offset; far above any sf0.1 key
 

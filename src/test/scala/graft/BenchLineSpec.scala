@@ -108,6 +108,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.quietSpread(112.3, 130.1) == Bench.quietSpread(130.1, 112.3))
   }
 
+  test("contention verdict: run sentinel vs the budget's certified sentinel") {
+    val budget = """{ "sentinel": 0.030, "git_rev": "abc", "budgets": {} }"""
+    assert(Bench.budgetSentinel(budget).contains(0.030))
+    // a quiet run's median sits inside the band (host-rebuild shift
+    // itself measured 1.3x; round-to-round swing ~±40%)
+    assert(!Bench.isContended(budget, 0.030))
+    assert(!Bench.isContended(budget, 0.045))
+    assert(!Bench.isContended(budget, 0.059))
+    // real contention (r12: bigram_lift 963s contended vs 31s isolated)
+    assert(Bench.isContended(budget, 0.061))
+    assert(Bench.isContended(budget, 0.900))
+    // no stamped sentinel / degenerate zero: never contended (nothing
+    // to compare against — same silence as the over-budget check)
+    assert(!Bench.isContended("""{ "budgets": {} }""", 9.9))
+    assert(!Bench.isContended("""{ "sentinel": 0.0 }""", 9.9))
+  }
+
   test("BENCH_KEYS.md is in sync with the bench surface") {
     // the committed legend is what makes a compressed bench artifact
     // decodable without stderr; regenerate with

@@ -299,17 +299,23 @@ if emit_json:
     # partial run (--only / crash-shortened) is the same artifact-loss
     # class one query above the threshold. Write tmp+rename so a
     # mid-write crash cannot leave a truncated file in the slot.
-    prior_queries = -1
+    prior_names = set()
     try:
         with open(emit_json) as f:
             prior = json.load(f)
-        prior_queries = len(set(prior) - {"_meta"})
+        prior_names = set(prior) - {"_meta"}
     except Exception:
         pass
-    if prior_queries > len(report):
-        print(f"REFUSED to clobber {emit_json} ({prior_queries} queries) "
-              f"with a smaller result ({len(report)} queries checked) — "
-              f"delete it first if the shrink is intentional", flush=True)
+    # Set difference, not count (ADVICE r12): a partial run over an
+    # equal-or-larger but DIFFERENT query subset (e.g. --only with as
+    # many queries as the committed artifact) would pass a count-only
+    # guard while still dropping committed per-query results.
+    dropped = prior_names - set(report)
+    if dropped:
+        print(f"REFUSED to clobber {emit_json}: {len(dropped)} committed "
+              f"queries would be dropped ({', '.join(sorted(dropped)[:5])}"
+              f"{', ...' if len(dropped) > 5 else ''}) — delete it first "
+              f"if the drop is intentional", flush=True)
         sys.exit(3)
     tmp = emit_json + ".tmp"
     with open(tmp, "w") as f:
