@@ -52,15 +52,30 @@ object Tuning {
     * the applied value.
     */
   def autoShufflePartitions(spark: SparkSession, sfDir: String): Int = {
-    val n = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
-      case Some(v) => v.toInt
+    val (n, source) = sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS") match {
+      case Some(v) => (v.toInt, "env override")
       case None =>
-        val rows =
-          try Tables(spark, sfDir, "lineitem").count()
-          catch { case _: Throwable => 0L } // missing table: keep floor
-        shufflePartitions(rows, spark.sparkContext.defaultParallelism)
+        // A failed probe must be LOUD (VERDICT r13 #5): silently
+        // degrading to the core-count floor reproduces exactly the
+        // 32-partition JVM-death mode this class exists to prevent —
+        // e.g. a mistyped sfDir at sf10 would "work" until the first
+        // big shuffle OOMs. The value line below always prints; the
+        // source tag is what tells a probe failure apart from a
+        // genuinely small fact table.
+        val (rows, src) =
+          try (Tables(spark, sfDir, "lineitem").count(), "probed")
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[tuning] WARNING: fact-table probe FAILED at $sfDir " +
+                s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+                "falling back to the core-count floor; at large SF this " +
+                "floor is known to kill the JVM")
+            (0L, "probe FAILED, floor used")
+          }
+        (shufflePartitions(rows, spark.sparkContext.defaultParallelism), src)
     }
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    System.err.println(s"[tuning] shuffle partitions: $n ($source)")
     n
   }
 }

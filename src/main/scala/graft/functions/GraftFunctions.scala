@@ -80,6 +80,17 @@ object GraftFunctions {
     org.apache.spark.sql.graft.Bridge.column(
       MinHashSig(org.apache.spark.sql.graft.Bridge.expression(text), n, k))
 
+  /** Column wrapper for [[ShingleHashes]]. */
+  def shingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      ShingleHashes(org.apache.spark.sql.graft.Bridge.expression(text), n))
+
+  /** Column wrapper for [[SortedArrayJaccard]]. */
+  def sortedArrayJaccard(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      SortedArrayJaccard(org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
   private[functions] def builder(args: Seq[Expression]): Expression = args match {
     case Seq(c) => RollingFingerprint(c, 64)
     case Seq(c, Literal(w: Int, _)) => RollingFingerprint(c, w)

@@ -93,6 +93,15 @@ object TextOps {
   def shingles(text: Column, n: Int): Column =
     graft.functions.GraftFunctions.wordShingles(segmentIfUnspaced(text), n)
 
+  /** Sorted-distinct 62-bit hashes of [[shingles]] — same script-aware
+    * segmentation, same distinct shingle set, 8 bytes per shingle
+    * instead of the string. The verify-side representation for every
+    * Jaccard join ([[graft.functions.ShingleHashes]]); pair it with
+    * [[graft.functions.GraftFunctions.sortedArrayJaccard]].
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.shingleHashes(segmentIfUnspaced(text), n)
+
   /** Declarative (higher-order-function) shingle build, kept as the
     * reference implementation the native kernel is spec-checked
     * against. CodegenFallback — do not use on a hot path.

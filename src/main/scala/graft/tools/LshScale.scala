@@ -81,14 +81,14 @@ object LshScale {
     // MinHash side: same-residue doc pairs verified with the EXACT
     // Jaccard the query itself uses — the planted-true set.
     val docSh = docs
-      .select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"),
+      .select(col("doc_id"), TextOps.shingleHashes(col("text"), 3).as("sh"),
         pmod(col("doc_id"), lit(K)).as("base"))
       .localCheckpoint()
     val plantedDocs = docSh.as("a").join(docSh.as("b"),
         col("a.base") === col("b.base") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+        graft.functions.GraftFunctions.sortedArrayJaccard(
+          col("a.sh"), col("b.sh")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .localCheckpoint()
     def nPlantedDocsAt(minJ: Double): Long =
@@ -191,12 +191,13 @@ object LshScale {
     // against (plus the postings exchange every LSH pays)
     def docFloor(): Unit = {
       val ((n, _), shuf, secs) = measured {
-        val sh = docs.select(col("doc_id"), TextOps.shingles(col("text"), 3).as("sh"))
+        val sh = docs.select(col("doc_id"),
+          TextOps.shingleHashes(col("text"), 3).as("sh"))
         val f = plantedDocs
           .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
           .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-          .select((size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b")))).as("j"))
+          .select(graft.functions.GraftFunctions.sortedArrayJaccard(
+            col("sh_a"), col("sh_b")).as("j"))
           .filter(col("j") >= 0.5).count()
         (f, 0L)
       }
