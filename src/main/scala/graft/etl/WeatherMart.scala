@@ -191,22 +191,17 @@ object WeatherMart {
     *    reference orders by date alone, which is nondeterministic when a
     *    location has several rows per day.
     */
-  def fact(spark: SparkSession, dir: String): DataFrame = {
+  /** The fact frame BEFORE the window metrics: star join + inline
+    * classifications. Shared by [[fact]] (single-pass metrics) and
+    * [[factWindowForm]] (the declarative Window twin the parity spec
+    * pins the single-pass operator against).
+    */
+  private def factFrame(spark: SparkSession, dir: String): DataFrame = {
     val stg = staging(spark, dir)
     val dd = dimDate(spark, dir).select("date_key")
     val dl = dimLocation(spark, dir)
       .filter(col("is_current"))
       .select("location_key", "postal_code")
-    val part = Seq(col("location_key"))
-    // (date, orderkey, linenumber) alone is NOT total: the generator can
-    // emit two lines with the same order/line number for one supplier+day
-    // (1 such pair at sf0.1), and a window-order tie makes LAG and the
-    // rolling SUM engine-dependent. Tiebreak by every column the window
-    // outputs depend on — rows still tied are then full duplicates, which
-    // are interchangeable (identical outputs under any permutation).
-    val order = Seq(col("date_key"), col("l_orderkey"), col("l_linenumber"),
-      col("avg_temp_f"), col("precipitation_in"), col("snowfall_in"),
-      col("weather_band"))
     stg
       .join(broadcast(dd), stg("date_valid") === dd("date_key"))
       .join(broadcast(dl), stg("loc_ref") === dl("postal_code"))
@@ -219,10 +214,38 @@ object WeatherMart {
         col("source_key"),
         col("l_orderkey"), col("l_linenumber"),
         col("avg_temp_f"), col("precipitation_in"), col("snowfall_in"))
+  }
+
+  /** (date, orderkey, linenumber) alone is NOT total: the generator can
+    * emit two lines with the same order/line number for one supplier+day
+    * (1 such pair at sf0.1), and a window-order tie makes LAG and the
+    * rolling SUM engine-dependent. Tiebreak by every column the window
+    * outputs depend on — rows still tied are then full duplicates, which
+    * are interchangeable (identical outputs under any permutation).
+    */
+  private val factOrder = Seq(col("date_key"), col("l_orderkey"),
+    col("l_linenumber"), col("avg_temp_f"), col("precipitation_in"),
+    col("snowfall_in"), col("weather_band"))
+
+  def fact(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.RunningWindow.lagDeltaAndRollingSum(
+      factFrame(spark, dir), "location_key", factOrder,
+      lagCol = "avg_temp_f", sumCol = "precipitation_in", n = 7,
+      deltaName = "temp_day_delta", sumName = "precipitation_7d_sum")
+
+  /** The declarative Window twin of [[fact]] — WindowExec's sliding
+    * frame re-aggregates all 7 frame rows per output row and measured
+    * 4× the single-pass form at sf10 (RunningWindow scaladoc), so this
+    * form exists only as the parity oracle RunningWindowSpec pins
+    * [[fact]] against.
+    */
+  private[graft] def factWindowForm(spark: SparkSession, dir: String): DataFrame = {
+    val part = Seq(col("location_key"))
+    factFrame(spark, dir)
       .withColumn("temp_day_delta",
-        StarSchema.dayDelta(col("avg_temp_f"), part, order))
+        StarSchema.dayDelta(col("avg_temp_f"), part, factOrder))
       .withColumn("precipitation_7d_sum",
-        StarSchema.rollingSum(col("precipitation_in"), 7, part, order))
+        StarSchema.rollingSum(col("precipitation_in"), 7, part, factOrder))
   }
 
   /** Calendar-aware 7-DAY rolling precipitation via a RANGE frame.

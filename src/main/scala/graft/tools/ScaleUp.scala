@@ -147,8 +147,31 @@ object ScaleUp {
             when(i === 0, x + rep.cast("float") * lit(0.001f))
               .otherwise(x).cast("float")))))))
 
+    // Output layout IS scan parallelism (found the hard way in r14):
+    // the old coalesce(8) collapsed to the SOURCE's 1-2 partitions, so
+    // sf10syn shipped 60M-row lineitem in 7 row groups and 10M-row
+    // events in ONE — and a parquet scan cannot split inside a row
+    // group, so every sf10 lineitem query ran 7-way and every events
+    // query SINGLE-threaded on a 32-core host, silently inflating the
+    // whole measured sf10 surface (fact_build's map stage alone: 341 s
+    // at 7-way where the same work is ~75 s at 32-way). No production
+    // warehouse ships 700 MB row groups; write rows-proportional files
+    // (~TargetRowsPerPartition rows each, floor 8 so small text/vector
+    // tables keep at least host-order scan-parallelism, cap 256)
+    // instead. Fixed dims stay single-file. Row CONTENT is unchanged
+    // and deterministic; only row-to-file assignment (round-robin,
+    // with Spark's deterministic local sort) differs from the old
+    // layout.
     plans.foreach { case (name, df) =>
-      df.coalesce(8).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      val fixedDim = name == "region" || name == "nation"
+      val outDf = if (fixedDim) df.coalesce(1) else {
+        // source count is parquet-footer-only (no data scan)
+        val outRows = table(name).count() * factor
+        val parts = math.min(256L, math.max(8L,
+          outRows / graft.core.Tuning.TargetRowsPerPartition)).toInt
+        df.repartition(parts)
+      }
+      outDf.write.mode("overwrite").parquet(s"$out/$name.parquet")
       System.err.println(s"[scaleup] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
     spark.stop()
