@@ -31,6 +31,17 @@ object Dashboard {
   // code runs against the inline-derived mart (driver contract) or the
   // materialized tables written by [[Mart]] — plus a thin (spark, dir)
   // wrapper for the driver contract.
+  //
+  // The inline wrappers deliberately build on WeatherMart.factFrame —
+  // the fact WITHOUT its window metrics. When the metrics came from a
+  // Window node Catalyst pruned the unused metrics AND their exchange
+  // out of every dashboard plan automatically; the single-pass
+  // RunningWindow form is an opaque RDD boundary Catalyst cannot prune
+  // through, so the pruning that used to be implicit is now this
+  // explicit call-site choice (PlanAuditSpec still pins that no
+  // dashboard pays the location_key shuffle). The materialized-mart
+  // twins read the metrics from parquet, where column pruning applies
+  // as before.
 
   /** q1: average measure over time (Dashboard.sql:1-9). */
   def avgByDate(fact: DataFrame, dimDate: DataFrame): DataFrame =
@@ -41,7 +52,7 @@ object Dashboard {
       .orderBy("full_date")
 
   def avgByDate(spark: SparkSession, dir: String): DataFrame =
-    avgByDate(WeatherMart.fact(spark, dir), WeatherMart.dimDate(spark, dir))
+    avgByDate(WeatherMart.factFrame(spark, dir), WeatherMart.dimDate(spark, dir))
 
   /** q2: top-15 locations by average measure (Dashboard.sql:11-21). */
   def topNByLocation(fact: DataFrame, dimLocation: DataFrame, n: Int): DataFrame =
@@ -54,7 +65,8 @@ object Dashboard {
       .limit(n)
 
   def topNByLocation(spark: SparkSession, dir: String, n: Int = 15): DataFrame =
-    topNByLocation(WeatherMart.fact(spark, dir), WeatherMart.dimLocation(spark, dir), n)
+    topNByLocation(WeatherMart.factFrame(spark, dir),
+      WeatherMart.dimLocation(spark, dir), n)
 
   /** q3: average measure by precipitation class (Dashboard.sql:23-29). */
   def avgByClass(fact: DataFrame): DataFrame =
@@ -64,7 +76,7 @@ object Dashboard {
       .orderBy(col("avg_temp_f").desc, col("precipitation_type"))
 
   def avgByClass(spark: SparkSession, dir: String): DataFrame =
-    avgByClass(WeatherMart.fact(spark, dir))
+    avgByClass(WeatherMart.factFrame(spark, dir))
 
   /** q4: band frequency distribution (Dashboard.sql:31-37). */
   def bandCounts(fact: DataFrame): DataFrame =
@@ -74,7 +86,7 @@ object Dashboard {
       .orderBy(col("days_count").desc, col("weather_band"))
 
   def bandCounts(spark: SparkSession, dir: String): DataFrame =
-    bandCounts(WeatherMart.fact(spark, dir))
+    bandCounts(WeatherMart.factFrame(spark, dir))
 
   /** q5: percentage of locations with positive precipitation per day
     * (Dashboard.sql:39-45, COUNT_IF re-expressed as a conditional SUM).
@@ -89,5 +101,5 @@ object Dashboard {
       .orderBy("date_key")
 
   def pctPositiveByDate(spark: SparkSession, dir: String): DataFrame =
-    pctPositiveByDate(WeatherMart.fact(spark, dir))
+    pctPositiveByDate(WeatherMart.factFrame(spark, dir))
 }

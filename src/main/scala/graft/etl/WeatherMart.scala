@@ -192,11 +192,15 @@ object WeatherMart {
     *    location has several rows per day.
     */
   /** The fact frame BEFORE the window metrics: star join + inline
-    * classifications. Shared by [[fact]] (single-pass metrics) and
+    * classifications. Shared by [[fact]] (single-pass metrics),
     * [[factWindowForm]] (the declarative Window twin the parity spec
-    * pins the single-pass operator against).
+    * pins the single-pass operator against), [[validateFact]] and the
+    * inline dashboards (neither reads the metrics — when the metrics
+    * were a Window node Catalyst pruned them implicitly; the
+    * RunningWindow boundary makes that pruning an explicit call-site
+    * choice, see Dashboard's note).
     */
-  private def factFrame(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def factFrame(spark: SparkSession, dir: String): DataFrame = {
     val stg = staging(spark, dir)
     val dd = dimDate(spark, dir).select("date_key")
     val dl = dimLocation(spark, dir)
@@ -223,7 +227,7 @@ object WeatherMart {
     * outputs depend on — rows still tied are then full duplicates, which
     * are interchangeable (identical outputs under any permutation).
     */
-  private val factOrder = Seq(col("date_key"), col("l_orderkey"),
+  private[graft] val factOrder = Seq(col("date_key"), col("l_orderkey"),
     col("l_linenumber"), col("avg_temp_f"), col("precipitation_in"),
     col("snowfall_in"), col("weather_band"))
 
@@ -273,9 +277,12 @@ object WeatherMart {
       (sum("__c").over(w) / 100.0).as("precip_7day"))
   }
 
-  /** Validation (reference §3.6): FK null count + measure range, one row. */
+  /** Validation (reference §3.6): FK null count + measure range, one
+    * row. Reads no window metric, so it aggregates [[factFrame]]
+    * directly (same implicit-to-explicit pruning note as Dashboard).
+    */
   def validateFact(spark: SparkSession, dir: String): DataFrame =
-    fact(spark, dir).agg(
+    factFrame(spark, dir).agg(
       sum(when(col("location_key").isNull || col("date_key").isNull, 1L)
         .otherwise(0L)).as("null_fk_count"),
       round(min("avg_temp_f"), 4).as("min_temp"),

@@ -53,12 +53,21 @@ object RunningWindow {
     * `order`. `partCol` must be LONG, `lagCol`/`sumCol` DOUBLE (the
     * fact-build shapes; widen when a second caller needs it).
     */
+  /** The declarative exchange stage the streaming pass consumes: ONE
+    * hash exchange on the window key + partition-local sort. Public so
+    * plan audits can assert the production subtree's shape (all-
+    * broadcast star join, exactly one exchange) — the RDD boundary
+    * the pass introduces hides it from the outer plan otherwise.
+    */
+  def sortedInput(df: DataFrame, partCol: String, order: Seq[Column]): DataFrame =
+    df.repartition(col(partCol))
+      .sortWithinPartitions(col(partCol) +: order: _*)
+
   def lagDeltaAndRollingSum(df: DataFrame, partCol: String,
                             order: Seq[Column], lagCol: String,
                             sumCol: String, n: Int,
                             deltaName: String, sumName: String): DataFrame = {
-    val sorted = df.repartition(col(partCol))
-      .sortWithinPartitions(col(partCol) +: order: _*)
+    val sorted = sortedInput(df, partCol, order)
     val schema = sorted.schema
     val pIdx = schema.fieldIndex(partCol)
     val lIdx = schema.fieldIndex(lagCol)

@@ -27,14 +27,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  // fact's window metrics now come from the single-pass RunningWindow,
+  // whose RDD boundary hides the upstream subtree from fact()'s own
+  // explain — so the star-join and exchange audits pin the EXACT
+  // subtree the pass consumes (RunningWindow.sortedInput over
+  // factFrame, the same call fact() makes internally).
   test("fact star join is all-broadcast: no sort-merge join, no fact-side shuffle for joins") {
-    val plan = finalPlan(WeatherMart.fact(spark, sf()))
+    val plan = finalPlan(graft.plans.RunningWindow.sortedInput(
+      WeatherMart.factFrame(spark, sf()), "location_key", WeatherMart.factOrder))
     assert(!plan.contains("SortMergeJoin"), s"fact join degraded to SMJ:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
   test("both fact window metrics share a single location_key exchange") {
-    val plan = finalPlan(WeatherMart.fact(spark, sf()))
+    val plan = finalPlan(graft.plans.RunningWindow.sortedInput(
+      WeatherMart.factFrame(spark, sf()), "location_key", WeatherMart.factOrder))
     val n = "hashpartitioning\\(location_key".r.findAllMatchIn(plan).length
     assert(n == 1, s"expected exactly 1 window exchange, saw $n:\n$plan")
   }
