@@ -47,11 +47,18 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      Object jr = graft.functions.SortedArrayJaccard.compute($a, $b);
-      if (jr == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = ((java.lang.Double) jr).doubleValue(); }
-    """)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not a literal: with two non-nullable inputs
+      // nullSafeCodeGen inlines this block unbraced, so a second
+      // sorted_array_jaccard in the same codegen scope would redeclare
+      // a fixed-name local and fail janino (ADVICE r14).
+      val jr = ctx.freshName("jr")
+      s"""
+      Object $jr = graft.functions.SortedArrayJaccard.compute($a, $b);
+      if ($jr == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) $jr).doubleValue(); }
+    """
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedArrayJaccard =

@@ -124,6 +124,12 @@ object Dedup {
     * 2371 s. Jaccard over the hashed sets equals Jaccard over the
     * string sets barring a ~2^-62 collision ([[graft.functions
     * .ShingleHashes]]), the same trade [[gramTable]] already makes.
+    *
+    * PERSISTED-FORMAT BREAK (r14): `sh` changed array&lt;string&gt; →
+    * array&lt;bigint&gt;. A shingle frame persisted by a warehouse
+    * before r14 fails [[minhashProbe]] at analysis time (the
+    * sorted_array_jaccard type check — loud, never silent). Rebuild
+    * persisted shingle frames from corpus text when upgrading.
     */
   def shingleTable(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), TextOps.shingleHashes(col("text"), n).as("sh"))

@@ -44,7 +44,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
   *    them, so float results are bit-identical); null only when the
   *    whole frame is null;
   *  - round replays Catalyst's Round: BigDecimal.valueOf → setScale
-  *    HALF_UP.
+  *    HALF_UP;
+  *  - a NULL `partCol` is its own group, exactly as Window partitions
+  *    (NULL keys hash together and sort first);
+  *  - NaN in `lagCol`/`sumCol` is REJECTED loudly (SparkException from
+  *    the task): NaN is this pass's internal NULL sentinel for the
+  *    ring, and Catalyst's Round(NaN) semantics would diverge from
+  *    BigDecimal.valueOf (which throws) anyway. The fact pipeline
+  *    feeds exact-cents doubles; a caller with NaN data must filter or
+  *    null it first.
   */
 object RunningWindow {
 
@@ -94,6 +102,7 @@ object RunningWindow {
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       val append = new GenericInternalRow(2)
       var curPart = 0L
+      var curPartNull = false
       var hasPart = false
       var prevValue = 0.0
       var prevNull = true
@@ -105,21 +114,35 @@ object RunningWindow {
         java.math.BigDecimal.valueOf(v)
           .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
       it.map { row =>
-        val p = row.getLong(pIdx)
-        if (!hasPart || p != curPart) {
-          curPart = p; hasPart = true
+        // NULL keys form their own group (repartition hashes them to
+        // one partition, the sort puts them first) — the Window twin's
+        // behavior, pinned by spec; getLong on a null slot would
+        // silently read 0L and merge them into the key-0 group.
+        val pNull = row.isNullAt(pIdx)
+        val p = if (pNull) 0L else row.getLong(pIdx)
+        if (!hasPart || pNull != curPartNull || p != curPart) {
+          curPart = p; curPartNull = pNull; hasPart = true
           hasPrev = false; prevNull = true; groupRow = 0L
         }
         // delta vs previous row's lag value
         val curNull = row.isNullAt(lIdx)
         val cur = if (curNull) 0.0 else row.getDouble(lIdx)
+        if (java.lang.Double.isNaN(cur))
+          throw new IllegalArgumentException(
+            s"RunningWindow: NaN in $lagCol is unsupported (NaN is the " +
+              "internal NULL sentinel); filter or null NaN rows first")
         val deltaIsNull = curNull || !hasPrev || prevNull
         if (deltaIsNull) append.setNullAt(0)
         else append.update(0, round4(cur - prevValue))
         prevValue = cur; prevNull = curNull; hasPrev = true
         // rolling sum over the last <= ringN values, oldest -> newest
-        ring((groupRow % ringN).toInt) =
-          if (row.isNullAt(sIdx)) Double.NaN else row.getDouble(sIdx)
+        val sNull = row.isNullAt(sIdx)
+        val sVal = if (sNull) Double.NaN else row.getDouble(sIdx)
+        if (!sNull && java.lang.Double.isNaN(sVal))
+          throw new IllegalArgumentException(
+            s"RunningWindow: NaN in $sumCol is unsupported (NaN is the " +
+              "internal NULL sentinel); filter or null NaN rows first")
+        ring((groupRow % ringN).toInt) = sVal
         groupRow += 1L
         var k = math.max(0L, groupRow - ringN)
         var acc = 0.0

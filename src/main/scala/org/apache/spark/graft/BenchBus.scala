@@ -31,4 +31,34 @@ object BenchBus {
       walk(d)
     }.sum
   }
+
+  /** Deterministically free every registered shuffle's map outputs —
+    * the disk half of the run-state leak the GC sweep could not reach
+    * at sf10 (VERDICT r14 #2: ~12 GB of local-dir shuffle files
+    * survived System.gc between queries, and dedup_minhash_lsh read
+    * 428 s in-run vs 108.55 s isolated behind them). ContextCleaner
+    * frees a shuffle only when the driver GCs its ShuffleDependency;
+    * a bench loop holding plan references in locals defeats that.
+    * This replays exactly what ContextCleaner.doCleanupShuffle does —
+    * BlockManagerMaster.removeShuffle (deletes the files, blocking)
+    * then MapOutputTrackerMaster.unregisterShuffle — but on EVERY
+    * currently-registered shuffle id, synchronously, between queries.
+    * Safe only at a query boundary: nothing may still want to READ
+    * these map outputs (the bench clears the cache first, and AQE
+    * shuffle reuse never spans two separate query executions).
+    */
+  def drainShuffles(sc: SparkContext): Int = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env == null) return 0
+    env.mapOutputTracker match {
+      case m: org.apache.spark.MapOutputTrackerMaster =>
+        val ids = m.shuffleStatuses.keySet.toSeq
+        ids.foreach { id =>
+          env.blockManager.master.removeShuffle(id, true)
+          m.unregisterShuffle(id)
+        }
+        ids.size
+      case _ => 0
+    }
+  }
 }

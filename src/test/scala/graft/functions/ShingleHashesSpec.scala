@@ -61,6 +61,23 @@ class ShingleHashesSpec extends SparkSpec {
     assert(pairs.exists(_.isNullAt(1)))
   }
 
+  test("two jaccard calls compile in one codegen scope (non-nullable inputs)") {
+    // ADVICE r14: with non-nullable inputs nullSafeCodeGen inlines the
+    // generated block unbraced, so a fixed-name local would be
+    // redeclared and janino would reject the projection (silent
+    // interpreted fallback). Two calls over array(lit...) columns
+    // (non-nullable) in ONE select pin the freshName fix.
+    val df = spark.range(3).select(
+      array(lit(1L), lit(2L), lit(3L)).as("a"),
+      array(lit(2L), lit(3L), lit(4L)).as("b"),
+      array(lit(1L), lit(9L)).as("c"))
+    val out = df.select(
+      GraftFunctions.sortedArrayJaccard(col("a"), col("b")).as("j1"),
+      GraftFunctions.sortedArrayJaccard(col("a"), col("c")).as("j2"))
+      .collect()
+    assert(out.forall(r => r.getDouble(0) == 0.5 && r.getDouble(1) == 0.25))
+  }
+
   test("merge walk matches a set computation on adversarial arrays") {
     val cases = Seq(
       (Array.empty[Long], Array.empty[Long]),

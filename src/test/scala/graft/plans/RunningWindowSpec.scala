@@ -44,6 +44,44 @@ class RunningWindowSpec extends SparkSpec {
     assert(sOf(4).contains(4.0))           // group reset
   }
 
+  test("NULL partCol is its own group, matching the Window twin") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq[(java.lang.Long, Long, java.lang.Double, java.lang.Double)](
+      // a NULL-keyed group interleaved with the 0L group it would
+      // silently merge into if getLong read the null slot as 0
+      (null, 1L, 1.0, 1.0),
+      (null, 2L, 3.0, 2.0),
+      (0L, 1L, 10.0, 10.0),
+      (0L, 2L, 14.0, 20.0)
+    ).toDF("loc", "seq", "v", "p")
+    val fast = RunningWindow.lagDeltaAndRollingSum(
+      df, "loc", Seq(col("seq")), "v", "p", n = 3, "d", "s")
+    val w = Window.partitionBy("loc").orderBy("seq")
+    val slow = df
+      .withColumn("d", round(col("v") - lag("v", 1).over(w), 4))
+      .withColumn("s", round(sum("p").over(w.rowsBetween(-2, 0)), 4))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+    // and concretely: the null group's second row deltas within ITS
+    // group (2.0), not against the 0L group
+    val nullRows = fast.filter(col("loc").isNull).orderBy("seq").collect()
+    assert(nullRows(1).getDouble(4) == 2.0 && nullRows(1).getDouble(5) == 3.0)
+  }
+
+  test("NaN input is rejected loudly (ring-sentinel contract)") {
+    val nanSum = Seq((1L, 1L, 1.0, Double.NaN)).toDF("loc", "seq", "v", "p")
+    val e1 = intercept[org.apache.spark.SparkException] {
+      RunningWindow.lagDeltaAndRollingSum(
+        nanSum, "loc", Seq(col("seq")), "v", "p", n = 3, "d", "s").collect()
+    }
+    assert(e1.getMessage.contains("NaN") || e1.getCause.getMessage.contains("NaN"))
+    val nanLag = Seq((1L, 1L, Double.NaN, 1.0)).toDF("loc", "seq", "v", "p")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      RunningWindow.lagDeltaAndRollingSum(
+        nanLag, "loc", Seq(col("seq")), "v", "p", n = 3, "d", "s").collect()
+    }
+    assert(e2.getMessage.contains("NaN") || e2.getCause.getMessage.contains("NaN"))
+  }
+
   test("matches the generic Window twin on adversarial random data") {
     import org.apache.spark.sql.expressions.Window
     // deterministic pseudo-random frame: many small groups, ties, nulls
