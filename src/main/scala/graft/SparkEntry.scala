@@ -1582,25 +1582,55 @@ object SparkEntry {
        |FROM reach GROUP BY src HAVING src <> MIN(dst)
        |ORDER BY vec_id""".stripMargin
 
+  /** Mirrors Similarity.knnPairs' capped directed mining (k = 5 →
+    * cap = max(32, 8·5) = 40): per (vector, band) only the 40
+    * bucket-mates nearest by the ranking projection (plane index
+    * bands·rows, disjoint from the banding planes) are
+    * cosine-verified. The projection dot product is computed in the
+    * same index order by both engines (exact doubles, the
+    * plane-literal precedent), so the capped candidate SET replays
+    * exactly; ties on |Δproj| break by neighbor id — total order.
+    */
+  private def knnCandBodySql(minCosine: Double, bands: Int,
+                             rows: Int): String = {
+    val projLit = graft.operators.Similarity.hyperplane(bands * rows)
+      .map(_.toDouble.toString).mkString("[", ", ", "]")
+    s"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |cp AS (SELECT vec_id, emb,
+       |  list_dot_product(emb, $projLit) AS proj FROM c),
+       |banded AS (
+       |  ${bandedBranchesSql("cp", bands, rows, extra = ", proj")}),
+       |cand AS (
+       |  SELECT DISTINCT vec_id, neighbor_id FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id, row_number() OVER (
+       |        PARTITION BY a.vec_id, a.band
+       |        ORDER BY abs(a.proj - b.proj), b.vec_id) AS crk
+       |    FROM banded a JOIN banded b
+       |      ON a.band = b.band AND a.bucket = b.bucket
+       |        AND a.vec_id <> b.vec_id)
+       |  WHERE crk <= 40),
+       |ver AS (
+       |  SELECT cand.vec_id, cand.neighbor_id,
+       |    ROUND(list_cosine_similarity(ca.emb, cb.emb), 4) AS cos_sim
+       |  FROM cand
+       |  JOIN c ca ON cand.vec_id = ca.vec_id
+       |  JOIN c cb ON cand.neighbor_id = cb.vec_id
+       |  WHERE list_cosine_similarity(ca.emb, cb.emb) >= $minCosine)""".stripMargin
+  }
+
   private def knnGraphSqlAt(bands: Int, rows: Int): String =
-    s"""WITH p AS (${embeddingNearDupBody(0.2, bands, rows)}),
-       |sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM p
-       |        UNION ALL
-       |        SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM p),
+    s"""WITH ${knnCandBodySql(0.2, bands, rows)},
        |r AS (SELECT vec_id, neighbor_id, cos_sim, row_number() OVER (
        |        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-       |      FROM sym)
+       |      FROM ver)
        |SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin
 
   private def labelNoiseSqlAt(bands: Int, rows: Int): String =
-    s"""WITH p AS (${embeddingNearDupBody(0.2, bands, rows)}),
-       |sym AS (SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM p
-       |        UNION ALL
-       |        SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM p),
+    s"""WITH ${knnCandBodySql(0.2, bands, rows)},
        |r AS (SELECT vec_id, neighbor_id, row_number() OVER (
        |        PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rank
-       |      FROM sym),
+       |      FROM ver),
        |k AS (SELECT vec_id, neighbor_id FROM r WHERE rank <= 5),
        |e AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings)
        |SELECT k.vec_id, e1.label, COUNT(*) AS n_neighbors,
@@ -1619,14 +1649,14 @@ object SparkEntry {
     * shared by every embedding-LSH oracle so the planes can't drift.
     */
   private def bandedBranchesSql(src: String, bands: Int = 8,
-                                rows: Int = 6): String =
+                                rows: Int = 6, extra: String = ""): String =
     (0 until bands).map { b =>
       val bucket = (0 until rows).map { i =>
         val planeLit = graft.operators.Similarity.hyperplane(b * rows + i)
           .map(_.toDouble.toString).mkString("[", ", ", "]")
         s"(CASE WHEN list_dot_product(emb, $planeLit) > 0 THEN 1 ELSE 0 END) * ${1L << i}"
       }.mkString("\n      + ")
-      s"SELECT vec_id, $b AS band,\n      $bucket AS bucket FROM $src"
+      s"SELECT vec_id$extra, $b AS band,\n      $bucket AS bucket FROM $src"
     }.mkString("\n  UNION ALL\n  ")
 
   /** Mirrors Corpus.decontaminateSemantic over the same 1-in-20

@@ -528,24 +528,81 @@ object Similarity {
     */
   def knnGraph(corpus: DataFrame, k: Int = 5,
                minCosine: Double = 0.2,
-               bands: Int = AutoBands, rowsPerBand: Int = AutoWidth): DataFrame =
-    knnPairs(corpus, k, minCosine, bands, rowsPerBand)
+               bands: Int = AutoBands, rowsPerBand: Int = AutoWidth,
+               maxCandidatesPerBand: Int = AutoCap): DataFrame =
+    knnPairs(corpus, k, minCosine, bands, rowsPerBand, maxCandidatesPerBand)
+
+  /** Sentinel for `maxCandidatesPerBand` on the kNN family: resolves
+    * to max(32, 8·k). The cap exists because kNN output is k-bounded
+    * while bucket-mate candidates grow with near-dup CLIQUE size
+    * (MEASURED, KNN_SHAPE_r15: ScaleUp's factor-sized cliques put
+    * label_noise 6.8× over-linear at sf10 — candidates ∝ N·clique,
+    * output ≤ k·N). 0 < cap < k is rejected; pass Int.MaxValue to
+    * consciously disable the cap.
+    */
+  val AutoCap = 0
 
   /** [[knnGraph]] without the output sort, for composers that
     * re-shuffle anyway ([[labelAgreement]]).
+    *
+    * Mining is DIRECTED and candidate-capped (VERDICT r14 #3): for
+    * each (vector, band), only the `cap` bucket-mates nearest by a
+    * 1-D ranking projection (one extra deterministic hyperplane,
+    * index bands·rows — disjoint from the banding planes) are
+    * cosine-verified, so verify work per vector is ≤ bands·cap — a
+    * CONSTANT — instead of growing with bucket density (at 100 TB a
+    * viral near-dup clique would otherwise make one vector's
+    * neighborhood cost ∝ clique size). The projection is a cheap
+    * similarity proxy: |proj(a) − proj(b)| orders bucket-mates
+    * roughly by true distance (random-line projection), so the true
+    * top-k survive the cap with high probability — recall vs the
+    * exact brute-force top-k is pinned by KnnCapSpec on
+    * factor-100 planted cliques (the sf10 regime). row_number ≤ cap
+    * is WindowGroupLimit-pruned map-side before the rank exchange.
+    * The cap binds only when a (vec, band) bucket holds more than
+    * `cap` mates — at the driver gate corpora (occupancy ≈ 4) capped
+    * and uncapped mining are identical.
     */
-  private[operators] def knnPairs(corpus: DataFrame, k: Int = 5,
-                                  minCosine: Double = 0.2,
-                                  bands: Int = AutoBands,
-                                  rowsPerBand: Int = AutoWidth): DataFrame = {
-    val pairs = nearDupPairs(corpus, minCosine, bands, rowsPerBand)
-    val sym = pairs
-      .select(col("vec_a").as("vec_id"), col("vec_b").as("neighbor_id"), col("cos_sim"))
-      .union(pairs
-        .select(col("vec_b").as("vec_id"), col("vec_a").as("neighbor_id"), col("cos_sim")))
+  private[graft] def knnPairs(corpus: DataFrame, k: Int = 5,
+                              minCosine: Double = 0.2,
+                              bands: Int = AutoBands,
+                              rowsPerBand: Int = AutoWidth,
+                              maxCandidatesPerBand: Int = AutoCap): DataFrame = {
+    val emb = corpus.select(col("vec_id"), col("embedding"))
+    val (b, r) = resolveGeometry(emb, bands, rowsPerBand, minCosine)
+    val cap =
+      if (maxCandidatesPerBand == AutoCap) math.max(32, 8 * k)
+      else maxCandidatesPerBand
+    require(cap >= k,
+      s"maxCandidatesPerBand=$cap < k=$k would truncate the result set")
+    val banded = emb.select(col("vec_id"),
+      dot(col("embedding"), typedlit(hyperplane(b * r).toSeq)).as("proj"),
+      explode(bandStructs(b, r, 64)).as("bb"))
+      .select(col("vec_id"), col("proj"), col("bb.band"), col("bb.bucket"))
+    val directed = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        col("a.band").as("band"),
+        abs(col("a.proj") - col("b.proj")).as("proj_dist"))
+    val wCap = Window.partitionBy("vec_id", "band")
+      .orderBy(col("proj_dist"), col("neighbor_id"))
+    val capped = directed
+      .withColumn("crk", row_number().over(wCap))
+      .filter(col("crk") <= cap)
+      .select("vec_id", "neighbor_id").distinct()
+    val verified = capped
+      .join(emb.select(col("vec_id"), col("embedding").as("emb_a")), "vec_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("emb_b")), "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("emb_a"), col("emb_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+      .select(col("vec_id"), col("neighbor_id"),
+        round(col("cos_sim"), 4).as("cos_sim"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    sym.withColumn("rank", row_number().over(w).cast("long"))
+    verified.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }
 
@@ -563,9 +620,10 @@ object Similarity {
   def labelAgreement(embeddings: DataFrame, k: Int = 5,
                      minCosine: Double = 0.2,
                      bands: Int = AutoBands,
-                     rowsPerBand: Int = AutoWidth): DataFrame = {
+                     rowsPerBand: Int = AutoWidth,
+                     maxCandidatesPerBand: Int = AutoCap): DataFrame = {
     val lab = embeddings.select(col("vec_id"), col("label").cast("long"))
-    knnPairs(embeddings, k, minCosine, bands, rowsPerBand)
+    knnPairs(embeddings, k, minCosine, bands, rowsPerBand, maxCandidatesPerBand)
       .join(lab.select(col("vec_id"), col("label").as("own_label")), "vec_id")
       .join(lab.select(col("vec_id").as("neighbor_id"),
         col("label").as("nbr_label")), "neighbor_id")
@@ -607,15 +665,22 @@ object Similarity {
         "index (StreamDedup.bindGeometry); size it from the EXPECTED " +
         "corpus with regimeRowsPerBand, never by omission")
     corpus.select(col("vec_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          (b * rowsPerBand until (b + 1) * rowsPerBand).zipWithIndex.map {
-            case (p, i) =>
-              (dot(col("embedding"), typedlit(hyperplane(p, dims).toSeq)) > 0)
-                .cast("long") * (1L << i)
-          }.reduce(_ + _).as("bucket"))): _*)).as("bb"))
+      explode(bandStructs(bands, rowsPerBand, dims)).as("bb"))
       .select(col("vec_id"), col("bb.band"), col("bb.bucket"))
   }
+
+  /** The (band, bucket) struct-array expression shared by
+    * [[embeddingPostings]] and the capped kNN mining — one definition
+    * so the two can never drift on the banding rule.
+    */
+  private def bandStructs(bands: Int, rowsPerBand: Int, dims: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        (b * rowsPerBand until (b + 1) * rowsPerBand).zipWithIndex.map {
+          case (p, i) =>
+            (dot(col("embedding"), typedlit(hyperplane(p, dims).toSeq)) > 0)
+              .cast("long") * (1L << i)
+        }.reduce(_ + _).as("bucket"))): _*)
 
   def nearDupPairs(corpus: DataFrame, minCosine: Double = 0.35,
                    bands: Int = AutoBands, rowsPerBand: Int = AutoWidth,
