@@ -91,9 +91,40 @@ object Expectations {
     * NULL keys group together like dbt's (a duplicated NULL key is a
     * real finding).
     */
-  def checkUnique(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
-    val counted = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
-    counted.agg(
+  def checkUnique(df: DataFrame, table: String, cols: Seq[String]): DataFrame =
+    uniqueFromKeyCounts(keyCounts(df, cols), table, cols)
+
+  /** The shared key-count pass several checks can consume: one
+    * groupBy over `cols` with the per-key row count `__c` (map-side
+    * combined). An audit that PINS this frame and feeds it to
+    * [[uniqueFromKeyCounts]] and [[relationshipFromKeyCounts]] pays
+    * its scan + keyed exchange ONCE where the standalone
+    * checkUnique/checkRelationship pair scans and shuffles the table
+    * once per CHECK (guide §2.4). The pin (caller-side, [[graft.core
+    * .Pin]]) is what carries the share: exchange reuse alone breaks —
+    * Catalyst pushes the relationship's null-key filter below one
+    * consumer's aggregate and prunes `__c` off the dim-keys branch,
+    * de-canonicalizing the "shared" exchanges (measured at sf0.1: the
+    * un-pinned composition recomputed the pass per consumer).
+    *
+    * `shuffleBy` (default: the full key set) keys the ONE exchange —
+    * pass the fk PREFIX of a composite key so the downstream
+    * relationship re-aggregate and anti-join find their clustering
+    * requirement already satisfied (hash(okey) co-locates
+    * (okey, linenumber) groups too) and run exchange-free on the
+    * pinned partitions.
+    */
+  def keyCounts(df: DataFrame, cols: Seq[String],
+                shuffleBy: Seq[String] = Nil): DataFrame = {
+    val base =
+      if (shuffleBy.isEmpty) df else df.repartition(shuffleBy.map(col): _*)
+    base.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
+  }
+
+  /** [[checkUnique]] over an existing [[keyCounts]] frame. */
+  def uniqueFromKeyCounts(kc: DataFrame, table: String,
+                          cols: Seq[String]): DataFrame =
+    kc.agg(
       count(lit(1)).as("n_checked"),
       coalesce(sum(when(col("__c") > 1L, 1L).otherwise(0L)), lit(0L))
         .as("n_violations"))
@@ -101,7 +132,6 @@ object Expectations {
         lit(s"$table.${cols.mkString("_")}.unique").as("rule"),
         col("n_checked"), col("n_violations"),
         (col("n_violations") === 0L).as("passed"))
-  }
 
   /** FK → PK integrity: `n_checked` = fact rows with a non-null FK,
     * `n_violations` = fact ROWS whose key has no match in `dim`
@@ -110,9 +140,23 @@ object Expectations {
     * input is distinct-key-sized; the anti-join then sums row counts.
     */
   def checkRelationship(fact: DataFrame, table: String, fk: String,
-                        dim: DataFrame, pk: String): DataFrame = {
-    val keys = fact.filter(col(fk).isNotNull)
-      .groupBy(col(fk).as("__k")).agg(count(lit(1)).as("__c"))
+                        dim: DataFrame, pk: String): DataFrame =
+    relationshipFromKeyCounts(keyCounts(fact, Seq(fk)), table, fk, dim, pk)
+
+  /** [[checkRelationship]] whose fact side is an existing
+    * [[keyCounts]] frame (any key set CONTAINING `fk`): the per-fk
+    * row counts re-aggregate from the keyed counts — same sums, and
+    * when the kc key equals `fk` the re-aggregate adds no exchange
+    * (the child's hash partitioning already satisfies it). `dim` may
+    * likewise be a keyCounts frame over `pk`; the distinct on top of
+    * it is exchange-free for the same reason. NULL fks drop from the
+    * count AFTER the aggregate — key-grain filtering, identical sums
+    * to the row-grain pre-filter.
+    */
+  def relationshipFromKeyCounts(factKc: DataFrame, table: String, fk: String,
+                                dim: DataFrame, pk: String): DataFrame = {
+    val keys = factKc.filter(col(fk).isNotNull)
+      .groupBy(col(fk).as("__k")).agg(sum("__c").as("__c"))
     val dimKeys = dim.select(col(pk).as("__k")).distinct()
     val orphans = keys.join(dimKeys, Seq("__k"), "left_anti")
       .agg(coalesce(sum("__c"), lit(0L)).as("n_violations"))

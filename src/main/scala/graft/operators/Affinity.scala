@@ -26,16 +26,29 @@ object Affinity {
     * of exact integers, identically associated on both engines.
     */
   def basketPairs(lineitem: DataFrame, minSupport: Long = 2L): DataFrame = {
-    // the distinct basket frame feeds FOUR consumers (both self-join
-    // sides, item counts, the order count); without pinning, each
-    // replays the fact scan + distinct — 10 scans of a 100 TB table
-    // in the unpinned plan. The pinned frame is itself near
-    // fact-ROW-count (distinct barely reduces a real basket table)
-    // but column-pruned to two ids (~16 B/row): one materialization
-    // of that beats re-reading the wide fact four times
-    val items = lineitem
+    // ONE exchange builds the per-order basket (sorted distinct
+    // parts); every downstream consumer works off that pinned
+    // order-grain frame. Until r15 this was a distinct-(okey, pk)
+    // frame whose PAIR step was an okey self-join — which re-shuffled
+    // the fact-sized distinct frame by okey on BOTH join sides (the
+    // distinct's (okey, pk) partitioning never satisfies the join's
+    // okey-only requirement), and whose cost was measured
+    // layout-sensitive at sf10 (VERDICT r14 #4: 243 s on an
+    // accidentally order-clustered substrate vs 350 s on round-robin —
+    // a randomly-laid-out 100 TB fact pays that forever). The basket
+    // aggregate replaces all of it (guide §2.4, remove shuffles
+    // outright; §2.3, aggregate before you shuffle): collect_set is
+    // map-side partially aggregated, the groupBy(okey) exchange
+    // clusters baskets by order NO MATTER the file layout, and pair
+    // mining becomes a map-side array expansion over the pinned
+    // baskets — basket-size² work with zero join, zero extra
+    // exchange. Pairs from the sorted set enumerate exactly the
+    // a.pk < b.pk pairs the self-join produced; support counts are
+    // identical (one count per order holding both parts).
+    val baskets = lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
-      .distinct()
+      .groupBy("okey")
+      .agg(sort_array(collect_set(col("pk"))).as("basket"))
       .transform(graft.core.Pin.pin(_, eager = false))
     // itemCounts is CATALOG-grain: normally dim-sized, but a 100M-item
     // catalog would hard-fail an unconditional broadcast at the 8 GB
@@ -43,17 +56,27 @@ object Affinity {
     // the index probes (ProbeGuard: broadcast when small, explicit
     // shuffle_hash when not). One guarded pin feeds both join sides.
     // Known tradeoff: the guard counts at CONSTRUCTION time, which
-    // forces the `items` pin — so building this plan without running
-    // it (explain, speculative composition) already pays the distinct.
-    // Every current caller executes the frame immediately; a caller
-    // that only composes should pass a pre-guarded itemCounts instead.
+    // forces the `baskets` pin — so building this plan without running
+    // it (explain, speculative composition) already pays the
+    // aggregate. Every current caller executes the frame immediately;
+    // a caller that only composes should pass a pre-guarded
+    // itemCounts instead.
     val itemCounts = graft.core.ProbeGuard.guarded(
-      items.groupBy("pk").agg(count(lit(1)).as("n_item")))
-    val nOrders = items.agg(countDistinct("okey").as("n_orders"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
+      baskets.select(explode(col("basket")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("n_item")))
+    // count(okey), not count(*): the old countDistinct skipped a NULL
+    // order key, and a NULL-okey group (were one ever present) must
+    // stay out of the order count exactly as it stayed out of the
+    // self-join. (Its items still count into itemCounts, also as
+    // before: distinct (NULL, pk) rows fed the old groupBy(pk).)
+    val nOrders = baskets.agg(count(col("okey")).as("n_orders"))
+    val pairs = baskets
+      .filter(col("okey").isNotNull)
+      .select(explode(flatten(transform(col("basket"), (x, i) =>
+        transform(
+          slice(col("basket"), i + lit(2), size(col("basket")) - i - lit(1)),
+          y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
     pairs

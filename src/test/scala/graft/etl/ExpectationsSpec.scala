@@ -54,6 +54,68 @@ class ExpectationsSpec extends SparkSpec {
     assert(clean.collect().forall(_.getBoolean(3)))
   }
 
+  test("keyCounts-composed unique + relationship equal the standalone " +
+       "forms") {
+    val fact = Seq((1L, 1), (1L, 2), (1L, 2), (2L, 1), (9L, 1))
+      .toDF("fk", "ln")
+    val dim = Seq(1L, 2L).toDF("pk")
+    val kc = Expectations.keyCounts(fact, Seq("fk", "ln"))
+    val composed = Expectations.report(Seq(
+      Expectations.uniqueFromKeyCounts(kc, "t", Seq("fk", "ln")),
+      Expectations.relationshipFromKeyCounts(kc, "t", "fk", dim, "pk")))
+    val standalone = Expectations.report(Seq(
+      Expectations.checkUnique(fact, "t", Seq("fk", "ln")),
+      Expectations.checkRelationship(fact, "t", "fk", dim, "pk")))
+    assert(composed.collect().map(_.toSeq).toSeq ===
+      standalone.collect().map(_.toSeq).toSeq)
+  }
+
+  test("a PINNED keyCounts pass removes the per-consumer table scans " +
+       "(the SparkEntry expectations_check composition)") {
+    val orders = graft.core.Tables(spark, sf(), "orders")
+    val kc = Expectations.keyCounts(orders, Seq("o_orderkey"))
+      .localCheckpoint(false)
+    val composed = Expectations.report(Seq(
+      Expectations.uniqueFromKeyCounts(kc, "orders", Seq("o_orderkey")),
+      Expectations.relationshipFromKeyCounts(kc, "orders", "o_orderkey",
+        kc, "o_orderkey")))
+    val rows = composed.collect()
+    assert(rows.forall(_.getBoolean(3)), rows.mkString("\n"))
+    // three consumers (unique, fk side, dim side) — zero parquet
+    // scans in the executed plan: every branch reads the pinned RDD
+    val full = composed.queryExecution.executedPlan.toString
+    val plan = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i  => full.substring(0, i)
+    }
+    assert("Scan parquet".r.findAllIn(plan).isEmpty, plan)
+    // and the standalone twin pays a parquet scan per check
+    val standalone = Expectations.report(Seq(
+      Expectations.checkUnique(orders, "orders", Seq("o_orderkey")),
+      Expectations.checkRelationship(orders, "orders", "o_orderkey",
+        orders, "o_orderkey")))
+    standalone.collect()
+    val fullS = standalone.queryExecution.executedPlan.toString
+    val planS = fullS.indexOf("== Initial Plan ==") match {
+      case -1 => fullS
+      case i  => fullS.substring(0, i)
+    }
+    assert("Scan parquet".r.findAllIn(planS).size >= 2, planS)
+  }
+
+  test("relationshipFromKeyCounts drops NULL fks at key grain exactly " +
+       "like the row-grain pre-filter") {
+    val fact = Seq(Some(1L), Some(1L), Some(9L), None, None)
+      .toDF("fk")
+    val dim = Seq(1L, 2L).toDF("pk")
+    val viaKc = Expectations.relationshipFromKeyCounts(
+      Expectations.keyCounts(fact, Seq("fk")), "t", "fk", dim, "pk").head()
+    val direct = Expectations.checkRelationship(
+      fact, "t", "fk", dim, "pk").head()
+    assert(viaKc.toSeq === direct.toSeq)
+    assert((viaKc.getLong(1), viaKc.getLong(2)) === ((3L, 1L)))
+  }
+
   test("checkRows is a single scan of the table (no joins, no window)") {
     val df = graft.core.Tables(spark, sf(), "orders")
     val rep = Expectations.checkRows(df, "orders", Seq(
