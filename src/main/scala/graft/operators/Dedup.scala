@@ -509,7 +509,7 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.6,
                    maxDf: Int = 100): DataFrame =
-    rarePairs(docs, n, maxDf)
+    rarePairs(docs, n, maxDf, minSizeRatio = minJaccard)
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
@@ -537,8 +537,24 @@ object Dedup {
   /** Shared core of [[ngramJaccard]] / [[ngramContainment]]: rare-
     * shingle co-occurrence pairs with intersection and doc sizes —
     * (doc_a, doc_b, inter, sz_a, sz_b).
+    *
+    * `minSizeRatio` (r15, Jaccard path only): Jaccard is bounded by
+    * the size ratio — J = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|) —
+    * so a pair whose doc sizes differ by more than the target
+    * threshold can NEVER qualify and is dropped INSIDE the candidate
+    * join, before the pair-count aggregate and its exchange (guide
+    * §2.3: shuffle fewer bytes). Measured at sf0.1: 1.27M candidate
+    * rows → 256 output pairs without the bound; the bound removes the
+    * hopeless majority at the join. The cut is EXACT, never
+    * approximate: the threshold is slackened by 1e-9 relative so
+    * double rounding can only ADMIT a doomed pair (killed by the
+    * exact Jaccard filter downstream), never exclude a qualifying
+    * one. Containment has no such bound (a fragment contained in a
+    * huge doc is exactly the pair it must find) — [[ngramContainment]]
+    * passes 0 (off).
     */
-  private def rarePairs(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
+  private def rarePairs(docs: DataFrame, n: Int, maxDf: Int,
+                        minSizeRatio: Double = 0.0): DataFrame = {
     // Shingle ONCE (native kernel). Doc sizes ride along from size(sh)
     // — no sizes join. Postings carry the 62-bit shingle HASH, not the
     // string: the exploded posting table is this operator's whole
@@ -566,9 +582,25 @@ object Dedup {
       .filter(col("df") > maxDf)
       .select("shingle")
     val rare = posts.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val szBound =
+      if (minSizeRatio <= 0.0) lit(true)
+      else {
+        val t = lit(minSizeRatio * (1 - 1e-9))
+        col("a.sz") >= col("b.sz") * t && col("b.sz") >= col("a.sz") * t
+      }
+    // SHUFFLE_HASH, not planner's choice: at small SF AQE "optimizes"
+    // this self-join into a broadcast — which COMPUTES THE POSTINGS
+    // SUBTREE TWICE (scan + segmentation + shingle hashing per side)
+    // and builds a postings-sized broadcast, where the hinted shuffle
+    // join's two sides are one ReusedExchange: the subtree runs once
+    // and only 8 B/posting shuffles (measured at sf0.1: the broadcast
+    // plan repeated the 260k-posting generate on both sides). At
+    // large SF the hint is what the planner picks anyway (postings
+    // outgrow any broadcast), so the plan is now scale-invariant.
     rare.as("a")
-      .join(rare.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
+      .join(rare.hint("shuffle_hash").as("b"),
+        col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id") && szBound)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"),
         min(col("a.sz")).as("sz_a"), min(col("b.sz")).as("sz_b"))
@@ -634,8 +666,15 @@ object Dedup {
   def minhashLsh(docs: DataFrame, n: Int = 3, numHashes: Int = 32,
                  bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
     val banded = bandedBuckets(docs, n, numHashes, bands)
+    // shuffle_hash for the same reason as rarePairs' self-join: left
+    // to AQE, small-SF plans broadcast one side and COMPUTE THE
+    // SIGNATURE SUBTREE TWICE (scan + segmentation + 32-hash MinHash
+    // per doc, per side); the hinted shuffle join reuses ONE exchange
+    // of 20-byte (doc, band, bucket) rows — and is what the planner
+    // picks at scale anyway, so the plan no longer changes shape
+    // across SF.
     val candidates = banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.hint("shuffle_hash").as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -678,8 +717,10 @@ object Dedup {
             .bitwiseAND(lit((1L << bits) - 1)).as("key"))))
         .as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.block"), col("bk.key"))
+    // shuffle_hash: same scale-invariant-plan rationale as minhashLsh
+    // (broadcast would recompute the SimHash signature subtree per side)
     blocked.as("a")
-      .join(blocked.as("b"),
+      .join(blocked.hint("shuffle_hash").as("b"),
         col("a.block") === col("b.block") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

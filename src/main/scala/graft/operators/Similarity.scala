@@ -579,7 +579,13 @@ object Similarity {
       dot(col("embedding"), typedlit(hyperplane(b * r).toSeq)).as("proj"),
       explode(bandStructs(b, r, 64)).as("bb"))
       .select(col("vec_id"), col("proj"), col("bb.band"), col("bb.bucket"))
-    val directed = banded.as("a").join(banded.as("b"),
+    // shuffle_hash (r15): left to AQE, the small-SF plan broadcasts
+    // one side and computes the banded-projection subtree TWICE
+    // (8·r hyperplane dot products per vector, per side); the hinted
+    // shuffle join reuses ONE exchange of the 28-byte posting rows —
+    // the shape the planner picks at scale anyway (measured at sf0.1:
+    // the broadcast plan repeated the 16k-posting generate per side).
+    val directed = banded.as("a").join(banded.hint("shuffle_hash").as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
@@ -688,8 +694,10 @@ object Similarity {
     val emb = corpus.select(col("vec_id"), col("embedding"))
     val (b, r) = resolveGeometry(emb, bands, rowsPerBand, minCosine)
     val banded = embeddingPostings(emb, b, r, dims)
+    // shuffle_hash: same scale-invariant-plan rationale as knnPairs —
+    // never recompute the banding subtree per join side
     val candidates = banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.hint("shuffle_hash").as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))

@@ -31,6 +31,25 @@ class DedupSpec extends SparkSpec {
     assert(j12 == 1.0)
   }
 
+  test("size-ratio candidate prune is exact: a pair AT the threshold " +
+       "boundary survives, cross-size non-candidates vanish pre-aggregate") {
+    // doc 2's 3-gram set is a strict subset of doc 1's: 30 tokens →
+    // 28 grams vs 20 tokens → 18 grams, all shared ⇒
+    // J = 18/28 ≈ 0.6429, size ratio 18/28 ≈ 0.6429 — with the
+    // threshold AT the true J the ratio bound sits exactly on the
+    // boundary (J == min/max here) and must keep the pair
+    val big = (1 to 30).map(i => s"w$i").mkString(" ")
+    val sub = (1 to 20).map(i => s"w$i").mkString(" ")
+    val t = 18.0 / 28.0
+    val out = Dedup.ngramJaccard(docs(1L -> big, 2L -> sub), minJaccard = t)
+      .collect()
+    assert(out.length == 1)
+    assert(math.abs(out.head.getAs[Double]("jaccard") - t) < 1e-9)
+    // same corpus, threshold a hair above the ratio: pair gone
+    assert(Dedup.ngramJaccard(docs(1L -> big, 2L -> sub),
+      minJaccard = t + 0.01).count() == 0)
+  }
+
   test("ngramContainment catches subset duplication that Jaccard misses") {
     val fragment = (1 to 12).map(i => s"w$i").mkString(" ")
     val wrapper = ((1 to 12).map(i => s"w$i") ++
