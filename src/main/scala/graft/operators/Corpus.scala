@@ -386,7 +386,11 @@ object Corpus {
       .distinct()
     val a = srcGram.toDF("source_a", "k")
     val b = srcGram.toDF("source_b", "k")
-    a.join(b, "k")
+    // shuffle_hash: AQE otherwise builds a gram-table-sized broadcast
+    // (42 MB at sf0.1) for this self-join; the hinted shuffle join's
+    // two k-keyed exchanges are one ReusedExchange, and at scale the
+    // gram table outgrows any broadcast anyway — same shape at every SF
+    a.join(b.hint("shuffle_hash"), "k")
       .filter(col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_shared_grams"))
@@ -430,17 +434,24 @@ object Corpus {
           array_sort(collect_list(struct(col("pos"), col("t")))),
           s => s.getField("t")), " ").as("chunk_text"))
       .withColumn("ck", md5(col("chunk_text")))
+      // the chunk table feeds TWO consumers (the sharing counts and
+      // the output join). Until r15 the share was only the window's
+      // doc_id exchange (ReusedExchange), and the whole reassembly
+      // tower ABOVE it — per-doc sort + running-sum window + two
+      // ObjectHashAggregate collect passes over every token — ran
+      // once PER CONSUMER (measured at sf0.1: the two towers were
+      // each ~1.5 s of the query's 2 s). Pin the chunk table instead:
+      // one reassembly, both consumers read the materialized blocks.
+      // This IS the "materialized chunk table" the deployment note
+      // below always promised — now the operator's own shape.
+      .transform(graft.core.Pin.pin(_, eager = false))
     // sharing counts, hot-chunk-safe (the r6 hot-gram lesson): dedup
     // (ck, doc) on BOTH keys — a boilerplate chunk in a billion docs
     // spreads across partitions instead of funnelling one — then the
     // ck count combines map-side to ≤1 row per (partition, ck). The
     // join's build side is therefore ONE row per chunk key: AQE
     // broadcasts it when small and can skew-split the stream side
-    // when it is not. The corpus is scanned once — both branches
-    // reuse the window's doc_id exchange (PlanAuditSpec pins 1 scan);
-    // only the chunk re-aggregation repeats, the price of keeping the
-    // plan fully declarative (at deployment scale a materialized
-    // chunk table absorbs it).
+    // when it is not.
     // the explicit repartition is load-bearing: left alone, Catalyst
     // serves both aggregates from ONE ck-only exchange (ck satisfies
     // the (ck, doc) clustering) — exactly the hot-key funnel the

@@ -474,15 +474,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"keeper anti-joins missing:\n$plan")
   }
 
-  test("doc_chunk_cdc: one corpus scan (window exchange reused), doc-spread " +
-    "sharing dedup, one-row-per-ck join build side") {
+  test("doc_chunk_cdc: pinned chunk table (one reassembly, zero re-scans), " +
+    "doc-spread sharing dedup, one-row-per-ck join build side") {
     val df = Corpus.cdcChunks(
       graft.core.Tables(spark, sf(), "documents"), maskBits = 2)
     val plan = finalPlan(df)
+    // r15: the chunk table is PINNED — both consumers (sharing counts,
+    // output join) read the materialized blocks, so the executed plan
+    // holds no parquet scan and, critically, no Window: the reassembly
+    // tower ran once at pin time instead of once per consumer
     val scans = "Scan parquet".r.findAllMatchIn(plan).length
-    assert(scans == 1, s"expected 1 corpus scan, saw $scans:\n$plan")
-    assert(plan.contains("ReusedExchange"),
-      s"sharing branch re-scans instead of reusing the window exchange:\n$plan")
+    assert(scans == 0, s"expected 0 corpus scans (pinned chunks), saw $scans:\n$plan")
+    assert(!plan.contains("Window"),
+      s"chunk reassembly re-ran above the pin:\n$plan")
     // hot-chunk guard: the (ck, doc) dedup must exchange on BOTH keys
     // (spreading a boilerplate chunk's doc set), never on ck alone
     assert("hashpartitioning\\(ck#\\d+, doc_id".r.findFirstIn(plan).isDefined,
