@@ -30,8 +30,18 @@ object Mart {
     write(WeatherMart.dimPrecipType(spark, srcDir), "dim_precip_type")
     write(WeatherMart.dimSource(spark), "dim_source")
     write(WeatherMart.normalizedLocation(spark, srcDir), "normalized_location")
+    // REBALANCE by the partition column before the write (guide §6):
+    // without it every upstream task writes its own sliver into every
+    // year directory — 112 files of ~116 KB at sf0.1 — and the read
+    // twins (q1m..q5m) pay per-file listing/open overhead that made 32
+    // cores measurably SLOWER than 8. The AQE rebalance sizes output
+    // partitions by advisoryPartitionSizeInBytes, so at small SF each
+    // year lands as one well-sized file while at 100 TB a skewed year
+    // is SPLIT into advisory-sized chunks — scale-adaptive in both
+    // directions, no constant tuned for either regime.
     WeatherMart.fact(spark, srcDir)
       .withColumn("year", year(col("date_key")))
+      .hint("rebalance", col("year"))
       .write.mode("overwrite").partitionBy("year")
       .parquet(s"$outDir/$FactTable")
   }

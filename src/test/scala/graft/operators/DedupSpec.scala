@@ -328,6 +328,39 @@ class DedupSpec extends SparkSpec {
     assert(out("books") == ((2L, 2L, 0.0)))
   }
 
+  test("degenerate hot bucket: one boilerplate doc duplicated 600x — the " +
+       "hinted shuffled-hash self-joins survive and find every pair") {
+    // VERDICT r15 watch item: minhashLsh/simhash force a shuffled hash
+    // join, whose build side holds a whole (band, bucket) posting list
+    // in one task's hash map. The degenerate corpus — one boilerplate
+    // doc duplicated D times — puts all D postings of every band into
+    // ONE bucket, the worst case the banding admits. The bound
+    // argument (see the minhashLsh scaladoc) is that build memory is
+    // O(D) while the join's unavoidable OUTPUT is O(D²), so the build
+    // map can never be the binding constraint; this pins the plan
+    // (hint engaged, not silently broadcast) and the exact D·(D−1)/2
+    // output at a D large enough that a per-bucket quadratic blowup
+    // would be visible.
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = 600L
+    val boiler = (1 to 30).map(i => s"plate$i").mkString(" ")
+    val dup = spark.range(d)
+      .select(col("id").as("doc_id"), lit(boiler).as("text"))
+    val expect = d * (d - 1) / 2
+
+    val mh = Dedup.minhashLsh(dup)
+    assert(mh.count() == expect)
+    val mhPlan = mh.queryExecution.executedPlan.toString
+    assert(mhPlan.contains("ShuffledHashJoin"),
+      s"banded self-join must stay a shuffled hash join:\n$mhPlan")
+
+    val sh = Dedup.simhash(dup)
+    assert(sh.count() == expect)
+    val shPlan = sh.queryExecution.executedPlan.toString
+    assert(shPlan.contains("ShuffledHashJoin"),
+      s"blocked self-join must stay a shuffled hash join:\n$shPlan")
+  }
+
   test("exactProbe matches incremental's keeper/anti-join semantics on a " +
        "hash-only corpus frame") {
     val corpus = docs(1L -> "seen before", 2L -> "also seen")
