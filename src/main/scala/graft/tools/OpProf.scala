@@ -37,7 +37,11 @@ object OpProf {
       "scan time", "shuffle bytes written", "local bytes read",
       "remote bytes read", "spill size", "time to build hash map",
       "sort time", "shuffle write time", "fetch wait time",
-      "time in batch dedup", "data size")
+      "time in batch dedup", "data size",
+      // scan-volume receipts (r16: the expectations_check claim is
+      // "removed fact scans at 100 TB" — show the bytes, not just the
+      // node count)
+      "size of files read", "number of files read")
 
     def unwrap(p: SparkPlan): SparkPlan = p match {
       case a: AdaptiveSparkPlanExec => a.executedPlan

@@ -28,9 +28,22 @@ src = load(src_out).sort_values("doc_id").reset_index(drop=True)
 syn = load(syn_out)
 rep0 = syn[syn.doc_id < K].sort_values("doc_id").reset_index(drop=True)
 
+# ScaleUp additionally PLANTS rare-shingle pair docs in every replica
+# rep >= 1 (round 11: 20 pairs x 2 members, ids at rep*K + 10^7 + ...)
+# so the near-dup pair family survives heavy replication. Those docs
+# fingerprint like any other, so the total is factor x src + planted;
+# the replica-0 block stays byte-identical (planted ids only exist at
+# rep >= 1, and 10^7 is far above any real source doc_id).
+PAIR_BASE = 10_000_000
+planted = syn[(syn.doc_id % K) >= PAIR_BASE]
+expected_planted = 20 * (factor - 1) * 2
+
 ok = True
-if len(syn) != factor * len(src):
-    print(f"FAIL rows: syn={len(syn)} != {factor}x src={len(src)}"); ok = False
+if len(planted) != expected_planted:
+    print(f"FAIL planted rows: {len(planted)} != {expected_planted}"); ok = False
+if len(syn) != factor * len(src) + expected_planted:
+    print(f"FAIL rows: syn={len(syn)} != {factor}x src={len(src)} "
+          f"+ {expected_planted} planted"); ok = False
 if len(rep0) != len(src):
     print(f"FAIL replica0 rows: {len(rep0)} != {len(src)}"); ok = False
 elif not rep0.equals(src):
@@ -39,5 +52,6 @@ elif not rep0.equals(src):
           f"{rep0[neq].head(3)}\nvs\n{src[neq].head(3)}"); ok = False
 if ok:
     print(f"OK   doc_fingerprint replica-0 subset: {len(src)} rows exact-equal "
-          f"to oracle-verified source SF; total rows = {factor}x")
+          f"to oracle-verified source SF; total rows = {factor}x "
+          f"+ {expected_planted} planted")
 sys.exit(0 if ok else 1)

@@ -29,17 +29,28 @@ import numpy as np
 import pandas as pd
 
 MIN_COSINE = 0.35
-BANDS, ROWS = 8, 6
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 
 sql = json.load(open(f"{outdir}/oracle_sql.json"))["semdedup"]
-# embeddingNearDupBody is inlined twice (src->dst and dst->src); take
-# the first 48 plane literals — band-major, row-minor, weights 1,2,..32.
+# The LSH geometry is corpus-size-dependent (Similarity.AutoWidth /
+# AutoBands occupancy rule since r12) — parse bands AND rows/band OUT
+# OF the oracle SQL instead of hardcoding the r9-era 8x6 (a hardcoded
+# geometry silently diverges the replay the moment the width rule
+# resolves differently, which is exactly what r16 found when this tool
+# was first re-run post-r12).
+BANDS = max(int(b) for b in re.findall(r"(\d+) AS band", sql)) + 1
+all_planes = re.findall(r"list_dot_product\(emb, (\[[^\]]*\])", sql)
+# embeddingNearDupBody is inlined twice (src->dst and dst->src); the
+# first half is one full band-major, row-minor plane set.
+assert len(all_planes) % (2 * BANDS) == 0, \
+    f"{len(all_planes)} plane literals not divisible by 2*{BANDS} bands"
+ROWS = (len(all_planes) // 2) // BANDS
+print(f"[semdedup_check] geometry from oracle SQL: {BANDS} bands x {ROWS} rows",
+      flush=True)
 planes = [np.array(json.loads(m), dtype=np.float64)
-          for m in re.findall(r"list_dot_product\(emb, (\[[^\]]*\])", sql)[:BANDS * ROWS]]
-assert len(planes) == BANDS * ROWS, f"parsed {len(planes)} planes"
-P = np.stack(planes)                                   # (48, dim)
+          for m in all_planes[:BANDS * ROWS]]
+P = np.stack(planes)                                   # (bands*rows, dim)
 
 emb_files = sorted(glob.glob(f"{sfdir}/embeddings.parquet")
                    or glob.glob(f"{sfdir}/embeddings.parquet/*.parquet"))
