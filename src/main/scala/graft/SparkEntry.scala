@@ -521,27 +521,21 @@ object SparkEntry {
       import graft.etl.Expectations._
       val orders = Tables(s, d, "orders")
       val li = Tables(s, d, "lineitem")
-      // r15: the unique checks and the FK relationship consume ONE
-      // keyCounts pass per table — the standalone forms scanned+
-      // shuffled orders 3× and lineitem 2× for the same four verdicts
-      // (guide §2.4). The share rides a Pin, NOT exchange reuse:
-      // Catalyst pushes the relationship's null-key filter below the
-      // shared aggregate and prunes the count off the dim-keys branch,
-      // so the three consumers' exchanges stop being canonically equal
-      // (measured: the un-pinned composition re-computed the pass per
-      // consumer and shuffled MORE than the standalone forms). The
-      // pinned frame is key-grain and column-pruned to key + count —
-      // the same bounded-materialization trade basketPairs makes.
-      // Output identical; ExpectationsSpec pins the composed forms
-      // row-equal to the standalone ones.
-      val kcOrders = graft.core.Pin.pin(
-        keyCounts(orders, Seq("o_orderkey")), eager = false)
-      // shuffleBy the fk prefix: the pinned frame lands hash(okey)-
-      // partitioned, so the relationship's per-okey re-aggregate and
-      // anti-join run exchange-free on the pinned partitions
-      val kcLi = graft.core.Pin.pin(
-        keyCounts(li, Seq("l_orderkey", "l_linenumber"),
-          shuffleBy = Seq("l_orderkey")), eager = false)
+      // r16 REVERT of the r15 pinned key-count share, on a full-scale
+      // measurement: the r15 composition pinned one keyCounts pass per
+      // table (localCheckpoint) to feed unique + FK checks, saving two
+      // fact scans — but a key-UNIQUE fact's keyCounts is FACT-sized
+      // (60M rows at sf10), so the pin materializes a fact-sized frame
+      // into executor block storage. Measured at sf10: 25.1 s (r14
+      // standalone shape) → 114.7 s isolated with the pin, and the
+      // full-surface bench run DIED to a heap OOM inside this query
+      // in-run. Guide §5: cache only when recompute costs more than
+      // the memory pressure — here the recompute is ONE extra
+      // map-side-combined scan+exchange per table (~12 s at sf10) and
+      // the pressure is a run-killer. Pins must stay dimension-sized /
+      // bounded (basket arrays are order-grain and bounded; fact-key
+      // grain is not). The keyCounts combinators stay in Expectations
+      // for callers whose key grain IS bounded.
       report(Seq(
         checkRows(orders, "orders", Seq(
           notNull("o_custkey"),
@@ -551,11 +545,9 @@ object SparkEntry {
           inRange("l_discount", 0.0, 0.1),
           satisfies("price_covers_quantity",
             col("l_extendedprice") >= col("l_quantity")))),
-        uniqueFromKeyCounts(kcOrders, "orders", Seq("o_orderkey")),
-        uniqueFromKeyCounts(kcLi, "lineitem",
-          Seq("l_orderkey", "l_linenumber")),
-        relationshipFromKeyCounts(kcLi, "lineitem", "l_orderkey",
-          kcOrders, "o_orderkey"),
+        checkUnique(orders, "orders", Seq("o_orderkey")),
+        checkUnique(li, "lineitem", Seq("l_orderkey", "l_linenumber")),
+        checkRelationship(li, "lineitem", "l_orderkey", orders, "o_orderkey"),
         checkRelationship(orders, "orders", "o_custkey",
           Tables(s, d, "customer"), "c_custkey")))
     }),
